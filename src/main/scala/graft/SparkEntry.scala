@@ -1,13 +1,59 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator registers here twice: a Spark DataFrame
+  * plan in `queries` and a DuckDB oracle in `oracleSql` with byte-identical
+  * column names. Engine operators with no ANSI-SQL twin (warp/regrid,
+  * Morton/hex/S2 cell joins on real geometry, stencils) register in
+  * `queries` only and are verified by ScalaTest golden suites.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Rel.stackStats(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_global_stats"   -> (Rel.globalStats _),
+    "q02_stack_stats"    -> (Rel.stackStats _),
+    "q03_dt_stats"       -> (Rel.dtStats _),
+    "q04_trend_ols"      -> (Rel.trendOls _),
+    "q05_range_fltr"     -> (Rel.rangeFltr _),
+    "q06_sigma_fltr"     -> (Rel.sigmaFltr _),
+    "q07_mad_fltr"       -> (Rel.madFltr _),
+    "q08_block_stats"    -> (Rel.blockStats _),
+    "q09_cell_count"     -> (Rel.cellCount _),
+    "q10_pip_boxes"      -> (Rel.pipBoxes _),
+    "q11_asof_nearest"   -> (Rel.asofNearest _),
+    "q12_session_cluster"-> (Rel.sessionCluster _),
+    "q13_nearest_dt"     -> (Rel.nearestDt _),
+    "q14_mode_stats"     -> (Rel.modeStats _),
+    "q15_error_metrics"  -> (Rel.errorMetrics _),
+    "q16_utm_select"     -> (Rel.utmSelect _),
+    "q17_extent_ops"     -> (Rel.extentOps _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_global_stats"   -> Rel.globalStatsSql,
+    "q02_stack_stats"    -> Rel.stackStatsSql,
+    "q03_dt_stats"       -> Rel.dtStatsSql,
+    "q04_trend_ols"      -> Rel.trendOlsSql,
+    "q05_range_fltr"     -> Rel.rangeFltrSql,
+    "q06_sigma_fltr"     -> Rel.sigmaFltrSql,
+    "q07_mad_fltr"       -> Rel.madFltrSql,
+    "q08_block_stats"    -> Rel.blockStatsSql,
+    "q09_cell_count"     -> Rel.cellCountSql,
+    "q10_pip_boxes"      -> Rel.pipBoxesSql,
+    "q11_asof_nearest"   -> Rel.asofNearestSql,
+    "q12_session_cluster"-> Rel.sessionClusterSql,
+    "q13_nearest_dt"     -> Rel.nearestDtSql,
+    "q14_mode_stats"     -> Rel.modeStatsSql,
+    "q15_error_metrics"  -> Rel.errorMetricsSql,
+    "q16_utm_select"     -> Rel.utmSelectSql,
+    "q17_extent_ops"     -> Rel.extentOpsSql,
+  )
 }
