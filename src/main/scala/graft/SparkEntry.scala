@@ -33,6 +33,18 @@ object SparkEntry {
     "q15_error_metrics"  -> (Rel.errorMetrics _),
     "q16_utm_select"     -> (Rel.utmSelect _),
     "q17_extent_ops"     -> (Rel.extentOps _),
+    "q18_token_count"    -> (Text.tokenCount _),
+    "q19_fingerprint"    -> (Text.fingerprint _),
+    "q20_dedup_exact"    -> (Text.dedupExact _),
+    "q21_quality_score"  -> (Text.qualityScore _),
+    "q22_lang_id"        -> (Text.langId _),
+    "q23_minhash_sig"    -> (Text.minhashSig _),
+    "q24_minhash_pairs"  -> (Text.minhashPairs _),
+    "q25_simhash"        -> (Text.simhash _),
+    "q26_ngram_jaccard"  -> (Text.ngramJaccard _),
+    "q27_knn_brute"      -> (Vec.knnBrute _),
+    "q28_emb_neardup"    -> (Vec.embNearDup _),
+    "q29_centroid_cos"   -> (Vec.centroidCos _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +67,17 @@ object SparkEntry {
     "q15_error_metrics"  -> Rel.errorMetricsSql,
     "q16_utm_select"     -> Rel.utmSelectSql,
     "q17_extent_ops"     -> Rel.extentOpsSql,
+    "q18_token_count"    -> Text.tokenCountSql,
+    "q19_fingerprint"    -> Text.fingerprintSql,
+    "q20_dedup_exact"    -> Text.dedupExactSql,
+    "q21_quality_score"  -> Text.qualityScoreSql,
+    "q22_lang_id"        -> Text.langIdSql,
+    "q23_minhash_sig"    -> Text.minhashSigSql,
+    "q24_minhash_pairs"  -> Text.minhashPairsSql,
+    "q25_simhash"        -> Text.simhashSql,
+    "q26_ngram_jaccard"  -> Text.ngramJaccardSql,
+    "q27_knn_brute"      -> Vec.knnBruteSql,
+    "q28_emb_neardup"    -> Vec.embNearDupSql,
+    "q29_centroid_cos"   -> Vec.centroidCosSql,
   )
 }
