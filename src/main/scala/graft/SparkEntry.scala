@@ -45,6 +45,10 @@ object SparkEntry {
     "q27_knn_brute"      -> (Vec.knnBrute _),
     "q28_emb_neardup"    -> (Vec.embNearDup _),
     "q29_centroid_cos"   -> (Vec.centroidCos _),
+    // engine pipelines (no SQL twin; golden ScalaTest coverage instead)
+    "q40_warp_tiles"       -> (Engine.warpTiles _),
+    "q41_stack_stats_tiles"-> (Engine.stackStatsTiles _),
+    "q42_trend_tiles"      -> (Engine.trendTiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

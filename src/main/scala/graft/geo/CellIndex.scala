@@ -129,6 +129,47 @@ object ZCell {
   }
 }
 
+/** Planar integer cell grid for projected CRS (meters): cell = floor(x/size),
+  * floor(y/size) packed with a 2^31 offset. The covering/prefilter index for
+  * UTM-space tiling and PIP joins (extents stay well under the offset). */
+object PlanarCell {
+  private val OFF = 1L << 30
+
+  def encode(x: Double, y: Double, size: Double): Long = {
+    val cx = math.floor(x / size).toLong + OFF
+    val cy = math.floor(y / size).toLong + OFF
+    (cx << 31) | cy
+  }
+  def cx(cell: Long): Long = (cell >>> 31) - OFF
+  def cy(cell: Long): Long = (cell & 0x7fffffffL) - OFF
+  def pack(cxv: Long, cyv: Long): Long = ((cxv + OFF) << 31) | (cyv + OFF)
+
+  def extent(cell: Long, size: Double): Extent =
+    Extent(cx(cell) * size, cy(cell) * size, (cx(cell) + 1) * size, (cy(cell) + 1) * size)
+
+  /** All cells intersecting `e` (half-open cell footprints). */
+  def cover(e: Extent, size: Double): Seq[Long] = {
+    val x0 = math.floor(e.xmin / size).toLong
+    val x1 = math.floor(e.xmax / size).toLong
+    val y0 = math.floor(e.ymin / size).toLong
+    val y1 = math.floor(e.ymax / size).toLong
+    require((x1 - x0 + 1) * (y1 - y0 + 1) <= 4_000_000,
+      "cover() too large; raise cell size")
+    for (y <- y0 to y1; x <- x0 to x1) yield pack(x, y)
+  }
+
+  def ring(cell: Long, k: Int): Seq[Long] = {
+    if (k == 0) return Seq(cell)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (dy <- -k to k; dx <- -k to k
+         if math.max(math.abs(dx), math.abs(dy)) == k)
+      out += pack(cx(cell) + dx, cy(cell) + dy)
+    out.sorted.toSeq
+  }
+
+  def kRing(cell: Long, k: Int): Seq[Long] = (0 to k).flatMap(ring(cell, _)).distinct.sorted
+}
+
 /** H3-style hexagonal index: pointy-top hex grid in equirectangular space
   * with cube-coordinate arithmetic (public hex-grid math, cf. the H3 paper's
   * axial/cube coordinate treatment). Aperture ~4 between resolutions (edge

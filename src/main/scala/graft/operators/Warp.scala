@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Dataset}
+import org.apache.spark.sql.functions._
+import graft.geo.{Extent, GridSpec}
+import graft.sources.{Codec, ImageRow}
+
+/** One aligned tile of one image on the common target grid — the engine's
+  * unit of work (the reference's unit is a whole warped raster;
+  * `warplib.py:39-210`). `payload` is row-major tileSize², NDV-filled
+  * outside the image footprint (`warplib.py:146-153`). */
+final case class TileRow(
+  image_id: String, ts_us: Long, tile_id: Long, tx: Int, ty: Int,
+  payload: Array[Float], n_valid: Int, elided: Boolean)
+
+/** The warp operator family — grid alignment, re-expressed Spark-first:
+  *
+  *   stage A (analyze):  one metadata aggregation over (res, extent) →
+  *                       driver-side `GridSpec` (parse_srs/res/extent,
+  *                       `warplib.py:238-419`); broadcast as a plan literal.
+  *   stage B (optimize): per-image no-op elision — srs same ∧ res equal ∧
+  *                       extent aligned within precision (`warplib.py:479-515`)
+  *                       → pixels copy 1:1 with integer offset, no kernel.
+  *   stage C (execute):  narrow map stage — decode, resample each overlapping
+  *                       target tile (`gdal.ReprojectImage` analog,
+  *                       `warplib.py:196`).
+  *
+  * Scale shape: A is a partial-agg reduce of ~32 B/row; C is map-only (no
+  * shuffle — each image's tiles derive from that image alone). The only wide
+  * stage in a warp→stack pipeline is the later groupBy(tile_id). */
+object Warp {
+  val TileSize = 64
+
+  /** Stage A. Strategies follow `parse_res`/`parse_extent` (`warplib.py:
+    * 312-419`); 'first' = lowest image_id (the reference's list order). */
+  def analyze(images: DataFrame, resStrategy: String = "min",
+              extentStrategy: String = "union"): GridSpec = {
+    val m = images.agg(
+      min(col("res")).as("rmin"), max(col("res")).as("rmax"),
+      avg(col("res")).as("rmean"), expr("percentile(res, 0.5)").as("rmed"),
+      min(col("ulx")).as("u_xmin"), min(col("uly") - col("h") * col("res")).as("u_ymin"),
+      max(col("ulx") + col("w") * col("res")).as("u_xmax"), max(col("uly")).as("u_ymax"),
+      max(col("ulx")).as("i_xmin"), max(col("uly") - col("h") * col("res")).as("i_ymin"),
+      min(col("ulx") + col("w") * col("res")).as("i_xmax"), min(col("uly")).as("i_ymax"),
+      min_by(struct(col("ulx"), col("uly"), col("res"), col("w"), col("h"), col("crs")),
+             col("image_id")).as("first")
+    ).head()
+
+    val res = resStrategy match {
+      case "first" => m.getStruct(12).getDouble(2)
+      case "min"   => m.getDouble(0)
+      case "max"   => m.getDouble(1)
+      case "mean"  => m.getDouble(2)
+      case "med"   => m.getDouble(3)
+      case "common_scale_factor" => math.sqrt(m.getDouble(1) / m.getDouble(0)) * m.getDouble(0)
+      case s => s.toDouble
+    }
+    val extent = extentStrategy match {
+      case "union" => Extent(m.getDouble(4), m.getDouble(5), m.getDouble(6), m.getDouble(7))
+      case "intersection" =>
+        val e = Extent(m.getDouble(8), m.getDouble(9), m.getDouble(10), m.getDouble(11))
+        require(!e.isEmpty, "Input extents do not intersect") // warplib.py:404-405
+        e
+      case "first" =>
+        val f = m.getStruct(12)
+        GridSpec(f.getDouble(0), f.getDouble(1), f.getDouble(2), f.getString(5),
+                 f.getInt(3), f.getInt(4)).extent
+      case s =>
+        val p = s.split("[ ,]+").map(_.toDouble); Extent(p(0), p(1), p(2), p(3))
+    }
+    val crs = m.getStruct(12).getString(5)
+    GridSpec.fromExtentRes(extent, res, crs)
+  }
+
+  /** No-op elision test for one image grid vs the target —
+    * `warp_multi` `warplib.py:479-515`: same srs, res equal and extent
+    * corners aligned within precision (1e-3 projected / 1e-8 geographic),
+    * AND the image grid lies on the target lattice. */
+  def isAligned(g: GridSpec, target: GridSpec): Boolean = {
+    val prec = GridSpec.comparePrecision(target.crs)
+    def onLattice(delta: Double): Boolean =
+      math.abs(delta - math.rint(delta / target.res) * target.res) < prec
+    g.crs == target.crs &&
+      Extent.resCompare(g.res, target.res, prec) &&
+      onLattice(g.ulx - target.ulx) && onLattice(target.uly - g.uly)
+  }
+
+  /** Stages B+C: align every image to `target`, emitting per-tile rows.
+    * Narrow (map-only); tiles without a single valid pixel are dropped. */
+  def warpToTiles(spark: SparkSession, images: DataFrame, target: GridSpec,
+                  kernel: String = "near", tileSize: Int = TileSize): Dataset[TileRow] = {
+    import spark.implicits._
+    val ntx = (target.w + tileSize - 1) / tileSize
+    images.as[ImageRow].flatMap { img =>
+      warpOne(img, target, kernel, tileSize, ntx)
+    }
+  }
+
+  /** Warp one image onto the target grid, cut into tiles. */
+  def warpOne(img: ImageRow, target: GridSpec, kernel: String,
+              tileSize: Int, ntx: Int): Iterator[TileRow] = {
+    val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
+    val inter = g.extent.intersection(target.extent).getOrElse(return Iterator.empty)
+    val src = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+    val ndv = img.ndv.toFloat
+    val aligned = isAligned(g, target)
+    val tsUs = img.ts.getTime * 1000L
+
+    // target-pixel bounds of the overlap (clamped)
+    val px0 = math.max(0, math.floor((inter.xmin - target.ulx) / target.res).toInt)
+    val px1 = math.min(target.w - 1, math.ceil((inter.xmax - target.ulx) / target.res).toInt - 1)
+    val py0 = math.max(0, math.floor((target.uly - inter.ymax) / target.res).toInt)
+    val py1 = math.min(target.h - 1, math.ceil((target.uly - inter.ymin) / target.res).toInt - 1)
+    if (px1 < px0 || py1 < py0) return Iterator.empty
+
+    val tx0 = px0 / tileSize; val tx1 = px1 / tileSize
+    val ty0 = py0 / tileSize; val ty1 = py1 / tileSize
+
+    // integer offsets for the elided fast path (pixel-for-pixel copy):
+    // source px = target px + off, from equating pixel-center map coords
+    val offX = math.rint((target.ulx - g.ulx) / target.res).toInt
+    val offY = math.rint((g.uly - target.uly) / target.res).toInt
+
+    (for {
+      ty <- (ty0 to ty1).iterator
+      tx <- (tx0 to tx1).iterator
+    } yield {
+      val payload = Array.fill(tileSize * tileSize)(ndv)
+      var nValid = 0
+      var py = math.max(py0, ty * tileSize)
+      val pyEnd = math.min(py1, (ty + 1) * tileSize - 1)
+      while (py <= pyEnd) {
+        var px = math.max(px0, tx * tileSize)
+        val pxEnd = math.min(px1, (tx + 1) * tileSize - 1)
+        while (px <= pxEnd) {
+          val v: Float =
+            if (aligned) {
+              val sx = px + offX; val sy = py + offY
+              if (sx >= 0 && sx < img.w && sy >= 0 && sy < img.h) src(sy * img.w + sx) else ndv
+            } else {
+              val (mx, my) = target.pixelToMap(px, py)
+              Resample.sample(src, img.w, img.h, g, mx, my, kernel, ndv, target.res)
+            }
+          if (v != ndv) {
+            payload((py - ty * tileSize) * tileSize + (px - tx * tileSize)) = v
+            nValid += 1
+          }
+          px += 1
+        }
+        py += 1
+      }
+      TileRow(img.image_id, tsUs, ty.toLong * ntx + tx, tx, ty, payload, nValid, aligned)
+    }).filter(_.n_valid > 0)
+  }
+}
+
+/** Resampling kernels — `parse_rs_alg` `warplib.py:238-262` (near, bilinear,
+  * cubic, average, mode), NDV-aware. Bilinear renormalizes over valid
+  * neighbors; cubic is Catmull-Rom a=-0.5 falling back to bilinear when the
+  * 4×4 support has gaps; average/mode pool source pixels whose centers land
+  * in the target pixel footprint (the downsampling semantics). */
+object Resample {
+  def sample(src: Array[Float], w: Int, h: Int, g: GridSpec,
+             mx: Double, my: Double, kernel: String, ndv: Float,
+             targetRes: Double): Float = kernel match {
+    case "near"     => near(src, w, h, g, mx, my, ndv)
+    case "bilinear" => bilinear(src, w, h, g, mx, my, ndv)
+    case "cubic"    => cubic(src, w, h, g, mx, my, ndv)
+    case "average"  => pooled(src, w, h, g, mx, my, ndv, targetRes, mode = false)
+    case "mode"     => pooled(src, w, h, g, mx, my, ndv, targetRes, mode = true)
+    case k => throw new IllegalArgumentException(s"unknown kernel $k")
+  }
+
+  def near(src: Array[Float], w: Int, h: Int, g: GridSpec,
+           mx: Double, my: Double, ndv: Float): Float = {
+    val (cx, cy) = g.mapToCell(mx, my)
+    if (cx < 0 || cx >= w || cy < 0 || cy >= h) ndv else src(cy * w + cx)
+  }
+
+  def bilinear(src: Array[Float], w: Int, h: Int, g: GridSpec,
+               mx: Double, my: Double, ndv: Float): Float = {
+    val (pxf, pyf) = g.mapToPixel(mx, my)   // fractional, center-based
+    val x0 = math.floor(pxf).toInt; val y0 = math.floor(pyf).toInt
+    val fx = pxf - x0; val fy = pyf - y0
+    var sum = 0.0; var wsum = 0.0
+    var dy = 0
+    while (dy <= 1) {
+      var dx = 0
+      while (dx <= 1) {
+        val x = x0 + dx; val y = y0 + dy
+        if (x >= 0 && x < w && y >= 0 && y < h) {
+          val v = src(y * w + x)
+          if (v != ndv) {
+            val wt = (if (dx == 0) 1 - fx else fx) * (if (dy == 0) 1 - fy else fy)
+            sum += v * wt; wsum += wt
+          }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    if (wsum <= 0) ndv else (sum / wsum).toFloat
+  }
+
+  private def cubicWeight(t: Double): Double = {
+    val a = -0.5
+    val at = math.abs(t)
+    if (at <= 1) (a + 2) * at * at * at - (a + 3) * at * at + 1
+    else if (at < 2) a * at * at * at - 5 * a * at * at + 8 * a * at - 4 * a
+    else 0.0
+  }
+
+  def cubic(src: Array[Float], w: Int, h: Int, g: GridSpec,
+            mx: Double, my: Double, ndv: Float): Float = {
+    val (pxf, pyf) = g.mapToPixel(mx, my)
+    val x0 = math.floor(pxf).toInt; val y0 = math.floor(pyf).toInt
+    var sum = 0.0; var wsum = 0.0; var gap = false
+    var dy = -1
+    while (dy <= 2) {
+      var dx = -1
+      while (dx <= 2) {
+        val x = x0 + dx; val y = y0 + dy
+        val wt = cubicWeight(pxf - x) * cubicWeight(pyf - y)
+        if (x >= 0 && x < w && y >= 0 && y < h && src(y * w + x) != ndv) {
+          sum += src(y * w + x) * wt; wsum += wt
+        } else if (wt != 0.0) gap = true
+        dx += 1
+      }
+      dy += 1
+    }
+    if (gap || wsum == 0) bilinear(src, w, h, g, mx, my, ndv)
+    else (sum / wsum).toFloat
+  }
+
+  /** Pool all source pixels whose centers fall inside the target pixel
+    * footprint [mx±res/2, my±res/2]; mean (average) or plurality value with
+    * smallest-value tie-break (mode; `GRA_Mode` precedent `warplib.py:256-258`). */
+  def pooled(src: Array[Float], w: Int, h: Int, g: GridSpec,
+             mx: Double, my: Double, ndv: Float, targetRes: Double,
+             mode: Boolean): Float = {
+    val (px0, py1) = g.mapToPixel(mx - targetRes / 2, my - targetRes / 2)
+    val (px1, py0) = g.mapToPixel(mx + targetRes / 2, my + targetRes / 2)
+    val x0 = math.max(0, math.ceil(px0 - 0.5).toInt)
+    val x1 = math.min(w - 1, math.floor(px1 + 0.5).toInt)
+    val y0 = math.max(0, math.ceil(py0 - 0.5).toInt)
+    val y1 = math.min(h - 1, math.floor(py1 + 0.5).toInt)
+    if (x1 < x0 || y1 < y0) return near(src, w, h, g, mx, my, ndv)
+    if (!mode) {
+      var sum = 0.0; var n = 0
+      var y = y0
+      while (y <= y1) {
+        var x = x0
+        while (x <= x1) {
+          val v = src(y * w + x); if (v != ndv) { sum += v; n += 1 }; x += 1
+        }
+        y += 1
+      }
+      if (n == 0) ndv else (sum / n).toFloat
+    } else {
+      val counts = scala.collection.mutable.HashMap.empty[Float, Int]
+      var y = y0
+      while (y <= y1) {
+        var x = x0
+        while (x <= x1) {
+          val v = src(y * w + x); if (v != ndv) counts(v) = counts.getOrElse(v, 0) + 1
+          x += 1
+        }
+        y += 1
+      }
+      if (counts.isEmpty) ndv
+      else counts.toSeq.sortBy { case (v, n) => (-n, v) }.head._1
+    }
+  }
+}

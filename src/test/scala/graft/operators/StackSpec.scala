@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.GridSpec
+import graft.sources.ImageTable
+
+class StackSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val ndv = ImageTable.Ndv
+
+  def tile(id: String, tsUs: Long, vals: Array[Float]): TileRow =
+    TileRow(id, tsUs, 0L, 0, 0, vals, vals.count(_ != ndv), elided = true)
+
+  val day = 86400L * 1000000L
+
+  test("stack stats golden: count/mean/std/min/max with masking (malib.py:559-587)") {
+    import spark.implicits._
+    // 4-pixel tiles, 3 layers; pixel 2 valid once, pixel 3 never
+    val t = spark.createDataset(Seq(
+      tile("a", 0 * day, Array(1f, 10f, 5f, ndv)),
+      tile("b", 1 * day, Array(2f, 20f, ndv, ndv)),
+      tile("c", 2 * day, Array(3f, 60f, ndv, ndv))))
+    val st = StackOps.stackStats(t, tileSize = 2).head()
+    assert(st.n_layers == 3)
+    assert(st.count.toSeq == Seq(3, 3, 1, 0))
+    assert(st.mean(0) == 2f && st.mean(1) == 30f && st.mean(2) == 5f && st.mean(3) == ndv)
+    // population std: sqrt(2/3) and sqrt(1400/3); masked at count<=1 (malib.py:569)
+    assert(math.abs(st.std(0) - math.sqrt(2.0 / 3.0)) < 1e-6)
+    assert(math.abs(st.std(1) - math.sqrt(1400.0 / 3.0)) < 1e-4)
+    assert(st.std(2) == ndv && st.std(3) == ndv)
+    assert(st.vmin.toSeq.take(3) == Seq(1f, 10f, 5f) && st.vmax.toSeq.take(3) == Seq(3f, 60f, 5f))
+  }
+
+  test("trend golden: exact OLS slope*365.25 + gates (malib.py:999-1171)") {
+    import spark.implicits._
+    // pixel 0: y = 2 + 3*t_days → slope_yr = 3*365.25; pixel 1: constant;
+    // pixel 2: n=1 (gated); pixel 3: never valid (gated)
+    val t = spark.createDataset(Seq(
+      tile("a", 0 * day, Array(2f, 7f, 5f, ndv)),
+      tile("b", 1 * day, Array(5f, 7f, ndv, ndv)),
+      tile("c", 2 * day, Array(8f, 7f, ndv, ndv))))
+    val tr = StackOps.trend(t, tileSize = 2).head()
+    assert(math.abs(tr.slope_yr(0) - 3 * 365.25) < 1e-3)
+    assert(math.abs(tr.intercept(0) - 2.0) < 1e-4)
+    assert(math.abs(tr.slope_yr(1)) < 1e-6)
+    assert(tr.slope_yr(2) == ndv && tr.slope_yr(3) == ndv)
+    // min_dt_ptp gate: 3-day spread < 10 days → everything gated
+    val gated = StackOps.trend(t, tileSize = 2, minDtPtp = 10.0).head()
+    assert(gated.slope_yr(0) == ndv)
+  }
+
+  test("dt stats golden: first/last/ptp/center, ptp masked where 0 (malib.py:310-324)") {
+    import spark.implicits._
+    val t = spark.createDataset(Seq(
+      tile("a", 5 * day, Array(1f, 1f, ndv, ndv)),
+      tile("b", 9 * day, Array(2f, ndv, ndv, ndv))))
+    val dt = StackOps.dtStats(t, tileSize = 2).head()
+    assert(dt.t_first_us(0) == 5 * day && dt.t_last_us(0) == 9 * day)
+    assert(dt.ptp_us(0) == 4 * day && dt.center_us(0) == 7 * day)
+    assert(dt.ptp_us(1) == -1)            // single layer → ptp masked
+    assert(dt.t_first_us(2) == -1)        // never valid
+  }
+
+  test("vector aggregator equals the explode-path aggregation on real warped tiles") {
+    import spark.implicits._
+    val images = ImageTable.generate(spark, 9)
+    val target = Warp.analyze(images, "min", "union")
+    val tiles = Warp.warpToTiles(spark, images, target, "near").cache()
+
+    val vec = StackOps.stackStats(tiles).collect().map(s => s.tile_id -> s).toMap
+    val exploded = StackOps.toCells(tiles)
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("cnt"), avg(col("v")).as("mean"),
+           min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .collect()
+    assert(exploded.nonEmpty)
+    val T = Warp.TileSize * Warp.TileSize
+    exploded.foreach { r =>
+      val cell = r.getLong(0); val tid = cell / T; val pidx = (cell % T).toInt
+      val s = vec(tid)
+      assert(s.count(pidx) == r.getLong(1), s"count at $cell")
+      assert(math.abs(s.mean(pidx) - r.getDouble(2)) < 1e-3, s"mean at $cell")
+      assert(s.vmin(pidx) == r.getFloat(3) && s.vmax(pidx) == r.getFloat(4))
+    }
+    tiles.unpersist()
+  }
+
+  test("closed-form trend on aligned identical-grid layers") {
+    import spark.implicits._
+    // images 0,9,18: all res 2.0 (lattice-aligned → elided copies) and all
+    // fmt=raw (float32 payloads — png/bmp quantization would bury the trend)
+    val g0 = ImageTable.gridOf(0)
+    val sel = Seq(0, 9, 18).map(ImageTable.imageIdOf).toSet
+    val images = ImageTable.generate(spark, 19)
+      .filter(col("image_id").isin(sel.toSeq: _*))
+    val tiles = Warp.warpToTiles(spark, images, g0, "near")
+    val tr = StackOps.trend(tiles).collect()
+    // t_i = (Epoch0 + 3i)*day + i·3600 s (i%24=i) → t and y both linear in i:
+    // y = A0 + S·3i + affine(x,y); t_days = D0 + i·73/24 → dy/dt = 3S/(73/24)
+    val slopeDay = 3 * ImageTable.SlopePerDay / (73.0 / 24.0)
+    val want = slopeDay * 365.25
+    val got = tr.flatMap(t => t.slope_yr.zipWithIndex.collect {
+      case (s, i) if t.count(i) == 3 => s
+    })
+    assert(got.nonEmpty)
+    // pixels valid in all three layers: exact affine surfaces, fp-tolerant
+    got.foreach(s => assert(math.abs(s - want) < 0.05, s"slope $s vs $want"))
+  }
+
+  test("exact cell median/NMAD two-pass (malib.py:1499-1532)") {
+    import spark.implicits._
+    val t = spark.createDataset(Seq(
+      tile("a", 0, Array(1f, 4f, ndv, ndv)),
+      tile("b", 1, Array(2f, 8f, ndv, ndv)),
+      tile("c", 2, Array(9f, 12f, ndv, ndv))))
+    val mn = StackOps.cellMedianNmad(StackOps.toCells(t, tileSize = 2))
+      .orderBy(col("cell_id")).collect()
+    assert(mn(0).getDouble(1) == 2.0)                       // med of 1,2,9
+    assert(math.abs(mn(0).getDouble(2) - 1.4826) < 1e-9)    // med(|1,0,7|)=1
+    assert(mn(1).getDouble(1) == 8.0)
+    assert(math.abs(mn(1).getDouble(2) - 4 * 1.4826) < 1e-9)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.{Extent, GridSpec}
+import graft.sources.{Codec, ImageRow, ImageTable}
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class CodecSpec extends AnyFunSuite {
+  test("raw/png/bmp roundtrip restores pixels + NDV exactly (lossless, PSNR=inf)") {
+    for (i <- Seq(0, 4, 8)) {  // one per fmt
+      val g = ImageTable.gridOf(i)
+      val px = ImageTable.renderPixels(i)
+      val fmt = ImageTable.fmtOf(i)
+      val rt = Codec.decode(Codec.encode(px, g.w, g.h, fmt), g.w, g.h, fmt, ImageTable.Ndv)
+      assert(rt.sameElements(px), s"fmt=$fmt i=$i")
+      assert(Codec.psnr(px, rt, ImageTable.Ndv).isPosInfinity)
+    }
+  }
+
+  test("NDV margin present on every 5th image and decoded as NDV") {
+    val px = ImageTable.renderPixels(5)
+    val g = ImageTable.gridOf(5)
+    assert(px(0) == ImageTable.Ndv)                       // corner in margin
+    assert(px(3 * g.w + 3) != ImageTable.Ndv)             // interior valid
+  }
+
+  test("generator is deterministic and partition-invariant") {
+    val s = TestSpark.spark
+    val a = ImageTable.generate(s, 20, partitions = 2).orderBy("image_id").collect()
+    val b = ImageTable.generate(s, 20, partitions = 7).orderBy("image_id").collect()
+    assert(a.length == 20)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("image_id embeds a parseable date token (timelib.py:87-143 analog)") {
+    val id = ImageTable.imageIdOf(7)
+    val re = """img_\d{8}_(\d{8})_(\d{4})""".r
+    assert(re.findFirstIn(id).isDefined, id)
+  }
+}
+
+class WarpSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val N = 12
+  lazy val images = ImageTable.generate(spark, N, partitions = 3)
+
+  def grids: Seq[GridSpec] = (0 until N).map(ImageTable.gridOf)
+
+  test("analyze: res strategies match GridSpec.parseRes on the same inputs") {
+    val rs = grids.map(_.res)
+    for (st <- Seq("min", "max", "mean", "med", "common_scale_factor", "first")) {
+      val got = Warp.analyze(images, st, "union")
+      val want = GridSpec.parseRes(st, rs)
+      assert(math.abs(got.res - want) < 1e-12, s"res strategy $st")
+    }
+  }
+
+  test("analyze: union/intersection extents match Extent algebra (warplib.py:366-419)") {
+    val es = grids.map(_.extent)
+    val u = Warp.analyze(images, "min", "union")
+    assert(u.extent.approxEquals(Extent.unionAll(es), 1e-9) ||
+           u.extent == GridSpec.fromExtentRes(Extent.unionAll(es), 2.0, ImageTable.Crs).extent)
+    val i = Warp.analyze(images, "min", "intersection")
+    val want = GridSpec.fromExtentRes(Extent.intersectionAll(es).get, 2.0, ImageTable.Crs)
+    assert(i.ulx == want.ulx && i.uly == want.uly && i.w == want.w && i.h == want.h)
+  }
+
+  test("identity warp is elided and byte-preserving (warplib.py:479-515)") {
+    import spark.implicits._
+    val img0 = images.as[ImageRow].filter(_.image_id == ImageTable.imageIdOf(0)).head()
+    val g0 = ImageTable.gridOf(0)
+    val tiles = Warp.warpToTiles(spark, images.limit(1), g0, "near", tileSize = 64).collect()
+    assert(tiles.nonEmpty && tiles.forall(_.elided))
+    // reassemble and compare against the decoded source
+    val src = Codec.decode(img0.bytes, img0.w, img0.h, img0.fmt, ImageTable.Ndv)
+    val ntx = (g0.w + 63) / 64
+    for (t <- tiles; py <- 0 until 64; px <- 0 until 64) {
+      val gx = t.tx * 64 + px; val gy = t.ty * 64 + py
+      if (gx < g0.w && gy < g0.h) {
+        val got = t.payload(py * 64 + px)
+        val want = src(gy * g0.w + gx)
+        assert(got == want, s"tile ${t.tile_id} px ($gx,$gy)")
+      }
+    }
+  }
+
+  test("res-2 images are elided against the min/union target, others are not") {
+    import spark.implicits._
+    val target = Warp.analyze(images, "min", "union")
+    assert(target.res == 2.0)
+    val tiles = Warp.warpToTiles(spark, images, target, "near").collect()
+    val byImg = tiles.groupBy(_.image_id)
+    for (i <- 0 until N) {
+      val elided = byImg(ImageTable.imageIdOf(i)).head.elided
+      assert(elided == (ImageTable.gridOf(i).res == 2.0), s"image $i")
+    }
+  }
+
+  test("nearest warp of an affine raw image reproduces the surface at source-sample points") {
+    import spark.implicits._
+    // i=3: res 3.0 (unaligned vs res-2 target), fmt raw ((3/3)%3=1 → png!)
+    // pick i=9: res 9%3=0 → 2.0 aligned... need res!=2 and fmt raw:
+    // fmt raw ⇔ (i/3)%3==0 ⇔ i in 0..2 (mod 9); res!=2 ⇔ i%3!=0 → i=1 or 2 (mod 9)
+    // i=1: res 3.0, raw, no ripple. ✓
+    val img = ImageTable.generate(spark, 2).as[ImageRow]
+      .filter(_.image_id == ImageTable.imageIdOf(1)).toDF()
+    val g = ImageTable.gridOf(1)
+    val target = GridSpec.fromExtentRes(g.extent, 2.0, ImageTable.Crs)
+    val tiles = Warp.warpToTiles(spark, img, target, "near").collect()
+    assert(tiles.nonEmpty && tiles.forall(!_.elided))
+    val src = Codec.decode(
+      ImageTable.row(1).bytes, g.w, g.h, "raw", ImageTable.Ndv)
+    var checked = 0
+    for (t <- tiles; py <- 0 until 64; px <- 0 until 64) {
+      val v = t.payload(py * 64 + px)
+      if (v != ImageTable.Ndv) {
+        val gx = t.tx * 64 + px; val gy = t.ty * 64 + py
+        val (mx, my) = target.pixelToMap(gx, gy)
+        val (cx, cy) = g.mapToCell(mx, my)
+        assert(v == src(cy * g.w + cx), s"near at ($gx,$gy)")
+        checked += 1
+      }
+    }
+    assert(checked > 1000)
+  }
+
+  test("bilinear warp of an affine surface is exact (linear interp of linear fn)") {
+    import spark.implicits._
+    val img = ImageTable.generate(spark, 2).as[ImageRow]
+      .filter(_.image_id == ImageTable.imageIdOf(1)).toDF()
+    val g = ImageTable.gridOf(1)
+    val target = GridSpec.fromExtentRes(g.extent.pad(-6.0), 2.0, ImageTable.Crs) // interior only
+    val tiles = Warp.warpToTiles(spark, img, target, "bilinear").collect()
+    var checked = 0
+    for (t <- tiles; py <- 0 until 64; px <- 0 until 64) {
+      val v = t.payload(py * 64 + px)
+      if (v != ImageTable.Ndv) {
+        val gx = t.tx * 64 + px; val gy = t.ty * 64 + py
+        val (mx, my) = target.pixelToMap(gx, gy)
+        val want = ImageTable.surface(1, mx, my)
+        assert(math.abs(v - want) < 1e-2, s"bilinear at ($gx,$gy): $v vs $want")
+        checked += 1
+      }
+    }
+    assert(checked > 500)
+  }
+
+  test("cubic and average kernels stay within the local value envelope") {
+    import spark.implicits._
+    val img = ImageTable.generate(spark, 2).as[ImageRow]
+      .filter(_.image_id == ImageTable.imageIdOf(1)).toDF()
+    val g = ImageTable.gridOf(1)
+    val target = GridSpec.fromExtentRes(g.extent.pad(-9.0), 4.0, ImageTable.Crs)
+    for (k <- Seq("cubic", "average", "mode")) {
+      val tiles = Warp.warpToTiles(spark, img, target, k).collect()
+      val vals = tiles.flatMap(_.payload).filter(_ != ImageTable.Ndv)
+      assert(vals.nonEmpty, k)
+      // surface range on this grid is ~[118, 135]; kernels must not escape wildly
+      assert(vals.forall(v => v > 100 && v < 160), s"$k: ${vals.min}..${vals.max}")
+    }
+  }
+
+  test("tile ids are consistent with (tx, ty) and the target tiling") {
+    val target = Warp.analyze(images, "min", "union")
+    val ntx = (target.w + 63) / 64
+    val tiles = Warp.warpToTiles(spark, images, target, "near").collect()
+    tiles.foreach { t =>
+      assert(t.tile_id == t.ty.toLong * ntx + t.tx)
+      assert(t.tx >= 0 && t.tx < ntx && t.ty >= 0)
+      assert(t.n_valid == t.payload.count(_ != ImageTable.Ndv))
+    }
+  }
+
+  test("warp output is partition-invariant (determinism across parallelism)") {
+    val target = Warp.analyze(images, "min", "union")
+    def run(parts: Int) =
+      Warp.warpToTiles(spark, ImageTable.generate(spark, N, parts), target, "bilinear")
+        .collect().sortBy(t => (t.image_id, t.tile_id))
+    val a = run(2); val b = run(5)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.image_id == y.image_id && x.tile_id == y.tile_id)
+      assert(x.payload.sameElements(y.payload))
+    }
+  }
+}
