@@ -49,6 +49,10 @@ object SparkEntry {
     "q40_warp_tiles"       -> (Engine.warpTiles _),
     "q41_stack_stats_tiles"-> (Engine.stackStatsTiles _),
     "q42_trend_tiles"      -> (Engine.trendTiles _),
+    "q43_pip_points"       -> (Engine.pipPoints _),
+    "q44_heatmap_cells"    -> (Engine.heatmapCells _),
+    "q45_clip_tiles"       -> (Engine.clipTiles _),
+    "q46_knn_ring"         -> (Engine.knnRing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{StackOps, Warp}
-import graft.sources.ImageTable
+import graft.operators.{Knn, SpatialJoin, StackOps, Warp}
+import graft.sources.{ImageTable, PolygonTable}
 
 /** Engine (non-SQL-expressible) pipeline queries: the warp→tile→stack flow
   * over the deterministic synthetic image+caption table (FIXTURES.md F1),
@@ -39,6 +39,41 @@ object Engine {
       expr("aggregate(count, 0, (a, x) -> a + x)").as("valid_px"),
       round(expr(s"aggregate(zip_with(mean, count, (m, c) -> if(c > 0, cast(m as double), 0d)), 0d, (a, x) -> a + x)") /
             greatest(expr("size(filter(count, c -> c > 0))"), lit(1)), 4).as("mean_of_means"))
+  }
+
+  def nPolys(d: String): Int =
+    if (d.contains("sf0.1")) 400 else if (d.contains("sf0.01")) 120 else 24
+  def nPoints(d: String): Int = nImages(d) * 50
+
+  /** clip_raster_by_shp.py trace (SURVEY.md §3.3): covering-cell prefilter +
+    * ray-crossing PIP refine, salted (the flagship spatial join). */
+  def pipPoints(s: SparkSession, d: String): DataFrame =
+    SpatialJoin.pipJoin(s,
+      PolygonTable.points(s, nPoints(d)),
+      PolygonTable.generate(s, nPolys(d)),
+      cellSize = 64.0, saltFactor = 4)
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("n_pts"), round(avg(col("z")), 4).as("z_mean"))
+
+  /** Polygon-density heatmap (`heatmap` geolib.py:2226-2244). */
+  def heatmapCells(s: SparkSession, d: String): DataFrame =
+    SpatialJoin.heatmap(s, PolygonTable.generate(s, nPolys(d)), cellSize = 64.0)
+
+  /** Raster clip by polygon layer (`raster_shpclip` geolib.py:690-753). */
+  def clipTiles(s: SparkSession, d: String): DataFrame = {
+    val imgs = images(s, d)
+    val target = Warp.analyze(imgs, "min", "union")
+    val tiles = Warp.warpToTiles(s, imgs, target, "near")
+    SpatialJoin.clipTiles(s, tiles, PolygonTable.generate(s, nPolys(d)), target)
+      .toDF().select(col("image_id"), col("tile_id"), col("n_valid"))
+  }
+
+  /** kNN via k-ring expansion with distance-bounded refine (north rule). */
+  def knnRing(s: SparkSession, d: String): DataFrame = {
+    val pts = PolygonTable.points(s, nPoints(d))
+    val queries = pts.limit(math.max(200, nPoints(d) / 40))
+    Knn.knn(s, queries, pts, k = 5, cellSize = 128.0)
+      .select(col("q_id"), col("c_id"), round(col("dist"), 6).as("dist"), col("rnk"))
   }
 
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */
