@@ -53,6 +53,9 @@ object SparkEntry {
     "q44_heatmap_cells"    -> (Engine.heatmapCells _),
     "q45_clip_tiles"       -> (Engine.clipTiles _),
     "q46_knn_ring"         -> (Engine.knnRing _),
+    "q47_diff_stats"       -> (Engine.diffStats _),
+    "q48_stencil_gauss"    -> (Engine.stencilGauss _),
+    "q49_outlines"         -> (Engine.outlines _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.{Extent, GridSpec, Polygon, Ring, Wkb}
+import graft.sources.{Codec, ImageRow, ImageTable}
+
+/** Per-image / pairwise raster operators. */
+object RasterOps {
+
+  /** Pixelwise difference of two aligned layers — the README flagship
+    * ("warp two rasters → difference → stats"): equi join on tile_id, mask-OR
+    * null propagation (`common_mask` `malib.py:1295-1313`). */
+  def tileDiff(a: Dataset[TileRow], b: Dataset[TileRow],
+               tileSize: Int = Warp.TileSize,
+               ndv: Float = ImageTable.Ndv): Dataset[TileRow] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.joinWith(b, a("tile_id") === b("tile_id"), "inner").map { case (ta, tb) =>
+      val out = new Array[Float](ta.payload.length)
+      var n = 0
+      var i = 0
+      while (i < out.length) {
+        val va = ta.payload(i); val vb = tb.payload(i)
+        if (va != ndv && vb != ndv) { out(i) = va - vb; n += 1 } else out(i) = ndv
+        i += 1
+      }
+      TileRow(s"${ta.image_id}-${tb.image_id}", ta.ts_us, ta.tile_id, ta.tx, ta.ty,
+        out, n, elided = false)
+    }.filter(_.n_valid > 0)
+  }
+
+  /** Global stats of a tile set (the reference's post-diff `print_stats`):
+    * one-row count/mean/std/min/max/med/nmad via the explode path. */
+  def tileStats(tiles: Dataset[TileRow], tileSize: Int = Warp.TileSize,
+                ndv: Float = ImageTable.Ndv): DataFrame = {
+    val cells = StackOps.toCells(tiles, tileSize, ndv)
+    val med = cells.agg(expr("percentile(v, 0.5)").as("med"))
+    cells.crossJoin(med).agg(
+      count(lit(1)).as("cnt"),
+      round(avg(col("v")), 6).as("vmean"),
+      round(stddev_pop(col("v")), 6).as("vstd"),
+      round(min(col("v")), 6).as("vmin"),
+      round(max(col("v")), 6).as("vmax"),
+      round(first(col("med")), 6).as("vmed"),
+      round(expr("1.4826 * percentile(abs(v - med), 0.5)"), 6).as("vnmad"))
+  }
+
+  /** NDV-margin trim — `edgefind2`/`ndv_trim` `malib.py:1440-1462`: min/max
+    * valid row/col, crop payload, shift the geotransform UL
+    * (`trim_ndv.py:41-47`). Returns None for fully-masked images. */
+  def ndvTrim(img: ImageRow): Option[ImageRow] = {
+    val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+    val ndv = img.ndv.toFloat
+    var x0 = img.w; var x1 = -1; var y0 = img.h; var y1 = -1
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        if (px(y * img.w + x) != ndv) {
+          if (x < x0) x0 = x; if (x > x1) x1 = x
+          if (y < y0) y0 = y; if (y > y1) y1 = y
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (x1 < 0) return None
+    val nw = x1 - x0 + 1; val nh = y1 - y0 + 1
+    val out = new Array[Float](nw * nh)
+    y = 0
+    while (y < nh) {
+      System.arraycopy(px, (y0 + y) * img.w + x0, out, y * nw, nw)
+      y += 1
+    }
+    Some(img.copy(
+      bytes = Codec.encode(out, nw, nh, "raw"), w = nw, h = nh, fmt = "raw",
+      ulx = img.ulx + x0 * img.res, uly = img.uly - y0 * img.res))
+  }
+
+  /** Valid-data outline (raster → vector) — `get_outline` `geolib.py:828-894`
+    * via the notmasked-edges-along-axis-0 construction (`geolib.py:862-873`):
+    * per column, first and last valid row; top edge walked left→right at the
+    * first-valid boundary, bottom edge right→left, closed into a polygon in
+    * map coordinates (pixel centers, like the reference's pixelToMap call). */
+  def outline(img: ImageRow): Option[Array[Byte]] = {
+    val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+    val ndv = img.ndv.toFloat
+    val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
+    val top = new Array[Int](img.w); val bot = new Array[Int](img.w)
+    java.util.Arrays.fill(top, -1)
+    var x = 0
+    while (x < img.w) {
+      var y = 0
+      while (y < img.h) {
+        if (px(y * img.w + x) != ndv) {
+          if (top(x) < 0) top(x) = y
+          bot(x) = y
+        }
+        y += 1
+      }
+      x += 1
+    }
+    val cols = (0 until img.w).filter(top(_) >= 0)
+    if (cols.isEmpty) return None
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+    cols.foreach { c =>
+      val (mx, my) = g.pixelToMap(c.toDouble, top(c).toDouble)
+      xs += mx; ys += my
+    }
+    cols.reverse.foreach { c =>
+      val (mx, my) = g.pixelToMap(c.toDouble, bot(c).toDouble)
+      xs += mx; ys += my
+    }
+    xs += xs.head; ys += ys.head
+    Some(Wkb.writePolygon(Polygon(Ring(xs.toArray, ys.toArray), Nil)))
+  }
+
+  /** dz filter — `dz_fltr_ma` `filtlib.py:411-441`: mask src pixels where
+    * |src − ref| is outside [lo, hi]; join on tile_id. */
+  def dzFilter(src: Dataset[TileRow], ref: Dataset[TileRow], lo: Double, hi: Double,
+               ndv: Float = ImageTable.Ndv): Dataset[TileRow] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.joinWith(ref, src("tile_id") === ref("tile_id"), "inner").map { case (ts, tr) =>
+      val out = ts.payload.clone()
+      var n = 0
+      var i = 0
+      while (i < out.length) {
+        if (out(i) != ndv) {
+          val r = tr.payload(i)
+          val dz = if (r == ndv) Double.NaN else math.abs(out(i) - r)
+          if (dz.isNaN || dz < lo || dz > hi) out(i) = ndv else n += 1
+        }
+        i += 1
+      }
+      ts.copy(payload = out, n_valid = n)
+    }.filter(_.n_valid > 0)
+  }
+}

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.sources.ImageTable
+
+/** 2-D neighborhood ("stencil") operators over tiled rasters — the filtlib
+  * convolution family (`filtlib.py:90-394`) — executed as tile+halo exchange:
+  * every tile ships only its h-pixel edge strips to its 8 neighbors, a
+  * groupBy((image_id, tile_id)) assembles the padded (T+2h)² window, the
+  * kernel runs locally, and the core T² is re-emitted. Shuffle volume is
+  * O(perimeter·h), not O(area) — the halo pattern that survives 100 TB.
+  *
+  * Pixels outside the raster (or in masked gaps) are invalid; kernels are
+  * NaN-aware in the reference's sense: weights renormalize over the valid
+  * support (`filtlib.py:158` kernel normalization; astropy NaN treatment). */
+object Stencil {
+  final case class HaloPart(image_id: String, ts_us: Long, tile_id: Long,
+                            tx: Int, ty: Int, px0: Int, py0: Int,
+                            pw: Int, ph: Int, strip: Array[Float])
+
+  /** Apply `kernel(padded, P, ndv) -> core(T²)` to every tile with halo h. */
+  def apply(tiles: Dataset[TileRow], ntx: Int, nty: Int, halo: Int,
+            tileSize: Int = Warp.TileSize, ndv: Float = ImageTable.Ndv)
+           (kernel: (Array[Float], Int, Int, Float) => Array[Float]): Dataset[TileRow] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val T = tileSize; val h = halo; val P = T + 2 * h
+
+    // 1) each tile emits its core + up to 8 strips addressed to neighbors,
+    //    with (px0, py0) = placement in the NEIGHBOR's padded frame
+    val parts = tiles.flatMap { t =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[HaloPart]
+      out += HaloPart(t.image_id, t.ts_us, t.tile_id, t.tx, t.ty, h, h, T, T, t.payload)
+      var dy = -1
+      while (dy <= 1) {
+        var dx = -1
+        while (dx <= 1) {
+          if (!(dx == 0 && dy == 0)) {
+            val nx = t.tx + dx; val ny = t.ty + dy
+            if (nx >= 0 && nx < ntx && ny >= 0 && ny < nty) {
+              // region of THIS tile the neighbor's padded frame overlaps:
+              // neighbor to the right (dx=+1) needs our RIGHTMOST h columns
+              val sx0 = if (dx == 1) T - h else 0
+              val sw  = if (dx == 0) T else h
+              val sy0 = if (dy == 1) T - h else 0
+              val sh  = if (dy == 0) T else h
+              val strip = new Array[Float](sw * sh)
+              var yy = 0
+              while (yy < sh) {
+                System.arraycopy(t.payload, (sy0 + yy) * T + sx0, strip, yy * sw, sw)
+                yy += 1
+              }
+              // placement in the neighbor's padded frame
+              val px0 = if (dx == 1) 0 else if (dx == -1) h + T else h
+              val py0 = if (dy == 1) 0 else if (dy == -1) h + T else h
+              out += HaloPart(t.image_id, t.ts_us, ny.toLong * ntx + nx, nx, ny,
+                px0, py0, sw, sh, strip)
+            }
+          }
+          dx += 1
+        }
+        dy += 1
+      }
+      out
+    }
+
+    // 2) assemble padded frames per (image, tile), run kernel, emit core
+    parts.groupByKey(p => (p.image_id, p.tile_id))
+      .mapGroups { (key: (String, Long), it: Iterator[HaloPart]) =>
+        val (imageId, tileId) = key
+        val padded = Array.fill(P * P)(ndv)
+        var tx = 0; var ty = 0; var tsUs = 0L
+        it.foreach { p =>
+          if (p.pw == T && p.ph == T) { tx = p.tx; ty = p.ty; tsUs = p.ts_us }
+          var yy = 0
+          while (yy < p.ph) {
+            System.arraycopy(p.strip, yy * p.pw, padded, (p.py0 + yy) * P + p.px0, p.pw)
+            yy += 1
+          }
+        }
+        val core = kernel(padded, P, h, ndv)
+        TileRow(imageId, tsUs, tileId, tx, ty, core, core.count(_ != ndv), elided = false)
+      }
+  }
+
+  /** Gaussian smooth — `gauss_fltr_astropy` `filtlib.py:101-170`: truncate=3,
+    * size = 2·int(truncate·sigma)+1, weights renormalized over valid pixels. */
+  def gaussKernel(sigma: Double): (Array[Float], Int, Int, Float) => Array[Float] = {
+    val r = (3.0 * sigma).toInt
+    val wts = Array.tabulate(2 * r + 1, 2 * r + 1) { (dy, dx) =>
+      val ddx = dx - r; val ddy = dy - r
+      math.exp(-(ddx * ddx + ddy * ddy) / (2 * sigma * sigma))
+    }
+    (padded, p, h, ndv) => {
+      require(h >= r, s"halo $h < kernel radius $r")
+      val t = p - 2 * h
+      val out = Array.fill(t * t)(ndv)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          if (padded((y + h) * p + (x + h)) != ndv) {   // mask preserved, filtlib.py:160
+            var s = 0.0; var ws = 0.0
+            var dy = -r
+            while (dy <= r) {
+              var dx = -r
+              while (dx <= r) {
+                val v = padded((y + h + dy) * p + (x + h + dx))
+                if (v != ndv) { val w = wts(dy + r)(dx + r); s += v * w; ws += w }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (ws > 0) out(y * t + x) = (s / ws).toFloat
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Rolling median — `rolling_fltr`/`median_fltr` `filtlib.py:271-339`
+    * (nanmedian over the size² window, original mask preserved). */
+  def medianKernel(radius: Int): (Array[Float], Int, Int, Float) => Array[Float] =
+    (padded, p, h, ndv) => {
+      require(h >= radius)
+      val t = p - 2 * h
+      val out = Array.fill(t * t)(ndv)
+      val buf = new Array[Float]((2 * radius + 1) * (2 * radius + 1))
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          if (padded((y + h) * p + (x + h)) != ndv) {
+            var n = 0
+            var dy = -radius
+            while (dy <= radius) {
+              var dx = -radius
+              while (dx <= radius) {
+                val v = padded((y + h + dy) * p + (x + h + dx))
+                if (v != ndv) { buf(n) = v; n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (n > 0) {
+              val s = buf.take(n).sorted
+              out(y * t + x) = if (n % 2 == 1) s(n / 2) else ((s(n / 2 - 1) + s(n / 2)) / 2).toFloat
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Morphology on the validity mask — `mask_dilate`/`mask_erode`/`maskfill`
+    * `malib.py:1320-1375`. erode invalidates pixels whose window has any
+    * invalid; dilate validates pixels with any valid neighbor (filled with
+    * the neighbor mean). */
+  def morphKernel(op: String, radius: Int): (Array[Float], Int, Int, Float) => Array[Float] =
+    (padded, p, h, ndv) => {
+      require(h >= radius)
+      val t = p - 2 * h
+      val out = Array.fill(t * t)(ndv)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          val c = padded((y + h) * p + (x + h))
+          var anyInvalid = false; var s = 0.0; var n = 0
+          var dy = -radius
+          while (dy <= radius) {
+            var dx = -radius
+            while (dx <= radius) {
+              val v = padded((y + h + dy) * p + (x + h + dx))
+              if (v == ndv) anyInvalid = true else { s += v; n += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          op match {
+            case "erode"  => if (c != ndv && !anyInvalid) out(y * t + x) = c
+            case "dilate" => if (c != ndv) out(y * t + x) = c
+                             else if (n > 0) out(y * t + x) = (s / n).toFloat
+            case _ => throw new IllegalArgumentException(op)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Horn 3×3 slope (degrees) — the `gdaldem slope` analog
+    * (`gdaldem_mem_ds` `geolib.py:1563-1599`); NDV where the 3×3 support is
+    * incomplete. */
+  def slopeKernel(res: Double): (Array[Float], Int, Int, Float) => Array[Float] =
+    (padded, p, h, ndv) => {
+      require(h >= 1)
+      val t = p - 2 * h
+      val out = Array.fill(t * t)(ndv)
+      def v(px: Int, py: Int): Float = padded(py * p + px)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          val cx = x + h; val cy = y + h
+          var ok = true
+          var dy = -1
+          while (dy <= 1 && ok) {
+            var dx = -1
+            while (dx <= 1 && ok) { if (v(cx + dx, cy + dy) == ndv) ok = false; dx += 1 }
+            dy += 1
+          }
+          if (ok) {
+            val dzdx = ((v(cx+1,cy-1) + 2*v(cx+1,cy) + v(cx+1,cy+1)) -
+                        (v(cx-1,cy-1) + 2*v(cx-1,cy) + v(cx-1,cy+1))) / (8 * res)
+            val dzdy = ((v(cx-1,cy+1) + 2*v(cx,cy+1) + v(cx+1,cy+1)) -
+                        (v(cx-1,cy-1) + 2*v(cx,cy-1) + v(cx+1,cy-1))) / (8 * res)
+            out(y * t + x) = math.toDegrees(math.atan(math.sqrt(dzdx*dzdx + dzdy*dzdy))).toFloat
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** High-pass = v − gauss(v) — `highpass` `filtlib.py:249-257`. */
+  def highpassKernel(sigma: Double): (Array[Float], Int, Int, Float) => Array[Float] = {
+    val g = gaussKernel(sigma)
+    (padded, p, h, ndv) => {
+      val t = p - 2 * h
+      val low = g(padded, p, h, ndv)
+      val out = Array.fill(t * t)(ndv)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          val c = padded((y + h) * p + (x + h))
+          if (c != ndv && low(y * t + x) != ndv) out(y * t + x) = c - low(y * t + x)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+}

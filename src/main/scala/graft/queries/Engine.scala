@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Knn, SpatialJoin, StackOps, Warp}
+import graft.operators.{Knn, RasterOps, SpatialJoin, StackOps, Stencil, Warp}
 import graft.sources.{ImageTable, PolygonTable}
 
 /** Engine (non-SQL-expressible) pipeline queries: the warp→tile→stack flow
@@ -74,6 +74,41 @@ object Engine {
     val queries = pts.limit(math.max(200, nPoints(d) / 40))
     Knn.knn(s, queries, pts, k = 5, cellSize = 128.0)
       .select(col("q_id"), col("c_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+  }
+
+  /** README flagship: warp two layers to a common grid, difference, stats. */
+  def diffStats(s: SparkSession, d: String): DataFrame = {
+    val n = nImages(d)
+    val imgs = images(s, d)
+    val half = n / 2
+    val a = imgs.filter(substring(col("image_id"), 5, 8).cast("long") < half)
+    val b = imgs.filter(substring(col("image_id"), 5, 8).cast("long") >= half)
+    val target = Warp.analyze(imgs, "min", "union")
+    val ta = Warp.warpToTiles(s, a, target, "near")
+    val tb = Warp.warpToTiles(s, b, target, "near")
+    RasterOps.tileStats(RasterOps.tileDiff(ta, tb))
+  }
+
+  /** Stencil sweep: gaussian smooth + slope over warped tiles (tile+halo). */
+  def stencilGauss(s: SparkSession, d: String): DataFrame = {
+    val imgs = images(s, d)
+    val target = Warp.analyze(imgs, "min", "union")
+    val tiles = Warp.warpToTiles(s, imgs, target, "near")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val nty = (target.h + Warp.TileSize - 1) / Warp.TileSize
+    Stencil(tiles, ntx, nty, halo = 4)(Stencil.gaussKernel(1.5))
+      .toDF().groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n_tiles"), sum(col("n_valid")).as("n_valid_px"))
+  }
+
+  /** NDV trim + outline per image (raster→vector). */
+  def outlines(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    images(s, d).as[graft.sources.ImageRow].flatMap { img =>
+      RasterOps.ndvTrim(img).flatMap { t =>
+        RasterOps.outline(t).map(wkb => (img.image_id, t.w, t.h, t.ulx, t.uly, wkb.length))
+      }
+    }.toDF("image_id", "w_trim", "h_trim", "ulx_trim", "uly_trim", "outline_wkb_len")
   }
 
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */

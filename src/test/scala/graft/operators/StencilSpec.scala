@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.{GridSpec, Wkb}
+import graft.sources.{Codec, ImageTable}
+
+class StencilSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val ndv = ImageTable.Ndv
+
+  /** Whole-array reference implementation of a stencil (no tiling) for
+    * halo-correctness comparison. */
+  def wholeArray(img: Array[Float], w: Int, h: Int,
+                 kernel: (Array[Float], Int, Int, Float) => Array[Float],
+                 halo: Int): Array[Float] = {
+    // pad the full image by halo with ndv and run the kernel once
+    val p = math.max(w, h) + 2 * halo
+    val padded = Array.fill(p * p)(ndv)
+    for (y <- 0 until h; x <- 0 until w)
+      padded((y + halo) * p + (x + halo)) = img(y * w + x)
+    val core = kernel(padded, p, halo, ndv)
+    val t = p - 2 * halo
+    val out = new Array[Float](w * h)
+    for (y <- 0 until h; x <- 0 until w) out(y * w + x) = core(y * t + x)
+    out
+  }
+
+  def assemble(tiles: Seq[TileRow], target: GridSpec, tileSize: Int): Array[Float] = {
+    val out = Array.fill(target.w * target.h)(ndv)
+    for (t <- tiles; py <- 0 until tileSize; px <- 0 until tileSize) {
+      val gx = t.tx * tileSize + px; val gy = t.ty * tileSize + py
+      if (gx < target.w && gy < target.h) out(gy * target.w + gx) = t.payload(py * tileSize + px)
+    }
+    out
+  }
+
+  test("tiled stencil == whole-array stencil (halo exchange correctness)") {
+    import spark.implicits._
+    // single image spanning multiple tiles: warp image 1 (res 3, raw) to a
+    // res-2 grid → ~84x60 px → 2x1 tiles of 64
+    val images = ImageTable.generate(spark, 2).filter(col("image_id") === ImageTable.imageIdOf(1))
+    val g = ImageTable.gridOf(1)
+    val target = GridSpec.fromExtentRes(g.extent, 2.0, ImageTable.Crs)
+    val tiles = Warp.warpToTiles(spark, images, target, "bilinear").cache()
+    val ntx = (target.w + 63) / 64; val nty = (target.h + 63) / 64
+
+    for ((name, kern, halo) <- Seq(
+        ("gauss", Stencil.gaussKernel(1.5), 4),
+        ("median", Stencil.medianKernel(2), 2),
+        ("erode", Stencil.morphKernel("erode", 1), 1),
+        ("dilate", Stencil.morphKernel("dilate", 1), 1),
+        ("slope", Stencil.slopeKernel(2.0), 1),
+        ("highpass", Stencil.highpassKernel(1.0), 3))) {
+      val got = assemble(
+        Stencil(tiles, ntx, nty, halo)(kern).collect().toSeq, target, 64)
+      val whole = wholeArray(
+        assemble(tiles.collect().toSeq, target, 64), target.w, target.h, kern, halo)
+      var diffs = 0
+      for (i <- got.indices if got(i) != whole(i)) diffs += 1
+      assert(diffs == 0, s"$name: $diffs pixels differ")
+    }
+    tiles.unpersist()
+  }
+
+  test("gaussian preserves a constant field and the mask (filtlib.py:101-170)") {
+    import spark.implicits._
+    val payload = Array.fill(64 * 64)(42.0f)
+    payload(0) = ndv // one masked pixel
+    val t = spark.createDataset(Seq(TileRow("x", 0L, 0L, 0, 0, payload, 64*64-1, false)))
+    val sm = Stencil(t, 1, 1, 4)(Stencil.gaussKernel(1.5)).head()
+    assert(sm.payload(0) == ndv)                     // mask preserved
+    assert(sm.payload.filter(_ != ndv).forall(v => math.abs(v - 42.0) < 1e-4))
+  }
+
+  test("median filter removes salt noise from a constant field") {
+    import spark.implicits._
+    val payload = Array.fill(64 * 64)(10.0f)
+    payload(10 * 64 + 10) = 500f   // salt
+    val t = spark.createDataset(Seq(TileRow("x", 0L, 0L, 0, 0, payload, 64*64, false)))
+    val f = Stencil(t, 1, 1, 2)(Stencil.medianKernel(2)).head()
+    assert(f.payload(10 * 64 + 10) == 10.0f)
+  }
+
+  test("slope of the affine surface equals atan(|grad|) everywhere interior") {
+    import spark.implicits._
+    val images = ImageTable.generate(spark, 1)  // raw, no ripple, res 2
+    val g = ImageTable.gridOf(0)
+    val tiles = Warp.warpToTiles(spark, images, g, "near")
+    val sl = Stencil(tiles, (g.w + 63) / 64, (g.h + 63) / 64, 1)(
+      Stencil.slopeKernel(g.res)).collect()
+    val grad = math.sqrt(ImageTable.B * ImageTable.B + ImageTable.C * ImageTable.C)
+    val want = math.toDegrees(math.atan(grad))
+    val vals = sl.flatMap(_.payload.filter(_ != ndv))
+    assert(vals.nonEmpty)
+    vals.foreach(v => assert(math.abs(v - want) < 0.05, s"$v vs $want"))
+  }
+
+  test("erode shrinks validity; dilate then erode restores interior") {
+    import spark.implicits._
+    val payload = Array.fill(64 * 64)(ndv)
+    for (y <- 10 until 30; x <- 10 until 30) payload(y * 64 + x) = 7f
+    val t = spark.createDataset(Seq(TileRow("x", 0L, 0L, 0, 0, payload, 400, false)))
+    val er = Stencil(t, 1, 1, 1)(Stencil.morphKernel("erode", 1)).head()
+    assert(er.n_valid == 18 * 18)
+    val di = Stencil(t, 1, 1, 1)(Stencil.morphKernel("dilate", 1)).head()
+    assert(di.n_valid == 22 * 22)
+  }
+}
+
+class RasterOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val ndv = ImageTable.Ndv
+
+  test("README flagship: warp two images to min/intersection, diff, stats") {
+    import spark.implicits._
+    // images 0 and 9: raw float32, res 2, same surface family
+    val sel = Seq(0, 9).map(ImageTable.imageIdOf)
+    val images = ImageTable.generate(spark, 10).filter(col("image_id").isin(sel: _*))
+    val target = Warp.analyze(images, "min", "intersection")
+    val a = Warp.warpToTiles(spark, images.filter(col("image_id") === sel(0)), target, "near")
+    val b = Warp.warpToTiles(spark, images.filter(col("image_id") === sel(1)), target, "near")
+    val diff = RasterOps.tileDiff(a, b)
+    val st = RasterOps.tileStats(diff).head()
+    // closed form: y0 − y9 = S·(day0 − day9) = 0.05·(0−27) = −1.35 everywhere
+    assert(math.abs(st.getDouble(1) - (-1.35)) < 1e-3, s"mean ${st.getDouble(1)}")
+    assert(st.getDouble(2) < 1e-3, s"std ${st.getDouble(2)}")  // constant diff
+    assert(st.getLong(0) > 500)
+  }
+
+  test("dz filter masks out-of-range deviations (filtlib.py:411-441)") {
+    import spark.implicits._
+    val a = spark.createDataset(Seq(TileRow("a", 0, 0, 0, 0, Array(1f, 5f, 9f, ndv), 3, false)))
+    val b = spark.createDataset(Seq(TileRow("b", 0, 0, 0, 0, Array(1f, 1f, 1f, 1f), 4, false)))
+    val f = RasterOps.dzFilter(a, b, lo = 0.0, hi = 5.0).head()
+    assert(f.payload.toSeq == Seq(1f, 5f, ndv, ndv))  // |9-1|=8 masked; ndv stays
+  }
+
+  test("ndvTrim crops margins and shifts the UL (malib.py:1440-1462)") {
+    val img = ImageTable.row(5)   // margin 3 image
+    val g = ImageTable.gridOf(5)
+    val trimmed = RasterOps.ndvTrim(img).get
+    assert(trimmed.w == g.w - 6 && trimmed.h == g.h - 6)
+    assert(trimmed.ulx == g.ulx + 3 * g.res && trimmed.uly == g.uly - 3 * g.res)
+    val px = Codec.decode(trimmed.bytes, trimmed.w, trimmed.h, "raw", ndv)
+    assert(!px.contains(ndv))
+    // trimming a no-margin image is the identity crop
+    val img1 = ImageTable.row(1)
+    val t1 = RasterOps.ndvTrim(img1).get
+    assert(t1.w == img1.w && t1.h == img1.h && t1.ulx == img1.ulx)
+  }
+
+  test("outline polygon contains exactly the valid-ish region (geolib.py:828-894)") {
+    val img = ImageTable.row(5)   // margin 3
+    val g = ImageTable.gridOf(5)
+    val mp = Wkb.read(RasterOps.outline(img).get)
+    // pixel centers: interior valid pixels are inside, margin pixels outside
+    val (cx, cy) = g.pixelToMap(g.w / 2.0, g.h / 2.0)
+    assert(mp.contains(cx, cy))
+    val (ox, oy) = g.pixelToMap(0.0, 0.0)
+    assert(!mp.contains(ox, oy))
+  }
+}
