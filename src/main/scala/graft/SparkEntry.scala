@@ -45,6 +45,12 @@ object SparkEntry {
     "q27_knn_brute"      -> (Vec.knnBrute _),
     "q28_emb_neardup"    -> (Vec.embNearDup _),
     "q29_centroid_cos"   -> (Vec.centroidCos _),
+    "q30_date_funcs"     -> (Time.dateFuncs _),
+    "q31_fix_repeat_dt"  -> (Time.fixRepeatDt _),
+    "q32_unique_days"    -> (Time.uniqueDays _),
+    "q33_rel_annual"     -> (Time.relAnnual _),
+    "q34_bilinear_pts"   -> (Time.bilinearPts _),
+    "q35_plane_fit"      -> (Time.planeFit _),
     // engine pipelines (no SQL twin; golden ScalaTest coverage instead)
     "q40_warp_tiles"       -> (Engine.warpTiles _),
     "q41_stack_stats_tiles"-> (Engine.stackStatsTiles _),
@@ -56,6 +62,9 @@ object SparkEntry {
     "q47_diff_stats"       -> (Engine.diffStats _),
     "q48_stencil_gauss"    -> (Engine.stencilGauss _),
     "q49_outlines"         -> (Engine.outlines _),
+    "q50_point_sample"     -> (Engine.pointSample _),
+    "q51_profile"          -> (Engine.profileExtract _),
+    "q52_id_dates"         -> (Engine.idDates _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +99,11 @@ object SparkEntry {
     "q27_knn_brute"      -> Vec.knnBruteSql,
     "q28_emb_neardup"    -> Vec.embNearDupSql,
     "q29_centroid_cos"   -> Vec.centroidCosSql,
+    "q30_date_funcs"     -> Time.dateFuncsSql,
+    "q31_fix_repeat_dt"  -> Time.fixRepeatDtSql,
+    "q32_unique_days"    -> Time.uniqueDaysSql,
+    "q33_rel_annual"     -> Time.relAnnualSql,
+    "q34_bilinear_pts"   -> Time.bilinearPtsSql,
+    "q35_plane_fit"      -> Time.planeFitSql,
   )
 }

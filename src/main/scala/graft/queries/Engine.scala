@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Knn, RasterOps, SpatialJoin, StackOps, Stencil, Warp}
+import graft.operators.{Knn, RasterOps, Sampling, SpatialJoin, StackOps, Stencil, TimeParse, Warp}
 import graft.sources.{ImageTable, PolygonTable}
 
 /** Engine (non-SQL-expressible) pipeline queries: the warp→tile→stack flow
@@ -109,6 +109,27 @@ object Engine {
         RasterOps.outline(t).map(wkb => (img.image_id, t.w, t.h, t.ulx, t.uly, wkb.length))
       }
     }.toDF("image_id", "w_trim", "h_trim", "ulx_trim", "uly_trim", "outline_wkb_len")
+  }
+
+  /** Point sampling join: window median+NMAD per (point, image) pair. */
+  def pointSample(s: SparkSession, d: String): DataFrame =
+    Sampling.pointSample(s, PolygonTable.points(s, nPoints(d)), images(s, d),
+      cellSize = 256.0, pad = 1)
+
+  /** Profile extraction across the region (line densify + sampling join). */
+  def profileExtract(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ImageTable.{X0, Y0}
+    Sampling.profile(s, images(s, d),
+      xs = Seq(X0, X0 + ImageTable.ClusterCols * 256.0),
+      ys = Seq(Y0 - 50.0, Y0 - 120.0), dl = 10.0)
+  }
+
+  /** Filename→datetime regex extraction over image ids (timelib cascade). */
+  def idDates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    images(s, d).select(col("image_id")).as[String]
+      .map(id => (id, TimeParse.parse(id).getOrElse(-1L)))
+      .toDF("image_id", "parsed_us")
   }
 
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */

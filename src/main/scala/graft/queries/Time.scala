@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** timelib scalar/function coverage (`timelib.py:455-580`) and the plane-fit
+  * family (`geolib.py:1811-1914`), each with a DuckDB oracle twin. */
+object Time {
+  import Rel.{ev, tUs, ord}
+
+  /** Datetime scalar conversions — `dt2decyear` `timelib.py:462-471`,
+    * `dt2jd` 488-494, DOY, year/month — per event. decyear uses day-of-year
+    * plus intra-day fraction over the (leap-aware) year length. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame = {
+    val t = ev(s, d).select(col("event_id"), col("ts"))
+    val dayFrac = (tUs(col("ts")) - tUs(date_trunc("day", col("ts")))).cast("double") / 86400e6
+    val yr = year(col("ts"))
+    val leap = (yr % 4 === 0 && yr % 100 =!= 0) || (yr % 400 === 0)
+    val daysInYear = when(leap, 366.0).otherwise(365.0)
+    t.select(col("event_id"),
+      yr.as("yr"), month(col("ts")).as("mo"), dayofyear(col("ts")).as("doy"),
+      round(yr + (dayofyear(col("ts")) - 1 + dayFrac) / daysInYear, 9).as("decyear"),
+      round(tUs(col("ts")).cast("double") / 86400e6 + 2440587.5, 9).as("jd"))
+  }
+
+  val dateFuncsSql: String =
+    """SELECT event_id, year(ts)::INT AS yr, month(ts)::INT AS mo,
+      |  dayofyear(ts)::INT AS doy,
+      |  round(year(ts) + (dayofyear(ts) - 1 +
+      |        (epoch_us(ts) - epoch_us(date_trunc('day', ts)))/86400e6)
+      |      / (CASE WHEN (year(ts) % 4 = 0 AND year(ts) % 100 <> 0)
+      |               OR year(ts) % 400 = 0 THEN 366.0 ELSE 365.0 END), 9) AS decyear,
+      |  round(epoch_us(ts)/86400e6 + 2440587.5, 9) AS jd
+      |FROM events""".stripMargin
+
+  /** Repeat-timestamp de-dup — `fix_repeat_dt` `timelib.py:183-191`: equal
+    * timestamps within a key get +1 ms per duplicate rank. */
+  def fixRepeatDt(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("t_us")).orderBy(col("event_id").asc)
+    ev(s, d).select(col("event_id"), col("user_id"), tUs(col("ts")).as("t_us"))
+      .withColumn("t_fixed_us",
+        col("t_us") + (row_number().over(w) - 1).cast("long") * 1000L)
+      .select(col("event_id"), col("user_id"), col("t_us"), col("t_fixed_us"))
+  }
+
+  val fixRepeatDtSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS t_us,
+      |  epoch_us(ts) + (row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                  ORDER BY event_id ASC) - 1)::BIGINT * 1000 AS t_fixed_us
+      |FROM events""".stripMargin
+
+  /** Unique (year, month) / unique days — `get_unique_monthyear`
+    * `timelib.py:238-240`, `uniq_days_o` 399-408. */
+  def uniqueDays(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(year(col("ts")).as("yr"), month(col("ts")).as("mo"),
+                     dayofmonth(col("ts")).as("dom"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+
+  val uniqueDaysSql: String =
+    """SELECT year(ts)::INT AS yr, month(ts)::INT AS mo, day(ts)::INT AS dom,
+      |  count(*)::BIGINT AS n_events, count(DISTINCT user_id)::BIGINT AS n_users
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Relative annual window filter — `rel_dt_test`/`dt_filter_rel_annual_idx`
+    * `timelib.py:255-342` incl. the Jan-1 wraparound: keep events with DOY in
+    * [340, 366] ∪ [1, 20], counted per user. */
+  def relAnnual(s: SparkSession, d: String): DataFrame =
+    ev(s, d).filter(dayofyear(col("ts")) >= 340 || dayofyear(col("ts")) <= 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_in_window"))
+
+  val relAnnualSql: String =
+    """SELECT user_id, count(*)::BIGINT AS n_in_window
+      |FROM events WHERE dayofyear(ts) >= 340 OR dayofyear(ts) <= 20
+      |GROUP BY user_id""".stripMargin
+
+  /** Bilinear point interpolation — `bilinear` `geolib.py:1659-1695` as a
+    * scalar formula over a synthetic 2×2 neighborhood per order row. */
+  def bilinearPts(s: SparkSession, d: String): DataFrame = {
+    val fx = ((col("o_orderkey") % 100) / lit(100.0))
+    val fy = ((col("o_custkey") % 100) / lit(100.0))
+    val v00 = (col("o_orderkey") % 50).cast("double")
+    val v10 = (col("o_custkey") % 50).cast("double")
+    val v01 = (col("o_orderkey") % 30).cast("double")
+    val v11 = (col("o_custkey") % 30).cast("double")
+    ord(s, d).select(col("o_orderkey"),
+      round(v00 * (lit(1) - fx) * (lit(1) - fy) + v10 * fx * (lit(1) - fy) +
+            v01 * (lit(1) - fx) * fy + v11 * fx * fy, 9).as("v_interp"))
+  }
+
+  val bilinearPtsSql: String =
+    """SELECT o_orderkey,
+      |  round((o_orderkey % 50) * (1 - (o_orderkey % 100)/100.0) * (1 - (o_custkey % 100)/100.0)
+      |      + (o_custkey % 50) * ((o_orderkey % 100)/100.0) * (1 - (o_custkey % 100)/100.0)
+      |      + (o_orderkey % 30) * (1 - (o_orderkey % 100)/100.0) * ((o_custkey % 100)/100.0)
+      |      + (o_custkey % 30) * ((o_orderkey % 100)/100.0) * ((o_custkey % 100)/100.0), 9)
+      |    AS v_interp
+      |FROM orders""".stripMargin
+
+  /** LSQ plane fit z = a·x + b·y + c — `fitPlaneLSQ`/`ma_fitplane`
+    * `geolib.py:1826-1914` — via normal equations solved with Cramer's rule,
+    * plus residual RMSE (the detrend residual norm). */
+  def planeFit(s: SparkSession, d: String): DataFrame = {
+    val pts = ev(s, d).select(
+      ((col("event_id") % 100) / lit(10.0)).as("x"),
+      ((col("user_id") % 100) / lit(5.0)).as("y"),
+      col("value").as("z"))
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"),
+      sum(col("z")).as("sz"))
+    val det =
+      col("sxx") * (col("syy") * col("n") - col("sy") * col("sy")) -
+      col("sxy") * (col("sxy") * col("n") - col("sy") * col("sx")) +
+      col("sx")  * (col("sxy") * col("sy") - col("syy") * col("sx"))
+    val da =
+      col("sxz") * (col("syy") * col("n") - col("sy") * col("sy")) -
+      col("sxy") * (col("syz") * col("n") - col("sy") * col("sz")) +
+      col("sx")  * (col("syz") * col("sy") - col("syy") * col("sz"))
+    val db =
+      col("sxx") * (col("syz") * col("n") - col("sz") * col("sy")) -
+      col("sxz") * (col("sxy") * col("n") - col("sy") * col("sx")) +
+      col("sx")  * (col("sxy") * col("sz") - col("syz") * col("sx"))
+    val dc =
+      col("sxx") * (col("syy") * col("sz") - col("sy") * col("syz")) -
+      col("sxy") * (col("sxy") * col("sz") - col("sy") * col("sxz")) +
+      col("sx")  * (col("sxy") * col("syz") - col("syy") * col("sxz"))
+    val coef = sums.select(round(da / det, 6).as("a"), round(db / det, 6).as("b"),
+                           round(dc / det, 6).as("c"))
+    // residual rmse against the (rounded) plane
+    pts.crossJoin(coef).agg(
+      first(col("a")).as("a"), first(col("b")).as("b"), first(col("c")).as("c"),
+      round(sqrt(avg(pow(col("z") - (col("a") * col("x") + col("b") * col("y") + col("c")), 2))), 4)
+        .as("resid_rmse"))
+  }
+
+  val planeFitSql: String =
+    """WITH pts AS (SELECT (event_id % 100)/10.0 AS x, (user_id % 100)/5.0 AS y,
+      |                    value AS z FROM events),
+      |s AS (SELECT count(*)::DOUBLE AS n, sum(x*x) AS sxx, sum(x*y) AS sxy,
+      |             sum(y*y) AS syy, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x*z) AS sxz, sum(y*z) AS syz, sum(z) AS sz FROM pts),
+      |c AS (SELECT
+      |  round((sxz*(syy*n - sy*sy) - sxy*(syz*n - sy*sz) + sx*(syz*sy - syy*sz)) /
+      |        (sxx*(syy*n - sy*sy) - sxy*(sxy*n - sy*sx) + sx*(sxy*sy - syy*sx)), 6) AS a,
+      |  round((sxx*(syz*n - sz*sy) - sxz*(sxy*n - sy*sx) + sx*(sxy*sz - syz*sx)) /
+      |        (sxx*(syy*n - sy*sy) - sxy*(sxy*n - sy*sx) + sx*(sxy*sy - syy*sx)), 6) AS b,
+      |  round((sxx*(syy*sz - sy*syz) - sxy*(sxy*sz - sy*sxz) + sx*(sxy*syz - syy*sxz)) /
+      |        (sxx*(syy*n - sy*sy) - sxy*(sxy*n - sy*sx) + sx*(sxy*sy - syy*sx)), 6) AS c
+      |  FROM s)
+      |SELECT any_value(c.a) AS a, any_value(c.b) AS b, any_value(c.c) AS c,
+      |  round(sqrt(avg(pow(z - (c.a*x + c.b*y + c.c), 2))), 4) AS resid_rmse
+      |FROM pts, c""".stripMargin
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ImageTable
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("point sample returns window median ~ surface at interior points (geolib.py:914-1016)") {
+    import spark.implicits._
+    val images = ImageTable.generate(spark, 2)
+      .filter(col("image_id") === ImageTable.imageIdOf(1)) // raw, affine, res 3
+    val g = ImageTable.gridOf(1)
+    // interior probe points at pixel centers
+    val pts = (for (i <- 0 until 20) yield {
+      val (mx, my) = g.pixelToMap(5 + i * 2, 7 + i)
+      (f"p$i%03d", mx, my)
+    }).toDF("pt_id", "x", "y")
+    val got = Sampling.pointSample(spark, pts, images, pad = 1).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val want = ImageTable.surface(1, r.getDouble(2), r.getDouble(3))
+      // median of a 3x3 window of an affine surface = center value
+      assert(math.abs(r.getDouble(4) - want) < 1e-2, s"${r.getString(0)}")
+      assert(r.getInt(6) == 9)
+    }
+  }
+
+  test("points outside every image are dropped; NDV margins lower the count") {
+    import spark.implicits._
+    val images = ImageTable.generate(spark, 1)   // image 0: margin 3
+    val g = ImageTable.gridOf(0)
+    val (inX, inY) = g.pixelToMap(10.0, 10.0)
+    val pts = Seq(
+      ("inside", inX, inY),
+      ("outside", g.ulx - 5000.0, g.uly + 5000.0),
+      ("in_margin", g.pixelToMap(0.0, 0.0)._1, g.pixelToMap(0.0, 0.0)._2)
+    ).toDF("pt_id", "x", "y")
+    val got = Sampling.pointSample(spark, pts, images, pad = 1, minSampPerc = 0.5)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("inside"))   // margin window <50% valid → dropped
+  }
+
+  test("profile: line densification with remainder carry (geolib.py:1018-1098)") {
+    val pts = Sampling.line2pts(Seq(0.0, 10.0, 10.0), Seq(0.0, 0.0, 5.0), dl = 3.0)
+    // walk: dist 0,3,6,9 on segment 1; carry 2 → 12(=seg2 t=2) on segment 2
+    assert(pts.map(_._3) == Seq(0.0, 3.0, 6.0, 9.0, 12.0))
+    assert(pts(4)._1 == 10.0 && pts(4)._2 == 2.0)
+  }
+
+  test("filename datetime regex cascade (timelib.py:77-143)") {
+    val us = TimeParse.parse(ImageTable.imageIdOf(7)).get
+    assert(us == (ImageTable.tsMicrosOf(7) / 60000000L) * 60000000L) // minute precision
+    assert(TimeParse.parse("scene_2023-06-15_x.tif").get ==
+      java.time.LocalDate.of(2023, 6, 15).toEpochDay * 86400L * 1000000L)
+    assert(TimeParse.parse("dem_20200229.tif").isDefined)   // leap day
+    assert(TimeParse.parse("no_date_here.tif").isEmpty)
+    assert(TimeParse.parse("bad_20201345.tif").isEmpty)     // month 13 rejected
+  }
+}
