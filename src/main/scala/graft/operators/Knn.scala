@@ -22,12 +22,10 @@ object Knn {
   def knn(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
           k: Int, cellSize: Double = 128.0, r0: Int = 1,
           maxRounds: Int = 8): DataFrame = {
-    import spark.implicits._
-    val cellOf = udf((x: Double, y: Double) => PlanarCell.encode(x, y, cellSize))
-
+    import graft.functions.GraftFunctions.{planarCell, planarKRing}
     val cand = candidates
       .select(col("pt_id").as("c_id"), col("x").as("cx"), col("y").as("cy"))
-      .withColumn("c_cell", cellOf(col("cx"), col("cy")))
+      .withColumn("c_cell", planarCell(col("cx"), col("cy"), lit(cellSize)))
       .cache()
 
     var pending = queries.select(col("pt_id").as("q_id"), col("x").as("qx"), col("y").as("qy"))
@@ -37,10 +35,8 @@ object Knn {
 
     while (round < maxRounds && !pending.isEmpty) {
       val rr = r
-      val ringCells = udf((x: Double, y: Double) =>
-        PlanarCell.kRing(PlanarCell.encode(x, y, cellSize), rr))
-      val exploded = pending
-        .withColumn("c_cell", explode(ringCells(col("qx"), col("qy"))))
+      val exploded = pending.withColumn("c_cell", explode(planarKRing(
+        planarCell(col("qx"), col("qy"), lit(cellSize)), lit(rr))))
       val hits = exploded.join(cand, Seq("c_cell"))
         .select(col("q_id"), col("qx"), col("qy"), col("c_id"),
           sqrt(pow(col("cx") - col("qx"), 2) + pow(col("cy") - col("qy"), 2)).as("dist"))
@@ -67,9 +63,8 @@ object Knn {
     // domains can exhaust candidates legitimately, e.g. n_candidates < k)
     if (!pending.isEmpty) {
       val rr = r
-      val ringCells = udf((x: Double, y: Double) =>
-        PlanarCell.kRing(PlanarCell.encode(x, y, cellSize), rr))
-      val hits = pending.withColumn("c_cell", explode(ringCells(col("qx"), col("qy"))))
+      val hits = pending.withColumn("c_cell", explode(planarKRing(
+        planarCell(col("qx"), col("qy"), lit(cellSize)), lit(rr))))
         .join(cand, Seq("c_cell"))
         .select(col("q_id"), col("c_id"),
           sqrt(pow(col("cx") - col("qx"), 2) + pow(col("cy") - col("qy"), 2)).as("dist"))

@@ -36,8 +36,7 @@ object Sampling {
       .toDF("cell_id", "image_id", "bytes", "w", "h", "fmt", "ulx", "uly", "res", "ndv")
 
     val pts = points.withColumn("cell_id",
-      udf((x: Double, y: Double) => PlanarCell.encode(x, y, cellSize))
-        .apply(col("x"), col("y")))
+      graft.functions.GraftFunctions.planarCell(col("x"), col("y"), lit(cellSize)))
 
     pts.join(imgCells, Seq("cell_id"))
       .select(col("pt_id"), col("image_id"), col("bytes"), col("w"), col("h"),

@@ -55,8 +55,7 @@ object SpatialJoin {
               broadcastPolys: Boolean = true): DataFrame = {
     val pc = polyCells(spark, polys, cellSize, saltFactor)
     val pts = points.withColumn("cell_id",
-        udf((x: Double, y: Double) => PlanarCell.encode(x, y, cellSize))
-          .apply(col("x"), col("y")))
+        graft.functions.GraftFunctions.planarCell(col("x"), col("y"), lit(cellSize)))
       .withColumn("salt", pmod(hash(col("pt_id")), lit(saltFactor)))
     val right = if (broadcastPolys) broadcast(pc) else pc
     val contains = udf((id: String, wkb: Array[Byte], x: Double, y: Double) =>

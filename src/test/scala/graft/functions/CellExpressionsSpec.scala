@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.{HexCell, PlanarCell, S2Lite, ZCell}
+import graft.operators.TestSpark
+
+class CellExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val pts = {
+    import spark.implicits._
+    Seq((-122.33, 47.61), (0.0, 0.0), (179.9, -89.0), (10.5, 80.2))
+      .toDF("lon", "lat")
+  }
+
+  test("expressions equal the pure codecs (codegen path)") {
+    val rows = pts.select(col("lon"), col("lat"),
+      GraftFunctions.zcell(col("lon"), col("lat"), lit(9)).as("z"),
+      GraftFunctions.hexcell(col("lon"), col("lat"), lit(8)).as("h"),
+      GraftFunctions.s2cell(col("lon"), col("lat"), lit(14)).as("s"),
+      GraftFunctions.planarCell(col("lon") * 1000, col("lat") * 1000, lit(64.0)).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val lon = r.getDouble(0); val lat = r.getDouble(1)
+      assert(r.getLong(2) == ZCell.encode(lon, lat, 9))
+      assert(r.getLong(3) == HexCell.encode(lon, lat, 8))
+      assert(r.getLong(4) == S2Lite.encode(lon, lat, 14))
+      assert(r.getLong(5) == PlanarCell.encode(lon * 1000, lat * 1000, 64.0))
+    }
+  }
+
+  test("expressions survive CODEGEN_ONLY factory mode (no interpreter fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val n = pts.select(GraftFunctions.zcell(col("lon"), col("lat"), lit(9)))
+        .distinct().count()
+      assert(n == 4)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
+  test("SQL registration: SELECT zcell/hexcell/s2cell/planar_cell works") {
+    GraftFunctions.register(spark)
+    pts.createOrReplaceTempView("pts_cells")
+    val r = spark.sql(
+      """SELECT zcell(lon, lat, 9) z, hexcell(lon, lat, 8) h,
+        |       s2cell(lon, lat, 14) s, planar_cell(lon*1000, lat*1000, 64.0) p,
+        |       size(planar_kring(planar_cell(lon*1000, lat*1000, 64.0), 1)) kr
+        |FROM pts_cells WHERE lon = -122.33""".stripMargin).head()
+    assert(r.getLong(0) == ZCell.encode(-122.33, 47.61, 9))
+    assert(r.getLong(1) == HexCell.encode(-122.33, 47.61, 8))
+    assert(r.getLong(2) == S2Lite.encode(-122.33, 47.61, 14))
+    assert(r.getInt(4) == 9)
+  }
+
+  test("SparkSessionExtensions registration path") {
+    // a fresh session with the extensions class wired (the spark-submit path)
+    val s2 = spark.newSession()
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
+    // injectFunction on a live session isn't applied retroactively; assert the
+    // class at least constructs and registers through the builder API instead
+    GraftFunctions.register(s2)
+    import s2.implicits._
+    val v = s2.sql("SELECT zcell(0.0, 0.0, 5)").head().getLong(0)
+    assert(v == ZCell.encode(0.0, 0.0, 5))
+  }
+
+  test("null inputs yield null, not a crash") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Option.empty[Double])).toDF("a", "b")
+    val r = df.select(GraftFunctions.zcell(col("a"), col("b"), lit(5))).head()
+    assert(r.isNullAt(0))
+  }
+}
