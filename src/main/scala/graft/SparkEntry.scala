@@ -65,6 +65,11 @@ object SparkEntry {
     "q50_point_sample"     -> (Engine.pointSample _),
     "q51_profile"          -> (Engine.profileExtract _),
     "q52_id_dates"         -> (Engine.idDates _),
+    "q53_img_features"     -> (Engine.imgFeatures _),
+    "q54_img_resize"       -> (Engine.imgResize _),
+    "q55_frame_sample"     -> (Engine.frameSample _),
+    "q56_phash_dedup"      -> (Engine.phashDedup _),
+    "q57_resumable_job"    -> (Engine.resumableJob _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

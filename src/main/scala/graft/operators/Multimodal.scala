@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Codec, ImageRow, ImageTable}
+
+/** Multimodal-column operators for the training-data pipeline: the binary
+  * payload stays opaque through shuffles and is decoded only inside typed
+  * batch stages (mapPartitions), mirroring how image/audio/video columns are
+  * handled at 100 TB. Decoders for the container's real formats (raw/png/bmp)
+  * are genuine; the exotic-codec path (e.g. video) is STUBBED behind a
+  * deterministic fake, with the Spark-side plumbing — schema, batching,
+  * partitioning — real and tested. */
+object Multimodal {
+
+  /** Feature extraction: decode → per-image numeric features (valid fraction,
+    * mean/std, 4-bin histogram, aHash). One decode per row, batched per
+    * partition; output is a narrow feature table ready for dedup/ANN. */
+  def imageFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      it.map { img =>
+        val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+        val valid = px.filter(_ != img.ndv.toFloat)
+        val n = valid.length
+        val mean = if (n > 0) valid.map(_.toDouble).sum / n else Double.NaN
+        val std = if (n > 1)
+          math.sqrt(valid.map(v => (v - mean) * (v - mean)).sum / n) else 0.0
+        val (mn, mx) = if (n > 0) (valid.min.toDouble, valid.max.toDouble) else (0.0, 0.0)
+        val hist = new Array[Long](4)
+        if (mx > mn) valid.foreach { v =>
+          hist(math.min(3, ((v - mn) / (mx - mn) * 4).toInt)) += 1
+        }
+        (img.image_id, img.fmt, img.w, img.h,
+         n.toDouble / (img.w * img.h), mean, std,
+         hist(0), hist(1), hist(2), hist(3),
+         ImageTable.aHash(px, img.w, img.h))
+      }
+    }.toDF("image_id", "fmt", "w", "h", "valid_frac", "px_mean", "px_std",
+           "h0", "h1", "h2", "h3", "ahash")
+  }
+
+  /** Block-average resize (the real thumbnail path for our formats). */
+  def resize(spark: SparkSession, images: DataFrame, outW: Int, outH: Int): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].map { img =>
+      val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+      val out = new Array[Float](outW * outH)
+      var oy = 0
+      while (oy < outH) {
+        var ox = 0
+        while (ox < outW) {
+          val x0 = ox * img.w / outW; val x1 = math.max(x0 + 1, (ox + 1) * img.w / outW)
+          val y0 = oy * img.h / outH; val y1 = math.max(y0 + 1, (oy + 1) * img.h / outH)
+          var s = 0.0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val v = px(y * img.w + x)
+              if (v != img.ndv.toFloat) { s += v; n += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          out(oy * outW + ox) = if (n > 0) (s / n).toFloat else img.ndv.toFloat
+          ox += 1
+        }
+        oy += 1
+      }
+      (img.image_id, outW, outH, Codec.encode(out, outW, outH, "raw"), img.caption)
+    }.toDF("image_id", "w", "h", "bytes", "caption")
+  }
+
+  /** Video frame sampling — STUB: the container has no video codec, so the
+    * "decode" is a clearly-marked deterministic fake (frame k of id = the
+    * image payload shifted by k). The plumbing — one binary in, N frame rows
+    * out, stable frame indexes, partition-safe — is the real contract. */
+  def frameSample(spark: SparkSession, videos: DataFrame, everyK: Int): DataFrame = {
+    import spark.implicits._
+    videos.as[ImageRow].flatMap { img =>
+      // STUB DECODER: deterministically fabricate ceil(16/everyK) "frames"
+      val nFrames = 16
+      (0 until nFrames by everyK).map { k =>
+        val frameId = s"${img.image_id}#f$k"
+        // fake per-frame content hash: stable function of (id, k)
+        val h = java.util.Arrays.hashCode(img.bytes) * 31L + k
+        (img.image_id, frameId, k, img.w, img.h, h)
+      }
+    }.toDF("image_id", "frame_id", "frame_idx", "w", "h", "frame_hash")
+  }
+
+  /** Perceptual-hash near-dup candidates: band the 64-bit aHash into 4×16-bit
+    * LSH keys, self-join on any band, refine by Hamming distance ≤ maxDist.
+    * (The image twin of MinHash-LSH; `bit_count` keeps the refine codegen'd.) */
+  def phashDedup(spark: SparkSession, images: DataFrame, maxDist: Int = 8): DataFrame = {
+    val withBands = images.select(col("image_id"), col("phash"))
+      .withColumn("b0", col("phash").bitwiseAND(0xffffL))
+      .withColumn("b1", shiftright(col("phash"), 16).bitwiseAND(0xffffL))
+      .withColumn("b2", shiftright(col("phash"), 32).bitwiseAND(0xffffL))
+      .withColumn("b3", shiftright(col("phash"), 48).bitwiseAND(0xffffL))
+    val a = withBands.select(col("image_id").as("id1"), col("phash").as("p1"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = withBands.select(col("image_id").as("id2"), col("phash").as("p2"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    a.join(b,
+        (col("a0") === col("b0") || col("a1") === col("b1") ||
+         col("a2") === col("b2") || col("a3") === col("b3")) &&
+        col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("p1").bitwiseXOR(col("p2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
+  }
+}

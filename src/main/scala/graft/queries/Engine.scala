@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Knn, RasterOps, Sampling, SpatialJoin, StackOps, Stencil, TimeParse, Warp}
+import graft.operators.{Knn, Multimodal, Pipeline, RasterOps, Sampling, SpatialJoin, StackOps, Stencil, TimeParse, Warp}
 import graft.sources.{ImageTable, PolygonTable}
 
 /** Engine (non-SQL-expressible) pipeline queries: the warp→tile→stack flow
@@ -130,6 +130,39 @@ object Engine {
     images(s, d).select(col("image_id")).as[String]
       .map(id => (id, TimeParse.parse(id).getOrElse(-1L)))
       .toDF("image_id", "parsed_us")
+  }
+
+  /** Multimodal: decode → per-image feature table. */
+  def imgFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageFeatures(s, images(s, d))
+
+  /** Multimodal: thumbnail resize (binary in, binary out, caption intact). */
+  def imgResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resize(s, images(s, d), 8, 8)
+      .select(col("image_id"), col("w"), col("h"), length(col("bytes")).as("n_bytes"))
+
+  /** Multimodal: stubbed frame sampling (plumbing-real). */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(s, images(s, d), everyK = 4)
+
+  /** Perceptual-hash LSH near-dup candidates over the image table. */
+  def phashDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.phashDedup(s, images(s, d), maxDist = 8)
+
+  /** Checkpoint/lineage resumable pipeline (north rule): run the tiling job
+    * graph under a deterministic checkpoint root; rows = per-stage lineage. */
+  def resumableJob(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft_ckpt_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Pipeline.tilingJob(s, root, nImages = math.min(nImages(d), 400))
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith("_lineage.json")).sortBy(_.getName)
+    import s.implicits._
+    files.map { f =>
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val stage = "\"stage\": \"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("?")
+      val rows = "\"rows\": (\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(-1L)
+      (stage, rows)
+    }.toSeq.toDF("stage", "rows")
   }
 
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.sources.ImageTable
+
+/** Structured Streaming extensions — not a parity requirement (the reference
+  * is batch-only, SURVEY.md §2.10) but the natural scale path for the two
+  * incremental patterns the reference approximates offline:
+  *
+  *  - incremental stack append (`stack_merge` `malib.py:887-958`): new image
+  *    layers arrive continuously; per-cell stack statistics update in place
+  *    (update output mode, stateful agg keyed by cell).
+  *  - timestamp session clustering (`dt_cluster` `timelib.py:421-455`):
+  *    `session_window(ts, gap)` with a watermark for late layers (the
+  *    reference re-sorts out-of-order layers in batch, `malib.py:143-147`).
+  */
+object StreamOps {
+  /** Streaming per-cell stack stats over long-form cells arriving as parquet
+    * files in `inDir` (schema: cell_id long, v double, ts timestamp).
+    * Incremental analog of compute_stats: count/mean/min/max per cell. */
+  def stackStatsStream(spark: SparkSession, inDir: String,
+                       queryName: String): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cell_id", LongType), StructField("v", DoubleType),
+      StructField("ts", TimestampType)))
+    spark.readStream.schema(schema).parquet(inDir)
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("cnt"), avg(col("v")).as("vmean"),
+           min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName).start()
+  }
+
+  /** Streaming session clustering: 1-hour-gap sessions per user with a
+    * 2-hour watermark for late events (append mode emits closed sessions). */
+  def sessionStream(spark: SparkSession, inDir: String, queryName: String,
+                    gap: String = "1 hour"): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    spark.readStream.schema(schema).parquet(inDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("v_sum"))
+      .select(col("user_id"), col("session_window.start").as("t_start"),
+              col("session_window.end").as("t_end"), col("n_events"), col("v_sum"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Codec, ImageTable}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("image features: valid fraction + moments match direct computation") {
+    val images = ImageTable.generate(spark, 10)
+    val feats = Multimodal.imageFeatures(spark, images).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (i <- Seq(0, 5)) {   // margin images
+      val g = ImageTable.gridOf(i)
+      val px = ImageTable.renderPixels(i).filter(_ != ImageTable.Ndv)
+      val r = feats(ImageTable.imageIdOf(i))
+      assert(math.abs(r.getDouble(4) - px.length.toDouble / (g.w * g.h)) < 1e-9)
+      assert(math.abs(r.getDouble(5) - px.map(_.toDouble).sum / px.length) < 1e-6)
+      assert(r.getLong(11) == ImageTable.aHash(ImageTable.renderPixels(i), g.w, g.h))
+    }
+  }
+
+  test("resize: block average of a constant image is constant; dims correct") {
+    import spark.implicits._
+    val images = ImageTable.generate(spark, 3)
+    val small = Multimodal.resize(spark, images, 8, 8).collect()
+    assert(small.length == 3)
+    small.foreach { r =>
+      assert(r.getInt(1) == 8 && r.getInt(2) == 8)
+      val px = Codec.decode(r.getAs[Array[Byte]](3), 8, 8, "raw", ImageTable.Ndv)
+      assert(px.length == 64)
+      // caption byte-equality invariant survives the pipeline
+      val idx = r.getString(0).substring(4, 12).toInt
+      assert(r.getString(4) == ImageTable.captionOf(idx))
+    }
+    // resized mean ~ original mean (block average preserves mass)
+    val img1 = ImageTable.renderPixels(1).filter(_ != ImageTable.Ndv)
+    val r1 = small.find(_.getString(0) == ImageTable.imageIdOf(1)).get
+    val rs = Codec.decode(r1.getAs[Array[Byte]](3), 8, 8, "raw", ImageTable.Ndv)
+      .filter(_ != ImageTable.Ndv)
+    assert(math.abs(rs.map(_.toDouble).sum / rs.length -
+                    img1.map(_.toDouble).sum / img1.length) < 0.5)
+  }
+
+  test("frame sampling stub: stable frame rows, every-k indexes") {
+    val images = ImageTable.generate(spark, 4)
+    val frames = Multimodal.frameSample(spark, images, everyK = 4).collect()
+    assert(frames.length == 4 * 4)   // 16 frames / 4
+    assert(frames.map(_.getInt(2)).distinct.sorted.toSeq == Seq(0, 4, 8, 12))
+    // determinism across reruns
+    val again = Multimodal.frameSample(spark, images, everyK = 4).collect()
+    assert(frames.map(_.getLong(5)).sorted.toSeq == again.map(_.getLong(5)).sorted.toSeq)
+  }
+
+  test("phash LSH dedup finds identical-hash pairs and respects the Hamming gate") {
+    import spark.implicits._
+    val base = ImageTable.generate(spark, 20).select("image_id", "phash")
+    // add an exact duplicate of image 0's phash under a new id
+    val p0 = base.filter(col("image_id") === ImageTable.imageIdOf(0))
+      .select("phash").head().getLong(0)
+    val dup = Seq(("img_dup", p0)).toDF("image_id", "phash")
+    val pairs = Multimodal.phashDedup(spark, base.unionByName(dup), maxDist = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.contains((ImageTable.imageIdOf(0), "img_dup")))
+    // with maxDist=0, every reported pair has identical hashes
+    val all = Multimodal.phashDedup(spark, base.unionByName(dup), maxDist = 0).collect()
+    all.foreach(r => assert(r.getInt(2) == 0))
+  }
+}
