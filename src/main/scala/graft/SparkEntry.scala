@@ -51,6 +51,9 @@ object SparkEntry {
     "q33_rel_annual"     -> (Time.relAnnual _),
     "q34_bilinear_pts"   -> (Time.bilinearPts _),
     "q35_plane_fit"      -> (Time.planeFit _),
+    "q36_perc_fltr"      -> (Rel2.percFltr _),
+    "q37_hist2d"         -> (Rel2.hist2d _),
+    "q38_bin_by_z"       -> (Rel2.binByZ _),
     // engine pipelines (no SQL twin; golden ScalaTest coverage instead)
     "q40_warp_tiles"       -> (Engine.warpTiles _),
     "q41_stack_stats_tiles"-> (Engine.stackStatsTiles _),
@@ -110,5 +113,8 @@ object SparkEntry {
     "q33_rel_annual"     -> Time.relAnnualSql,
     "q34_bilinear_pts"   -> Time.bilinearPtsSql,
     "q35_plane_fit"      -> Time.planeFitSql,
+    "q36_perc_fltr"      -> Rel2.percFltrSql,
+    "q37_hist2d"         -> Rel2.hist2dSql,
+    "q38_bin_by_z"       -> Rel2.binByZSql,
   )
 }

@@ -78,13 +78,20 @@ object StackOps {
     def outputEncoder: Encoder[TileStats] = Encoders.product[TileStats]
   }
 
+  /** Executed as groupByKey + mapGroups (one shuffle, then a linear fold
+    * with a SINGLE live buffer per task) rather than hash aggregation: with
+    * ~KB-to-MB vector buffers per group, map-side partial aggregation holds
+    * every group's buffer at once and spills; layers-per-tile is small so
+    * partial aggregation saves almost nothing anyway. */
   def stackStats(tiles: Dataset[TileRow], tileSize: Int = Warp.TileSize,
                  ndv: Float = ImageTable.Ndv): Dataset[TileStats] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new TileStatsAgg(tileSize * tileSize, ndv).toColumn
-    tiles.groupByKey(_.tile_id).agg(agg)
-      .map { case (tid, st) => st.copy(tile_id = tid) }
+    val agg = new TileStatsAgg(tileSize * tileSize, ndv)
+    tiles.groupByKey(_.tile_id).mapGroups { (tid, it) =>
+      val b = it.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(b).copy(tile_id = tid)
+    }
   }
 
   final case class TrendBuf(var n: Int, cnt: Array[Int], st: Array[Double],
@@ -156,9 +163,11 @@ object StackOps {
             minDtPtp: Double = 0.0): Dataset[TileTrend] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new TileTrendAgg(tileSize * tileSize, ndv, nThresh, minDtPtp).toColumn
-    tiles.groupByKey(_.tile_id).agg(agg)
-      .map { case (tid, tr) => tr.copy(tile_id = tid) }
+    val agg = new TileTrendAgg(tileSize * tileSize, ndv, nThresh, minDtPtp)
+    tiles.groupByKey(_.tile_id).mapGroups { (tid, it) =>
+      val b = it.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(b).copy(tile_id = tid)
+    }
   }
 
   /** Per-pixel first/last valid timestamp + ptp + center —
@@ -214,8 +223,10 @@ object StackOps {
               ndv: Float = ImageTable.Ndv): Dataset[TileDt] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new TileDtAgg(tileSize * tileSize, ndv).toColumn
-    tiles.groupByKey(_.tile_id).agg(agg).map { case (tid, x) => x.copy(tile_id = tid) }
+    val agg = new TileDtAgg(tileSize * tileSize, ndv)
+    tiles.groupByKey(_.tile_id).mapGroups { (tid, it) =>
+      agg.finish(it.foldLeft(agg.zero)(agg.reduce)).copy(tile_id = tid)
+    }
   }
 
   /** Long form: one row per valid pixel — `get_xyz` `malib.py:1854-1859`

@@ -11,9 +11,12 @@ import graft.sources.{ImageTable, PolygonTable}
   * pinned by the golden ScalaTest suites (WarpSpec/StackSpec); the driver
   * records a rows>0 check, and Bench times them as the flagship workload. */
 object Engine {
-  /** Image count scaled to the sf dir (bench uses sf0.1). */
+  /** Image count scaled to the sf dir. Bench (sf0.1) is sized so per-core
+    * work dominates fixed scheduling overhead — the regime where the N→4N
+    * efficiency criterion is meaningful (at 4k images every stage was
+    * overhead-bound and 32 cores ran no faster than 8). */
   def nImages(d: String): Int =
-    if (d.contains("sf0.1")) 4000 else if (d.contains("sf0.01")) 800 else 120
+    if (d.contains("sf0.1")) 16000 else if (d.contains("sf0.01")) 800 else 120
 
   def images(s: SparkSession, d: String): DataFrame =
     ImageTable.generate(s, nImages(d), spread = true)
@@ -111,9 +114,10 @@ object Engine {
     }.toDF("image_id", "w_trim", "h_trim", "ulx_trim", "uly_trim", "outline_wkb_len")
   }
 
-  /** Point sampling join: window median+NMAD per (point, image) pair. */
+  /** Point sampling join: window median+NMAD per (point, image) pair.
+    * Point count divided down: each point fans out to every covering image. */
   def pointSample(s: SparkSession, d: String): DataFrame =
-    Sampling.pointSample(s, PolygonTable.points(s, nPoints(d)), images(s, d),
+    Sampling.pointSample(s, PolygonTable.points(s, nPoints(d) / 4), images(s, d),
       cellSize = 256.0, pad = 1)
 
   /** Profile extraction across the region (line densify + sampling join). */

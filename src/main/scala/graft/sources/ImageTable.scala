@@ -78,12 +78,17 @@ object ImageTable {
   val ClusterSize = 20
   val ClusterCols = 32
 
-  def spreadGridOf(i: Int): GridSpec = {
+  def spreadGridOf(i: Int): GridSpec = spreadGridOf(i, 1)
+
+  /** dimScale multiplies pixel dims (not res) — the heavy fixture for
+    * scaling benchmarks, where per-task compute must dominate scheduling. */
+  def spreadGridOf(i: Int, dimScale: Int): GridSpec = {
     val g = gridOf(i)
     val c = i / ClusterSize
     val dx = (c % ClusterCols) * 256.0
     val dy = (c / ClusterCols) * 256.0
-    g.copy(ulx = g.ulx + dx, uly = g.uly - dy)
+    g.copy(ulx = g.ulx + dx, uly = g.uly - dy,
+           w = g.w * dimScale, h = g.h * dimScale)
   }
 
   // decoupled from the res cycle (i % 3) so every res occurs in every fmt
@@ -149,8 +154,10 @@ object ImageTable {
 
   def row(i: Int): ImageRow = row(i, spread = false)
 
-  def row(i: Int, spread: Boolean): ImageRow = {
-    val g = if (spread) spreadGridOf(i) else gridOf(i)
+  def row(i: Int, spread: Boolean): ImageRow = row(i, spread, 1)
+
+  def row(i: Int, spread: Boolean, dimScale: Int): ImageRow = {
+    val g = if (spread) spreadGridOf(i, dimScale) else gridOf(i)
     val px = renderPixels(i, g)
     val fmt = fmtOf(i)
     ImageRow(imageIdOf(i), Codec.encode(px, g.w, g.h, fmt), g.w, g.h, fmt,
@@ -162,9 +169,9 @@ object ImageTable {
     * output is identical at any partitioning/parallelism (FIXTURES.md F7
     * determinism requirement). */
   def generate(spark: SparkSession, n: Int, partitions: Int = 32,
-               spread: Boolean = false): DataFrame = {
+               spread: Boolean = false, dimScale: Int = 1): DataFrame = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map(i => row(i.toInt, spread)).toDF()
+    spark.range(0, n, 1, partitions).map(i => row(i.toInt, spread, dimScale)).toDF()
   }
 }
 
@@ -180,6 +187,10 @@ object Codec {
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import java.nio.{ByteBuffer, ByteOrder}
   import javax.imageio.ImageIO
+
+  // ImageIO's default file-backed stream cache serializes every decode on
+  // temp-file IO — catastrophic for 32 concurrent decode tasks
+  ImageIO.setUseCache(false)
 
   val NdvByte = 0
 
