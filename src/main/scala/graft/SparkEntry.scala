@@ -73,6 +73,7 @@ object SparkEntry {
     "q55_frame_sample"     -> (Engine.frameSample _),
     "q56_phash_dedup"      -> (Engine.phashDedup _),
     "q57_resumable_job"    -> (Engine.resumableJob _),
+    "q58_theilsen"         -> (Engine.theilSenTiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

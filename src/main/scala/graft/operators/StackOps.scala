@@ -243,6 +243,50 @@ object StackOps {
         col("v"))
   }
 
+  /** Robust per-cell Theil–Sen trend from long form — the `ma_linreg`
+    * robust variant (`malib.py:960-998`: TheilSen via sklearn + mp.Pool;
+    * here the median of pairwise slopes per cell, O(n²) per cell, run as a
+    * grouped fold — the shuffle-by-pixel the reference's process pool
+    * approximates). Gates mirror OLS: count ≥ nThresh, time-spread > 0. */
+  def theilSen(cells: DataFrame, nThresh: Int = 2): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.select(col("cell_id"), col("ts_us"), col("v"))
+      .as[(Long, Long, Float)]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val pts = it.map(r => (r._2 / 86400e6, r._3.toDouble)).toArray
+        if (pts.length < nThresh || pts.map(_._1).distinct.length < 2) {
+          (cell, pts.length, Double.NaN, Double.NaN)
+        } else {
+          val slopes = for {
+            i <- pts.indices; j <- (i + 1) until pts.length
+            if pts(j)._1 != pts(i)._1
+          } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+          val ss = slopes.sorted
+          val slope = if (ss.length % 2 == 1) ss(ss.length / 2)
+                      else (ss(ss.length / 2 - 1) + ss(ss.length / 2)) / 2
+          // intercept = median(y - slope*t), the standard Theil-Sen form
+          val ic = pts.map { case (t, y) => y - slope * t }.sorted
+          val icpt = if (ic.length % 2 == 1) ic(ic.length / 2)
+                     else (ic(ic.length / 2 - 1) + ic(ic.length / 2)) / 2
+          (cell, pts.length, slope * 365.25, icpt)
+        }
+      }
+      .toDF("cell_id", "n", "slope_yr", "intercept")
+  }
+
+  /** Stack clip by cell-range predicate — `stack_clip` `malib.py:733-816`:
+    * keep only tiles intersecting a pixel-window of the target grid (the
+    * partition-pruning form of the reference's crop + gt update). */
+  def stackClip(tiles: Dataset[TileRow], tx0: Int, ty0: Int, tx1: Int, ty1: Int): Dataset[TileRow] =
+    tiles.filter(t => t.tx >= tx0 && t.tx <= tx1 && t.ty >= ty0 && t.ty <= ty1)
+
+  /** Layer subset — `get_stack_subset` `malib.py:820-884`: boolean predicate
+    * over layer metadata (here: a time window on ts_us). */
+  def stackSubset(tiles: Dataset[TileRow], tsMinUs: Long, tsMaxUs: Long): Dataset[TileRow] =
+    tiles.filter(t => t.ts_us >= tsMinUs && t.ts_us <= tsMaxUs)
+
   /** Exact per-cell median + NMAD from long form (`fast_median`/`mad`
     * `malib.py:1499-1532`): two exact percentile passes. */
   def cellMedianNmad(cells: DataFrame): DataFrame = {

@@ -169,6 +169,18 @@ object Engine {
     }.toSeq.toDF("stage", "rows")
   }
 
+  /** Robust Theil–Sen per-cell trend (the ma_linreg robust variant),
+    * restricted to a clipped tile window to bound the O(n²) slope pairs. */
+  def theilSenTiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = images(s, d)
+    val target = Warp.analyze(imgs, "min", "union")
+    val tiles = StackOps.stackClip(
+      Warp.warpToTiles(s, imgs, target, "near"), 0, 0, 3, 3)
+    StackOps.theilSen(StackOps.toCells(tiles))
+      .select(col("cell_id"), col("n"), round(col("slope_yr"), 4).as("slope_yr"))
+  }
+
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */
   def trendTiles(s: SparkSession, d: String): DataFrame = {
     val imgs = images(s, d)

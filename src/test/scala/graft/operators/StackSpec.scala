@@ -122,3 +122,49 @@ class StackSpec extends AnyFunSuite {
     assert(math.abs(mn(1).getDouble(2) - 4 * 1.4826) < 1e-9)
   }
 }
+
+class RobustTrendSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val ndv = graft.sources.ImageTable.Ndv
+  val day = 86400L * 1000000L
+  def tile(id: String, tsUs: Long, vals: Array[Float]): TileRow =
+    TileRow(id, tsUs, 0L, 0, 0, vals, vals.count(_ != ndv), elided = true)
+
+  test("Theil-Sen: exact on clean linear data, robust to one outlier (malib.py:960-998)") {
+    import spark.implicits._
+    // 5 layers; pixel 0 linear y=1+2t with an outlier at t=4 (max leverage
+    // — a center outlier would leave OLS unbiased); pixel 1 clean
+    val t = spark.createDataset(Seq(
+      tile("a", 0 * day, Array(1f, 10f, ndv, ndv)),
+      tile("b", 1 * day, Array(3f, 12f, ndv, ndv)),
+      tile("c", 2 * day, Array(5f, 14f, ndv, ndv)),
+      tile("d", 3 * day, Array(7f, 16f, ndv, ndv)),
+      tile("e", 4 * day, Array(500f, 18f, ndv, ndv))))   // outlier in pixel 0
+    val cells = StackOps.toCells(t, tileSize = 2)
+    val ts = StackOps.theilSen(cells).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    // pixel 0: median of pairwise slopes = 2 despite the outlier
+    assert(math.abs(ts(0L)._2 - 2 * 365.25) < 1e-6, s"${ts(0L)}")
+    // OLS on the same data is badly skewed by the outlier (the contrast)
+    val ols = StackOps.trend(t, tileSize = 2).head()
+    assert(math.abs(ols.slope_yr(0) - 2 * 365.25) > 100)
+    // pixel 1: clean slope 2/day
+    assert(math.abs(ts(1L)._2 - 2 * 365.25) < 1e-6)
+    assert(math.abs(ts(1L)._3 - 10.0) < 1e-6)   // intercept
+  }
+
+  test("stack clip + subset predicates prune tiles/layers (malib.py:733-884)") {
+    import spark.implicits._
+    val images = graft.sources.ImageTable.generate(spark, 12, spread = true)
+    val target = Warp.analyze(images, "min", "union")
+    val tiles = Warp.warpToTiles(spark, images, target, "near").cache()
+    val all = tiles.collect()
+    val clipped = StackOps.stackClip(tiles, 0, 0, 1, 1).collect()
+    assert(clipped.nonEmpty && clipped.forall(t => t.tx <= 1 && t.ty <= 1))
+    assert(clipped.length == all.count(t => t.tx <= 1 && t.ty <= 1))
+    val tsMin = all.map(_.ts_us).sorted.apply(all.length / 2)
+    val sub = StackOps.stackSubset(tiles, tsMin, Long.MaxValue).collect()
+    assert(sub.nonEmpty && sub.forall(_.ts_us >= tsMin))
+    tiles.unpersist()
+  }
+}
