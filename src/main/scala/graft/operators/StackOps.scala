@@ -243,6 +243,61 @@ object StackOps {
         col("v"))
   }
 
+  /** OLS with iterative 3σ residual-outlier removal — `ma_linreg`
+    * `malib.py:1103-1120`: fit, drop samples with |residual| > 3·σ_resid,
+    * refit; at most `maxIter` rounds (reference caps at 3), stopping early
+    * when no samples were removed. Long-form cells in, per-cell slope out.
+    * Each round is one groupBy agg + one join — the chained-passes plan
+    * from SURVEY §2.5. */
+  def trendOutlierIter(cells0: DataFrame, nThresh: Int = 2,
+                       maxIter: Int = 3, sigma: Double = 3.0): DataFrame = {
+    var cells = cells0.select(col("cell_id"),
+      (col("ts_us").cast("double") / 86400e6).as("t"), col("v").cast("double").as("y"))
+    var fit: DataFrame = null
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      fit = cells.groupBy(col("cell_id")).agg(
+          count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+          sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+        .select(col("cell_id"), col("n"),
+          ((col("n") * col("sty") - col("st") * col("sy")) /
+           (col("n") * col("stt") - col("st") * col("st"))).as("slope"),
+          (((col("sy") - (col("n") * col("sty") - col("st") * col("sy")) /
+            (col("n") * col("stt") - col("st") * col("st")) * col("st"))) / col("n")).as("icpt"))
+      val withResid = cells.join(fit, Seq("cell_id"))
+        .withColumn("resid", col("y") - (col("slope") * col("t") + col("icpt")))
+      // detrended spread = NMAD of residuals (malib.py:1101) — robust, so
+      // the outlier cannot inflate its own rejection threshold
+      val rmed = withResid.groupBy(col("cell_id"))
+        .agg(expr("percentile(resid, 0.5)").as("rmed"))
+      val bounds = withResid.join(rmed, Seq("cell_id"))
+        .groupBy(col("cell_id"))
+        .agg(expr("1.4826 * percentile(abs(resid - rmed), 0.5)").as("rstd"))
+      val filtered = withResid.join(bounds, Seq("cell_id"))
+        .filter(col("rstd").isNull || col("rstd") === 0.0 ||
+                abs(col("resid")) <= col("rstd") * sigma)
+        .select(col("cell_id"), col("t"), col("y"))
+        .cache()
+      val before = cells.count(); val after = filtered.count()
+      changed = after < before
+      cells = filtered
+      it += 1
+    }
+    // refit on the final survivor set (the reference refits after removal)
+    fit = cells.groupBy(col("cell_id")).agg(
+        count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+      .select(col("cell_id"), col("n"),
+        ((col("n") * col("sty") - col("st") * col("sy")) /
+         (col("n") * col("stt") - col("st") * col("st"))).as("slope"),
+        (((col("sy") - (col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st")) * col("st"))) / col("n")).as("icpt"))
+    fit.filter(col("n") >= nThresh)
+      .select(col("cell_id"), col("n"), (col("slope") * 365.25).as("slope_yr"),
+              col("icpt").as("intercept"))
+  }
+
   /** Robust per-cell Theil–Sen trend from long form — the `ma_linreg`
     * robust variant (`malib.py:960-998`: TheilSen via sklearn + mp.Pool;
     * here the median of pairwise slopes per cell, O(n²) per cell, run as a

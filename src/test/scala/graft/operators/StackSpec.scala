@@ -168,3 +168,34 @@ class RobustTrendSpec extends org.scalatest.funsuite.AnyFunSuite {
     tiles.unpersist()
   }
 }
+
+class OutlierIterSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val ndv = graft.sources.ImageTable.Ndv
+  val day = 86400L * 1000000L
+  def tile(id: String, tsUs: Long, vals: Array[Float]): TileRow =
+    TileRow(id, tsUs, 0L, 0, 0, vals, vals.count(_ != ndv), elided = true)
+
+  test("3-sigma outlier iteration recovers the clean slope (malib.py:1103-1120)") {
+    import spark.implicits._
+    // pixel 0: y=1+2t over 12 layers with one gross outlier at the end
+    // (needs >=10 layers: with fewer, the outlier's own leverage keeps its
+    // residual under 3*NMAD — the reference would keep it too)
+    val ys = Array(1f, 3f, 5f, 7f, 9f, 11f, 13f, 15f, 17f, 19f, 21f, 400f)
+    val t = spark.createDataset(ys.zipWithIndex.map { case (y, i) =>
+      tile(s"l$i", i * day, Array(y, 5f, ndv, ndv))
+    }.toSeq)
+    val cells = StackOps.toCells(t, tileSize = 2)
+    val fit = StackOps.trendOutlierIter(cells).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // outlier removed → n=11, slope exactly 2/day
+    assert(fit(0L)._1 == 11, s"${fit(0L)}")
+    assert(math.abs(fit(0L)._2 - 2 * 365.25) < 1e-6)
+    assert(math.abs(fit(0L)._3 - 1.0) < 1e-6)
+    // plain OLS would NOT recover it
+    val ols = StackOps.trend(t, tileSize = 2).head()
+    assert(math.abs(ols.slope_yr(0) - 2 * 365.25) > 1000)
+    // constant pixel survives untouched (rstd = 0 keeps all samples)
+    assert(fit(1L)._1 == 12 && math.abs(fit(1L)._2) < 1e-9)
+  }
+}
