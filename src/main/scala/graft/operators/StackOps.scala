@@ -243,6 +243,21 @@ object StackOps {
         col("v"))
   }
 
+  /** Guarded per-cell OLS from (cell_id, t, y): degenerate cells (n=1 or
+    * zero time spread → det=0) yield NULL slope instead of an ANSI-mode
+    * DIVIDE_BY_ZERO (Spark 4 defaults ANSI on). */
+  private def fitOls(cells: DataFrame): DataFrame =
+    cells.groupBy(col("cell_id")).agg(
+        count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+      .withColumn("det", col("n") * col("stt") - col("st") * col("st"))
+      .select(col("cell_id"), col("n"),
+        when(col("det") =!= 0.0,
+          (col("n") * col("sty") - col("st") * col("sy")) / col("det")).as("slope"),
+        when(col("det") =!= 0.0,
+          (col("sy") - (col("n") * col("sty") - col("st") * col("sy")) / col("det") * col("st"))
+            / col("n")).as("icpt"))
+
   /** OLS with iterative 3σ residual-outlier removal — `ma_linreg`
     * `malib.py:1103-1120`: fit, drop samples with |residual| > 3·σ_resid,
     * refit; at most `maxIter` rounds (reference caps at 3), stopping early
@@ -257,14 +272,7 @@ object StackOps {
     var it = 0
     var changed = true
     while (it < maxIter && changed) {
-      fit = cells.groupBy(col("cell_id")).agg(
-          count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
-          sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
-        .select(col("cell_id"), col("n"),
-          ((col("n") * col("sty") - col("st") * col("sy")) /
-           (col("n") * col("stt") - col("st") * col("st"))).as("slope"),
-          (((col("sy") - (col("n") * col("sty") - col("st") * col("sy")) /
-            (col("n") * col("stt") - col("st") * col("st")) * col("st"))) / col("n")).as("icpt"))
+      fit = fitOls(cells)
       val withResid = cells.join(fit, Seq("cell_id"))
         .withColumn("resid", col("y") - (col("slope") * col("t") + col("icpt")))
       // detrended spread = NMAD of residuals (malib.py:1101) — robust, so
@@ -275,7 +283,7 @@ object StackOps {
         .groupBy(col("cell_id"))
         .agg(expr("1.4826 * percentile(abs(resid - rmed), 0.5)").as("rstd"))
       val filtered = withResid.join(bounds, Seq("cell_id"))
-        .filter(col("rstd").isNull || col("rstd") === 0.0 ||
+        .filter(col("resid").isNull || col("rstd").isNull || col("rstd") === 0.0 ||
                 abs(col("resid")) <= col("rstd") * sigma)
         .select(col("cell_id"), col("t"), col("y"))
         .cache()
@@ -285,15 +293,8 @@ object StackOps {
       it += 1
     }
     // refit on the final survivor set (the reference refits after removal)
-    fit = cells.groupBy(col("cell_id")).agg(
-        count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
-        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
-      .select(col("cell_id"), col("n"),
-        ((col("n") * col("sty") - col("st") * col("sy")) /
-         (col("n") * col("stt") - col("st") * col("st"))).as("slope"),
-        (((col("sy") - (col("n") * col("sty") - col("st") * col("sy")) /
-          (col("n") * col("stt") - col("st") * col("st")) * col("st"))) / col("n")).as("icpt"))
-    fit.filter(col("n") >= nThresh)
+    fit = fitOls(cells)
+    fit.filter(col("n") >= nThresh && col("slope").isNotNull)
       .select(col("cell_id"), col("n"), (col("slope") * 365.25).as("slope_yr"),
               col("icpt").as("intercept"))
   }
