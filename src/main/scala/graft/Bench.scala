@@ -21,7 +21,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // reduce concurrency capped (vector-buffer folds are memory-bandwidth
+      // bound in local mode; see BENCH.md §4)
+      .config("spark.sql.shuffle.partitions", math.min(16, cpus.toInt).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -39,16 +41,17 @@ object Bench {
 
     val tP0 = System.nanoTime()
     val target = Warp.analyze(images, "min", "union")
+    // not persisted: re-running the narrow warp per consumer is cheaper
+    // than serializing the payloads into the block manager (BENCH.md §4)
     val tiles = Warp.warpToTiles(spark, images, target, "bilinear")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTiles = tiles.count()
     val nStats = StackOps.stackStats(tiles).count()
     val nTrend = StackOps.trend(tiles).count()
     val nPip = SpatialJoin.pipJoin(spark, points, polys).count()
     val nHeat = SpatialJoin.heatmap(spark, polys).count()
-    val queriesDf = points.limit(math.max(200, Engine.nPoints(sfDir) / 40))
+    val nq = math.max(200, Engine.nPoints(sfDir) / 40)
+    val queriesDf = points.filter(org.apache.spark.sql.functions.col("pt_id") < f"pt_$nq%07d")
     val nKnn = Knn.knn(spark, queriesDf, points, k = 5).count()
-    tiles.unpersist()
     val pipelineSec = (System.nanoTime() - tP0) / 1e9
     val imagesPerSec = nImages / pipelineSec
 

@@ -62,7 +62,9 @@ object ScaleBench {
     t("trend")(StackOps.trend(tiles).count())
     t("pip")(SpatialJoin.pipJoin(spark, points, polys).count())
     t("heat")(SpatialJoin.heatmap(spark, polys).count())
-    t("knn")(Knn.knn(spark, points.limit(20000), points, k = 5).count())
+    t("knn")(Knn.knn(spark,
+      points.filter(org.apache.spark.sql.functions.col("pt_id") < "pt_0020000"),
+      points, k = 5).count())
     tiles.unpersist()
     val totalSec = (System.nanoTime() - tAll0) / 1e9
     val ips = nImages / totalSec

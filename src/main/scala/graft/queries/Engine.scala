@@ -18,8 +18,15 @@ object Engine {
   def nImages(d: String): Int =
     if (d.contains("sf0.1")) 16000 else if (d.contains("sf0.01")) 800 else 120
 
+  // memoized per (session, dir): Verify/Bench invoke many queries in one
+  // session; regenerating + re-rendering the image table per query would
+  // multiply the driver-gate wall time for no information
+  private val imageCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def images(s: SparkSession, d: String): DataFrame =
-    ImageTable.generate(s, nImages(d), spread = true)
+    imageCache.getOrElseUpdate((s, d),
+      ImageTable.generate(s, nImages(d), spread = true).cache())
 
   /** Flagship: warp all images to the (min-res, union-extent) common grid —
     * the warptool.py trace (SURVEY.md §3.1) — emitting tile assignments. */
@@ -74,7 +81,10 @@ object Engine {
   /** kNN via k-ring expansion with distance-bounded refine (north rule). */
   def knnRing(s: SparkSession, d: String): DataFrame = {
     val pts = PolygonTable.points(s, nPoints(d))
-    val queries = pts.limit(math.max(200, nPoints(d) / 40))
+    // filter, not limit: limit() funnels the query side into one partition
+    // and serializes every downstream ring join (measured 167 s vs 4 s)
+    val nq = math.max(200, nPoints(d) / 40)
+    val queries = pts.filter(col("pt_id") < f"pt_$nq%07d")
     Knn.knn(s, queries, pts, k = 5, cellSize = 128.0)
       .select(col("q_id"), col("c_id"), round(col("dist"), 6).as("dist"), col("rnk"))
   }

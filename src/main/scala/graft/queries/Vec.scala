@@ -57,10 +57,12 @@ object Vec {
     * so the synthetic table yields a non-trivial result set). */
   def embNearDup(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
+    // norms precomputed once per vector (5k rows), not once per pair (12.5M)
     val a = e.select(col("vec_id").as("d1"), col("embedding").as("av"), col("label").as("l1"))
+      .withColumn("na", sqrt(dot("av", "av")))
     val b = e.select(col("vec_id").as("d2"), col("embedding").as("bv"), col("label").as("l2"))
-    val cos = round(
-      dot("av", "bv") / (sqrt(dot("av", "av")) * sqrt(dot("bv", "bv"))), 6)
+      .withColumn("nb", sqrt(dot("bv", "bv")))
+    val cos = round(dot("av", "bv") / (col("na") * col("nb")), 6)
     a.join(b, col("d1") < col("d2"))
       .select(col("d1"), col("d2"), col("l1"), col("l2"), cos.as("cos"))
       .filter(col("cos") > 0.2)
