@@ -1,0 +1,116 @@
+package graft.geo
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based invariants (SURVEY §5.2) over the geo core. */
+object GeoPropertySpec extends Properties("geo") {
+  val lon: Gen[Double] = Gen.choose(-180.0, 179.999)
+  val lat: Gen[Double] = Gen.choose(-89.999, 89.999)
+  val res: Gen[Int] = Gen.choose(1, 20)
+  val coord: Gen[Double] = Gen.choose(-1e6, 1e6)
+
+  property("mapToPixel . pixelToMap == id (geolib.py:293-323)") =
+    forAll(Gen.choose(0.0, 500.0), Gen.choose(0.0, 500.0),
+           Gen.choose(0.5, 64.0)) { (px, py, r) =>
+      val g = GridSpec(1000.0, 9000.0, r, "x", 1000, 1000)
+      val (mx, my) = g.pixelToMap(px, py)
+      val (bx, by) = g.mapToPixel(mx, my)
+      math.abs(bx - px) < 1e-6 && math.abs(by - py) < 1e-6
+    }
+
+  property("extent union contains both inputs") =
+    forAll(coord, coord, Gen.choose(1.0, 1e4), Gen.choose(1.0, 1e4),
+           coord, coord, Gen.choose(1.0, 1e4), Gen.choose(1.0, 1e4)) {
+      (x1, y1, w1, h1, x2, y2, w2, h2) =>
+        val a = Extent(x1, y1, x1 + w1, y1 + h1)
+        val b = Extent(x2, y2, x2 + w2, y2 + h2)
+        val u = a.union(b)
+        u.xmin <= a.xmin && u.xmax >= a.xmax && u.ymin <= b.ymin && u.ymax >= b.ymax
+    }
+
+  property("intersection is symmetric and contained in both") =
+    forAll(coord, coord, Gen.choose(1.0, 1e4), Gen.choose(1.0, 1e4),
+           coord, coord, Gen.choose(1.0, 1e4), Gen.choose(1.0, 1e4)) {
+      (x1, y1, w1, h1, x2, y2, w2, h2) =>
+        val a = Extent(x1, y1, x1 + w1, y1 + h1)
+        val b = Extent(x2, y2, x2 + w2, y2 + h2)
+        (a.intersection(b), b.intersection(a)) match {
+          case (Some(i), Some(j)) =>
+            i == j && i.xmin >= a.xmin && i.xmax <= a.xmax &&
+              i.xmin >= b.xmin && i.xmax <= b.xmax
+          case (None, None) => true
+          case _ => false
+        }
+    }
+
+  property("ZCell: point is inside its own cell extent") =
+    forAll(lon, lat, res) { (lo, la, r) =>
+      val e = ZCell.extent(ZCell.encode(lo, la, r))
+      e.containsPoint(lo, la)
+    }
+
+  property("ZCell: parent contains child center") =
+    forAll(lon, lat, Gen.choose(1, 20)) { (lo, la, r) =>
+      val c = ZCell.encode(lo, la, r)
+      val (cx, cy) = ZCell.center(c)
+      ZCell.extent(ZCell.parent(c)).containsPoint(cx, cy)
+    }
+
+  property("ZCell cover: every sampled interior point's cell is in the cover") =
+    forAll(lon, lat, Gen.choose(0.01, 2.0), Gen.choose(0.01, 2.0), Gen.choose(4, 10)) {
+      (lo, la, w, h, r) =>
+        val e = Extent(lo, math.max(-89.9, la - h), math.min(179.9, lo + w),
+                       math.min(89.9, la))
+        !e.isEmpty ==> {
+          val cover = ZCell.cover(e, r).toSet
+          val cx = (e.xmin + e.xmax) / 2; val cy = (e.ymin + e.ymax) / 2
+          cover.contains(ZCell.encode(cx, cy, r))
+        }
+    }
+  property("HexCell: cell center re-encodes to the same cell") =
+    forAll(lon, lat, Gen.choose(0, 12)) { (lo, la, r) =>
+      val c = HexCell.encode(lo, la, r)
+      val (cx, cy) = HexCell.center(c)
+      HexCell.encode(cx, cy, r) == c
+    }
+
+  property("S2Lite: center re-encodes; parent level decrements") =
+    forAll(lon, lat, Gen.choose(1, 24)) { (lo, la, l) =>
+      val c = S2Lite.encode(lo, la, l)
+      val (cx, cy) = S2Lite.center(c)
+      S2Lite.encode(cx, cy, l) == c && S2Lite.level(S2Lite.parent(c)) == l - 1
+    }
+
+  property("PIP implies bbox containment (geolib.py:1332-1335)") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0.0, 100.0))),
+           Gen.choose(-10.0, 110.0), Gen.choose(-10.0, 110.0)) { (verts, px, py) =>
+      (verts.size >= 3) ==> {
+        val xs = (verts.map(_._1) :+ verts.head._1).toArray
+        val ys = (verts.map(_._2) :+ verts.head._2).toArray
+        val poly = Polygon(Ring(xs, ys), Nil)
+        !poly.contains(px, py) || poly.bbox.containsPoint(px, py)
+      }
+    }
+
+  property("mask-OR (extent intersectionAll) is order-independent (malib.py:1295-1313 analog)") =
+    forAll(Gen.listOfN(4, Gen.zip(coord, coord))) { pts =>
+      (pts.size >= 2) ==> {
+        val es = pts.map { case (x, y) => Extent(x, y, x + 5000, y + 5000) }
+        Extent.intersectionAll(es) == Extent.intersectionAll(es.reverse)
+      }
+    }
+
+  property("roundNearest is idempotent (geolib.py:1273)") =
+    forAll(coord, Gen.oneOf(1e-3, 1e-2, 0.5, 1.0)) { (x, p) =>
+      val once = Extent.roundNearest(x, p)
+      Extent.roundNearest(once, p) == once
+    }
+
+  property("wrapLon lands in [0,360) and lon360to180 in [-180,180]") =
+    forAll(Gen.choose(-1e4, 1e4)) { l =>
+      val w = Srs.wrapLon(l)
+      val t = Srs.lon360to180(w)
+      w >= 0 && w < 360 && t >= -180 && t <= 180
+    }
+}
