@@ -54,6 +54,7 @@ object SparkEntry {
     "q36_perc_fltr"      -> (Rel2.percFltr _),
     "q37_hist2d"         -> (Rel2.hist2d _),
     "q38_bin_by_z"       -> (Rel2.binByZ _),
+    "q39_absrange_fltr"  -> (Rel2.absrangeFltr _),
     // engine pipelines (no SQL twin; golden ScalaTest coverage instead)
     "q40_warp_tiles"       -> (Engine.warpTiles _),
     "q41_stack_stats_tiles"-> (Engine.stackStatsTiles _),
@@ -117,5 +118,6 @@ object SparkEntry {
     "q36_perc_fltr"      -> Rel2.percFltrSql,
     "q37_hist2d"         -> Rel2.hist2dSql,
     "q38_bin_by_z"       -> Rel2.binByZSql,
+    "q39_absrange_fltr"  -> Rel2.absrangeFltrSql,
   )
 }

@@ -230,6 +230,50 @@ object Stencil {
       out
     }
 
+  /** Uniform (mean) filter — `uniform_fltr` `filtlib.py:382-394`:
+    * window mean over valid pixels, original mask preserved. */
+  def uniformKernel(radius: Int): (Array[Float], Int, Int, Float) => Array[Float] =
+    (padded, p, h, ndv) => {
+      require(h >= radius)
+      val t = p - 2 * h
+      val out = Array.fill(t * t)(ndv)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          if (padded((y + h) * p + (x + h)) != ndv) {
+            var s = 0.0; var n = 0
+            var dy = -radius
+            while (dy <= radius) {
+              var dx = -radius
+              while (dx <= radius) {
+                val v = padded((y + h + dy) * p + (x + h + dx))
+                if (v != ndv) { s += v; n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (n > 0) out(y * t + x) = (s / n).toFloat
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Iterative gap fill — `gaussfill`/`maskfill` (`filtlib.py:240-247`,
+    * `malib.py:1352-1375`): repeated dilate-with-neighbor-mean until
+    * `rounds` passes ran (each pass = one halo exchange). */
+  def fillGaps(tiles: Dataset[TileRow], ntx: Int, nty: Int, rounds: Int,
+               tileSize: Int = Warp.TileSize,
+               ndv: Float = graft.sources.ImageTable.Ndv): Dataset[TileRow] = {
+    var cur = tiles
+    for (_ <- 0 until rounds)
+      cur = Stencil(cur, ntx, nty, halo = 1, tileSize, ndv)(morphKernel("dilate", 1))
+    cur
+  }
+
   /** High-pass = v − gauss(v) — `highpass` `filtlib.py:249-257`. */
   def highpassKernel(sigma: Double): (Array[Float], Int, Int, Float) => Array[Float] = {
     val g = gaussKernel(sigma)

@@ -85,7 +85,10 @@ object Engine {
     // and serializes every downstream ring join (measured 167 s vs 4 s)
     val nq = math.max(200, nPoints(d) / 40)
     val queries = pts.filter(col("pt_id") < f"pt_$nq%07d")
-    Knn.knn(s, queries, pts, k = 5, cellSize = 128.0)
+    // cell size left to the density-derived auto-sizing: a fixed 128 m cell
+    // held ~640 points here, dragging ~16k candidates per query into the
+    // top-k window (measured 200+ s vs ~5 s with auto cells)
+    Knn.knn(s, queries, pts, k = 5)
       .select(col("q_id"), col("c_id"), round(col("dist"), 6).as("dist"), col("rnk"))
   }
 

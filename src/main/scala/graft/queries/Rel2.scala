@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
 object Rel2 {
   import Rel.{li, ev}
 
+  /** Abs-range filter — `absrange_fltr` `filtlib.py:26-33`: mask on |v|
+    * while KEEPING original (signed) values. Derived signed column from
+    * lineitem; keeps rows with |v| in [5, 20]. */
+  def absrangeFltr(s: SparkSession, d: String): DataFrame =
+    li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") - 25.0).as("v"))
+      .filter(abs(col("v")).between(5.0, 20.0))
+
+  val absrangeFltrSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity - 25.0 AS v FROM lineitem
+      |WHERE abs(l_quantity - 25.0) BETWEEN 5.0 AND 20.0""".stripMargin
+
   /** Percentile filter — `perc_fltr` `filtlib.py:35-41`: keep values inside
     * the [p5, p95] band; per-flag survivor stats. */
   def percFltr(s: SparkSession, d: String): DataFrame = {

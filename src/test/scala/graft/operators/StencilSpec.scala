@@ -161,3 +161,23 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(!mp.contains(ox, oy))
   }
 }
+
+class FillSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val ndv = ImageTable.Ndv
+
+  test("uniform filter averages the window; fillGaps closes interior holes") {
+    import spark.implicits._
+    val payload = Array.fill(64 * 64)(10.0f)
+    // a 4x4 hole
+    for (y <- 20 until 24; x <- 20 until 24) payload(y * 64 + x) = ndv
+    val t = spark.createDataset(Seq(TileRow("x", 0L, 0L, 0, 0, payload, 64*64-16, false)))
+    // uniform of a constant field stays constant (mask preserved)
+    val u = Stencil(t, 1, 1, 2)(Stencil.uniformKernel(2)).head()
+    assert(u.payload(0) == 10.0f && u.payload(20 * 64 + 20) == ndv)
+    // two dilate rounds close a 4x4 hole completely with the neighbor mean
+    val filled = Stencil.fillGaps(t, 1, 1, rounds = 2).head()
+    assert(filled.n_valid == 64 * 64)
+    assert(filled.payload(21 * 64 + 21) == 10.0f)
+  }
+}
