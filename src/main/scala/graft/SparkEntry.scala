@@ -75,6 +75,7 @@ object SparkEntry {
     "q56_phash_dedup"      -> (Engine.phashDedup _),
     "q57_resumable_job"    -> (Engine.resumableJob _),
     "q58_theilsen"         -> (Engine.theilSenTiles _),
+    "q59_ann_lsh"          -> (Engine.annLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

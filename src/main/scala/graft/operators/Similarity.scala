@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate nearest-neighbor search over an embedding column — the scale
+  * path beside the brute-force cosine baseline (graft.queries.Vec.knnBrute).
+  *
+  * Random-hyperplane LSH (the classic cosine-LSH construction): project each
+  * vector onto B seeded hyperplanes, pack the sign bits into a bucket key,
+  * equi-join queries to candidates on the key across T independent tables,
+  * union the candidate sets, and exactly re-rank by cosine. Deterministic
+  * (hyperplanes from a fixed-seed PRNG keyed by (table, plane, dim)), so
+  * results are stable across partitionings. Recall rises with T and falls
+  * with B; tune B ≈ log2(|C|/bucket_target) so buckets stay small at scale
+  * (cost: T equi-joins instead of one O(|Q|·|C|) cross join). */
+object Similarity {
+  /** Deterministic hyperplane component ~ N(0,1) via Box–Muller on a
+    * splitmix-style hash of (table, plane, dim). */
+  private def gauss(table: Int, plane: Int, dim: Int): Double = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // uniform in (0,1)
+      ((z >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    }
+    val u1 = mix(table.toLong * 1000003L + plane.toLong * 7919L + dim.toLong * 31L)
+    val u2 = mix(table.toLong * 998244353L + plane.toLong * 104729L + dim.toLong * 131L)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+  }
+
+  /** Bucket keys for one vector: one key per hash table. */
+  def bucketKeys(v: Array[Float], dims: Int, tables: Int, planes: Int): Array[Long] = {
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var d = 0
+        while (d < dims) { dot += v(d) * gauss(t, p, d); d += 1 }
+        if (dot >= 0) key |= (1L << p)
+        p += 1
+      }
+      keys(t) = (t.toLong << 32) | key   // table id disambiguates key space
+      t += 1
+    }
+    keys
+  }
+
+  /** ANN top-k: queries(q_id, embedding) × candidates(c_id, embedding).
+    * Candidate pairs from any shared LSH bucket, exact cosine re-rank,
+    * deterministic (cos desc, c_id asc) tie-break. */
+  def annCosine(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+                k: Int, tables: Int = 16, planes: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dims = candidates.select(size(col("embedding"))).head().getInt(0)
+    val keysUdf = udf((v: Seq[Float]) =>
+      bucketKeys(v.toArray, dims, tables, planes))
+
+    val qb = queries.select(col("q_id"), col("embedding").as("qv"))
+      .withColumn("bkey", explode(keysUdf(col("qv"))))
+    val cb = candidates.select(col("c_id"), col("embedding").as("cv"))
+      .withColumn("bkey", explode(keysUdf(col("cv"))))
+
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+           s"cast(0 as double), (acc, v) -> acc + v)")
+    val pairs = qb.join(cb, Seq("bkey"))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"))
+      .distinct()   // union of bucket hits across tables
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    pairs
+      .select(col("q_id"), col("c_id"),
+        (dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv")))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -194,6 +194,16 @@ object Engine {
       .select(col("cell_id"), col("n"), round(col("slope_yr"), 4).as("slope_yr"))
   }
 
+  /** ANN over embeddings: cosine-LSH bucket join + exact re-rank (the scale
+    * path; q27 is the brute-force baseline). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = s.read.parquet(s"$d/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 50).select(col("vec_id").as("q_id"), col("embedding"))
+    val c = e.filter(col("vec_id") >= 50).select(col("vec_id").as("c_id"), col("embedding"))
+    graft.operators.Similarity.annCosine(s, q, c, k = 3, tables = 16, planes = 6)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+  }
+
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */
   def trendTiles(s: SparkSession, d: String): DataFrame = {
     val imgs = images(s, d)

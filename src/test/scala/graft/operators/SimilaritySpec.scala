@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ANN top-1 recall vs brute force is high; results deterministic") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val c = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("c_id"), col("embedding"))
+
+    val ann = Similarity.annCosine(spark, q, c, k = 1, tables = 16, planes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute-force top-1
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+           s"cast(0 as double), (acc, v) -> acc + v)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    val brute = q.select(col("q_id"), col("embedding").as("qv"))
+      .crossJoin(c.select(col("c_id"), col("embedding").as("cv")))
+      .select(col("q_id"), col("c_id"),
+        (dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv")))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val hits = brute.count { case (qid, cid) => ann.get(qid).contains(cid) }
+    assert(ann.size == 20)
+    assert(hits >= 14, s"recall $hits/20 too low")   // ~93% expected @ 16 tables x 4 planes
+
+    // determinism across partitioning
+    val ann2 = Similarity.annCosine(spark, q.repartition(7), c.repartition(3),
+        k = 1, tables = 16, planes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ann == ann2)
+  }
+
+  test("bucket keys are deterministic and table-disambiguated") {
+    val v = Array.fill(64)(0.5f)
+    val k1 = Similarity.bucketKeys(v, 64, 4, 12)
+    val k2 = Similarity.bucketKeys(v, 64, 4, 12)
+    assert(k1.sameElements(k2))
+    assert(k1.map(_ >> 32).toSet.size == 4)   // distinct table ids
+  }
+}
