@@ -117,6 +117,52 @@ object RasterOps {
     Some(Wkb.writePolygon(Polygon(Ring(xs.toArray, ys.toArray), Nil)))
   }
 
+  /** 2-D polynomial surface fit — `polyfit2d`/`ma_fitpoly`
+    * `geolib.py:1839-1914`: least squares over the monomial basis
+    * {x^i·y^j : i+j ≤ degree} via normal-equation sums aggregated
+    * distributed, solved on the driver (Gaussian elimination with partial
+    * pivoting), coefficients broadcast back for the residual column — the
+    * plan SURVEY §2.9 prescribes. Returns (coeffs, residual DataFrame). */
+  def fitPoly2D(pts: DataFrame, degree: Int = 2): (Array[Double], DataFrame) = {
+    import org.apache.spark.sql.Row
+    val terms = for { i <- 0 to degree; j <- 0 to degree - i } yield (i, j)
+    val nT = terms.length
+    def term(i: Int, j: Int) = pow(col("x"), i) * pow(col("y"), j)
+    // A^T A (nT x nT) and A^T z (nT) as one aggregation row
+    val prods =
+      (for (a <- 0 until nT; b <- a until nT) yield {
+        val (i1, j1) = terms(a); val (i2, j2) = terms(b)
+        sum(term(i1 + i2, j1 + j2)).as(s"m_${a}_$b")
+      }) ++
+      (for (a <- 0 until nT) yield {
+        val (i, j) = terms(a)
+        sum(term(i, j) * col("z")).as(s"v_$a")
+      })
+    val row: Row = pts.agg(prods.head, prods.tail: _*).head()
+    val m = Array.ofDim[Double](nT, nT + 1)
+    var idx = 0
+    for (a <- 0 until nT; b <- a until nT) {
+      m(a)(b) = row.getDouble(idx); m(b)(a) = m(a)(b); idx += 1
+    }
+    for (a <- 0 until nT) { m(a)(nT) = row.getDouble(idx); idx += 1 }
+    // Gaussian elimination with partial pivoting
+    for (c <- 0 until nT) {
+      var piv = c
+      for (r <- c + 1 until nT) if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r
+      val tmp = m(c); m(c) = m(piv); m(piv) = tmp
+      require(math.abs(m(c)(c)) > 1e-12, "singular normal equations (degenerate inputs)")
+      for (r <- 0 until nT if r != c) {
+        val f = m(r)(c) / m(c)(c)
+        for (k <- c to nT) m(r)(k) -= f * m(c)(k)
+      }
+    }
+    val coef = Array.tabulate(nT)(a => m(a)(nT) / m(a)(a))
+    val fitted = terms.zipWithIndex.map { case ((i, j), a) =>
+      term(i, j) * lit(coef(a))
+    }.reduce(_ + _)
+    (coef, pts.withColumn("fit", fitted).withColumn("resid", col("z") - col("fit")))
+  }
+
   /** dz filter — `dz_fltr_ma` `filtlib.py:411-441`: mask src pixels where
     * |src − ref| is outside [lo, hi]; join on tile_id. */
   def dzFilter(src: Dataset[TileRow], ref: Dataset[TileRow], lo: Double, hi: Double,

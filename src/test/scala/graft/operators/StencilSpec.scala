@@ -181,3 +181,26 @@ class FillSpec extends AnyFunSuite {
     assert(filled.payload(21 * 64 + 21) == 10.0f)
   }
 }
+
+class FitPolySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("2-D quadratic fit recovers an exact quadratic surface (geolib.py:1839-1914)") {
+    import spark.implicits._
+    // z = 3 + 2x - y + 0.5x^2 - 0.25xy + 0.1y^2 on a grid
+    val pts = (for (x <- 0 until 20; y <- 0 until 20) yield {
+      val xd = x.toDouble; val yd = y.toDouble
+      (xd, yd, 3.0 + 2 * xd - yd + 0.5 * xd * xd - 0.25 * xd * yd + 0.1 * yd * yd)
+    }).toDF("x", "y", "z")
+    val (coef, withResid) = RasterOps.fitPoly2D(pts, degree = 2)
+    // basis order: (i,j) for i<-0..2, j<-0..2-i → (0,0),(0,1),(0,2),(1,0),(1,1),(2,0)
+    val want = Map(0 -> 3.0, 1 -> -1.0, 2 -> 0.1, 3 -> 2.0, 4 -> -0.25, 5 -> 0.5)
+    want.foreach { case (k, v) => assert(math.abs(coef(k) - v) < 1e-6, s"coef $k") }
+    import org.apache.spark.sql.functions._
+    val maxResid = withResid.agg(max(abs(col("resid")))).head().getDouble(0)
+    assert(maxResid < 1e-6)
+    // degree-1 fit of the same data leaves structured residuals (sanity)
+    val (_, r1) = RasterOps.fitPoly2D(pts, degree = 1)
+    assert(r1.agg(max(abs(col("resid")))).head().getDouble(0) > 1.0)
+  }
+}
