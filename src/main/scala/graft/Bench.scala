@@ -60,8 +60,12 @@ object Bench {
     // the pipeline so fixed per-query job-submission overhead doesn't skew
     // the N→4N efficiency measurement)
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+    // SPARK_GRAFT_ONLY=q28,q56 limits the per-query loop (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = (if (pipelineOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
+                   else SparkEntry.queries)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -123,8 +123,8 @@ object ZCell {
     // handle anti-meridian-free case only (engine keeps extents in [-180,180])
     val xs = math.min(x0, x1) to math.max(x0, x1)
     val ys = math.min(y0, y1) to math.max(y0, y1)
-    require(xs.length * ys.length <= 4_000_000,
-      s"cover() would enumerate ${xs.length * ys.length} cells; lower res")
+    require(xs.length.toLong * ys.length <= 4_000_000L, // Long: Int product can overflow past the guard
+      s"cover() would enumerate ${xs.length.toLong * ys.length} cells; lower res")
     (for (y <- ys; x <- xs) yield pack(x, y, res)).sorted
   }
 }

@@ -9,25 +9,36 @@ import graft.sources.{Codec, ImageRow, ImageTable}
 object RasterOps {
 
   /** Pixelwise difference of two aligned layers — the README flagship
-    * ("warp two rasters → difference → stats"): equi join on tile_id, mask-OR
-    * null propagation (`common_mask` `malib.py:1295-1313`). */
+    * ("warp two rasters → difference → stats"): cogroup on tile_id, mask-OR
+    * null propagation (`common_mask` `malib.py:1295-1313`). Each side must
+    * hold ONE layer per tile_id (enforced) — diffing raw stacks would emit
+    * an |A|×|B| cross product per tile, not raster−raster semantics; reduce
+    * stacks first (e.g. StackOps.compositeMean). */
   def tileDiff(a: Dataset[TileRow], b: Dataset[TileRow],
                tileSize: Int = Warp.TileSize,
                ndv: Float = ImageTable.Ndv): Dataset[TileRow] = {
     val spark = a.sparkSession
     import spark.implicits._
-    a.joinWith(b, a("tile_id") === b("tile_id"), "inner").map { case (ta, tb) =>
-      val out = new Array[Float](ta.payload.length)
-      var n = 0
-      var i = 0
-      while (i < out.length) {
-        val va = ta.payload(i); val vb = tb.payload(i)
-        if (va != ndv && vb != ndv) { out(i) = va - vb; n += 1 } else out(i) = ndv
-        i += 1
+    a.groupByKey(_.tile_id).cogroup(b.groupByKey(_.tile_id)) { (tid, ia, ib) =>
+      if (!ia.hasNext || !ib.hasNext) Iterator.empty
+      else {
+        val ta = ia.next(); val tb = ib.next()
+        require(!ia.hasNext && !ib.hasNext,
+          s"tileDiff: multiple layers per side for tile_id $tid — reduce each " +
+          "side to one composite layer first (StackOps.compositeMean)")
+        val out = new Array[Float](ta.payload.length)
+        var n = 0
+        var i = 0
+        while (i < out.length) {
+          val va = ta.payload(i); val vb = tb.payload(i)
+          if (va != ndv && vb != ndv) { out(i) = va - vb; n += 1 } else out(i) = ndv
+          i += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single(TileRow(s"${ta.image_id}-${tb.image_id}", ta.ts_us,
+          ta.tile_id, ta.tx, ta.ty, out, n, elided = false))
       }
-      TileRow(s"${ta.image_id}-${tb.image_id}", ta.ts_us, ta.tile_id, ta.tx, ta.ty,
-        out, n, elided = false)
-    }.filter(_.n_valid > 0)
+    }
   }
 
   /** Global stats of a tile set (the reference's post-diff `print_stats`):
@@ -127,7 +138,18 @@ object RasterOps {
     import org.apache.spark.sql.Row
     val terms = for { i <- 0 to degree; j <- 0 to degree - i } yield (i, j)
     val nT = terms.length
-    def term(i: Int, j: Int) = pow(col("x"), i) * pow(col("y"), j)
+    // Center/scale coordinates before building the monomial basis: with
+    // map-scale inputs (UTM x ~ 5e5, y ~ 5e6) raw degree-2 monomials reach
+    // ~1e26 and the normal equations are numerically singular. The fit runs
+    // in u = (x−mx)/sx, v = (y−my)/sy; coefficients are expanded back to the
+    // raw x^i·y^j basis afterwards (binomial shift + power scale).
+    val st: Row = pts.agg(avg(col("x")), stddev_pop(col("x")),
+                          avg(col("y")), stddev_pop(col("y"))).head()
+    val mx = st.getDouble(0); val sx = if (st.getDouble(1) > 0) st.getDouble(1) else 1.0
+    val my = st.getDouble(2); val sy = if (st.getDouble(3) > 0) st.getDouble(3) else 1.0
+    val u = (col("x") - mx) / sx
+    val v = (col("y") - my) / sy
+    def term(i: Int, j: Int) = pow(u, i) * pow(v, j)
     // A^T A (nT x nT) and A^T z (nT) as one aggregation row
     val prods =
       (for (a <- 0 until nT; b <- a until nT) yield {
@@ -145,20 +167,35 @@ object RasterOps {
       m(a)(b) = row.getDouble(idx); m(b)(a) = m(a)(b); idx += 1
     }
     for (a <- 0 until nT) { m(a)(nT) = row.getDouble(idx); idx += 1 }
-    // Gaussian elimination with partial pivoting
+    val normInf = (0 until nT).map(a => (0 until nT).map(b => math.abs(m(a)(b))).sum).max
+    // Gaussian elimination with partial pivoting; singularity threshold
+    // relative to the matrix norm, not absolute
     for (c <- 0 until nT) {
       var piv = c
       for (r <- c + 1 until nT) if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r
       val tmp = m(c); m(c) = m(piv); m(piv) = tmp
-      require(math.abs(m(c)(c)) > 1e-12, "singular normal equations (degenerate inputs)")
+      require(math.abs(m(c)(c)) > 1e-12 * math.max(1.0, normInf),
+        "singular normal equations (degenerate inputs)")
       for (r <- 0 until nT if r != c) {
         val f = m(r)(c) / m(c)(c)
         for (k <- c to nT) m(r)(k) -= f * m(c)(k)
       }
     }
-    val coef = Array.tabulate(nT)(a => m(a)(nT) / m(a)(a))
+    val cScaled = Array.tabulate(nT)(a => m(a)(nT) / m(a)(a))
+    // expand Σ c_ij·u^i·v^j back to raw x^k·y^l coefficients:
+    // u^i = Σ_k C(i,k)·x^k·(−mx)^(i−k) / sx^i (and likewise v^j)
+    def binom(n: Int, k: Int): Double =
+      (1 to k).foldLeft(1.0)((acc, t) => acc * (n - t + 1) / t)
+    val termIdx = terms.zipWithIndex.toMap
+    val coef = new Array[Double](nT)
+    for (((i, j), a) <- terms.zipWithIndex; k <- 0 to i; l <- 0 to j) {
+      coef(termIdx((k, l))) +=
+        cScaled(a) * binom(i, k) * math.pow(-mx, i - k) / math.pow(sx, i) *
+                     binom(j, l) * math.pow(-my, j - l) / math.pow(sy, j)
+    }
+    // fit/residual evaluated in the scaled basis (the stable form)
     val fitted = terms.zipWithIndex.map { case ((i, j), a) =>
-      term(i, j) * lit(coef(a))
+      term(i, j) * lit(cScaled(a))
     }.reduce(_ + _)
     (coef, pts.withColumn("fit", fitted).withColumn("resid", col("z") - col("fit")))
   }

@@ -3,59 +3,59 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geo.{Extent, GridSpec, PlanarCell}
-import graft.sources.{Codec, ImageTable}
+import graft.sources.{Codec, ImageRow, ImageTable}
 
 /** Point sampling of rasters — `sample` `geolib.py:914-1016`: map the point
   * into each overlapping image, read a (2·pad+1)² window, aggregate it by
   * median + NMAD, and null the sample when the window's valid fraction is
   * below `minSampPerc` (`geolib.py:953-954`, default 50 %).
   *
-  * Join shape: images flatMap to covering cells of their extent (small,
-  * metadata-only), points map to one cell, equi join on cell, refine by
-  * exact extent containment (`pt_within_extent` `geolib.py:1332-1335`), then
-  * a per-task decode-cached window read. */
+  * Join shape: images flatMap to covering cells of their extent — METADATA
+  * ONLY, (cell_id, image_id) — points map to one cell, equi join on cell,
+  * then the matched (point, image) pairs cogroup with the image table by
+  * image_id. The binary payload is shuffled exactly once per image (never
+  * per covering cell, never per matched point) and decoded once per image
+  * group; the exact extent-containment refine (`pt_within_extent`
+  * `geolib.py:1332-1335`) and the window read run inside the cogroup. */
 object Sampling {
-  private val cache = new ThreadLocal[java.util.HashMap[String, Array[Float]]] {
-    override def initialValue() = new java.util.HashMap[String, Array[Float]]()
-  }
-
   def pointSample(spark: SparkSession, points: DataFrame, images: DataFrame,
                   cellSize: Double = 256.0, pad: Int = 1,
                   minSampPerc: Double = 0.5): DataFrame = {
     import spark.implicits._
     val imgCells = images
-      .select("image_id", "bytes", "w", "h", "fmt", "ulx", "uly", "res", "ndv")
+      .select("image_id", "w", "h", "ulx", "uly", "res")
       .flatMap { r =>
-        val w = r.getInt(2); val h = r.getInt(3)
-        val ulx = r.getDouble(5); val uly = r.getDouble(6); val res = r.getDouble(7)
+        val w = r.getInt(1); val h = r.getInt(2)
+        val ulx = r.getDouble(3); val uly = r.getDouble(4); val res = r.getDouble(5)
         val e = Extent(ulx, uly - h * res, ulx + w * res, uly)
-        PlanarCell.cover(e, cellSize).map(c =>
-          (c, r.getString(0), r.getAs[Array[Byte]](1), w, h, r.getString(4),
-           ulx, uly, res, r.getDouble(8)))
+        PlanarCell.cover(e, cellSize).map(c => (c, r.getString(0)))
       }
-      .toDF("cell_id", "image_id", "bytes", "w", "h", "fmt", "ulx", "uly", "res", "ndv")
+      .toDF("cell_id", "image_id")
 
     val pts = points.withColumn("cell_id",
       graft.functions.GraftFunctions.planarCell(col("x"), col("y"), lit(cellSize)))
 
-    pts.join(imgCells, Seq("cell_id"))
-      .select(col("pt_id"), col("image_id"), col("bytes"), col("w"), col("h"),
-        col("fmt"), col("ulx"), col("uly"), col("res"), col("ndv"),
-        col("x"), col("y"))
-      .as[(String, String, Array[Byte], Int, Int, String, Double, Double, Double,
-           Double, Double, Double)]
-      .mapPartitions { it =>
-        val localCache = new java.util.HashMap[String, Array[Float]]()
-        it.flatMap { case (ptId, imageId, bytes, w, h, fmt, ulx, uly, res, ndv, x, y) =>
-          val g = GridSpec(ulx, uly, res, "", w, h)
+    // a point lies in exactly one cell and an image covers a cell at most
+    // once, so the pair set is duplicate-free by construction
+    val pairs = pts.join(imgCells, Seq("cell_id"))
+      .select(col("image_id"), col("pt_id"), col("x"), col("y"))
+      .as[(String, String, Double, Double)]
+      .groupByKey(_._1)
+
+    val imgGroups = images.as[ImageRow].groupByKey(_.image_id)
+
+    imgGroups.cogroup(pairs) { (_, imgIt, ptIt) =>
+      if (!imgIt.hasNext) Iterator.empty
+      else {
+        val img = imgIt.next()
+        val w = img.w; val h = img.h
+        val ndv = img.ndv
+        val g = GridSpec(img.ulx, img.uly, img.res, "", w, h)
+        var px: Array[Float] = null // decoded lazily, once per image group
+        ptIt.flatMap { case (_, ptId, x, y) =>
           if (!g.extent.containsPoint(x, y)) None
           else {
-            var px = localCache.get(imageId)
-            if (px == null) {
-              px = Codec.decode(bytes, w, h, fmt, ndv.toFloat)
-              if (localCache.size > 1024) localCache.clear()
-              localCache.put(imageId, px)
-            }
+            if (px == null) px = Codec.decode(img.bytes, w, h, img.fmt, ndv.toFloat)
             val (cx, cy) = g.mapToCell(x, y)
             val vals = scala.collection.mutable.ArrayBuffer.empty[Float]
             var total = 0
@@ -82,12 +82,12 @@ object Sampling {
               val devs = vals.map(v => math.abs(v - med)).sorted
               val mad = if (n % 2 == 1) devs(n / 2).toDouble
                         else (devs(n / 2 - 1) + devs(n / 2)) / 2.0
-              Some((ptId, imageId, x, y, med, 1.4826 * mad, n))
+              Some((ptId, img.image_id, x, y, med, 1.4826 * mad, n))
             }
           }
         }
       }
-      .toDF("pt_id", "image_id", "x", "y", "samp_med", "samp_nmad", "samp_count")
+    }.toDF("pt_id", "image_id", "x", "y", "samp_med", "samp_nmad", "samp_count")
   }
 
   /** Profile extraction — `line2pts` + `extract_profile` `geolib.py:1018-1098`:

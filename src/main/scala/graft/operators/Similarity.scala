@@ -57,26 +57,28 @@ object Similarity {
     * deterministic (cos desc, c_id asc) tie-break. */
   def annCosine(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
                 k: Int, tables: Int = 16, planes: Int = 8): DataFrame = {
-    import spark.implicits._
+    import graft.functions.VecFunctions.vecDot
     val dims = candidates.select(size(col("embedding"))).head().getInt(0)
     val keysUdf = udf((v: Seq[Float]) =>
       bucketKeys(v.toArray, dims, tables, planes))
 
-    val qb = queries.select(col("q_id"), col("embedding").as("qv"))
-      .withColumn("bkey", explode(keysUdf(col("qv"))))
-    val cb = candidates.select(col("c_id"), col("embedding").as("cv"))
-      .withColumn("bkey", explode(keysUdf(col("cv"))))
+    // norms once per vector; the bucket join + distinct move only (id, key)
+    // rows — the T-times-replicated shuffle never carries the vectors.
+    val qk = queries.select(col("q_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
+    val ck = candidates.select(col("c_id"), col("embedding").as("cv"))
+      .withColumn("cn", sqrt(vecDot(col("cv"), col("cv"))))
+    val qb = qk.select(col("q_id"), explode(keysUdf(col("qv"))).as("bkey"))
+    val cb = ck.select(col("c_id"), explode(keysUdf(col("cv"))).as("bkey"))
 
-    val dot = (a: String, b: String) =>
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-           s"cast(0 as double), (acc, v) -> acc + v)")
     val pairs = qb.join(cb, Seq("bkey"))
-      .select(col("q_id"), col("c_id"), col("qv"), col("cv"))
+      .select(col("q_id"), col("c_id"))
       .distinct()   // union of bucket hits across tables
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     pairs
+      .join(qk, Seq("q_id")).join(ck, Seq("c_id"))   // vectors re-attached once per pair
       .select(col("q_id"), col("c_id"),
-        (dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv")))).as("cos"))
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

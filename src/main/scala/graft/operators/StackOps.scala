@@ -94,6 +94,38 @@ object StackOps {
     }
   }
 
+  /** Reduce a multi-layer stack to ONE composite layer per tile (per-pixel
+    * mean over valid samples) — the reduction `tileDiff` requires on each
+    * side (diffing two stacks pairwise is |A|×|B| per tile, not the
+    * reference's raster−raster semantics). ts = earliest layer timestamp. */
+  def compositeMean(tiles: Dataset[TileRow], tileSize: Int = Warp.TileSize,
+                    ndv: Float = ImageTable.Ndv,
+                    label: String = "composite"): Dataset[TileRow] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val len = tileSize * tileSize
+    tiles.groupByKey(_.tile_id).mapGroups { (tid, it) =>
+      val sum = new Array[Double](len); val cnt = new Array[Int](len)
+      var tx = 0; var ty = 0; var ts = Long.MaxValue
+      it.foreach { t =>
+        tx = t.tx; ty = t.ty; if (t.ts_us < ts) ts = t.ts_us
+        var i = 0
+        while (i < len) {
+          val v = t.payload(i)
+          if (v != ndv) { sum(i) += v; cnt(i) += 1 }
+          i += 1
+        }
+      }
+      val out = new Array[Float](len); var n = 0
+      var i = 0
+      while (i < len) {
+        if (cnt(i) > 0) { out(i) = (sum(i) / cnt(i)).toFloat; n += 1 } else out(i) = ndv
+        i += 1
+      }
+      TileRow(label, ts, tid, tx, ty, out, n, elided = false)
+    }.filter(_.n_valid > 0)
+  }
+
   final case class TrendBuf(var n: Int, cnt: Array[Int], st: Array[Double],
                             stt: Array[Double], sy: Array[Double], sty: Array[Double],
                             tmin: Array[Double], tmax: Array[Double])

@@ -64,23 +64,31 @@ object Stencil {
       out
     }
 
-    // 2) assemble padded frames per (image, tile), run kernel, emit core
+    // 2) assemble padded frames per (image, tile), run kernel, emit core.
+    //    A group may hold only neighbor halo strips and no core tile (every
+    //    image footprint border, since warpToTiles drops empty tiles): tx/ty
+    //    derive from tile_id (tile_id = ty·ntx + tx by construction) and ts
+    //    from any part (all parts of one image share its timestamp), so
+    //    grow-into-neighbor kernels (dilate/fill) emit correctly-addressed
+    //    tiles; all-NDV results are dropped like warpToTiles drops empties.
     parts.groupByKey(p => (p.image_id, p.tile_id))
       .mapGroups { (key: (String, Long), it: Iterator[HaloPart]) =>
         val (imageId, tileId) = key
         val padded = Array.fill(P * P)(ndv)
-        var tx = 0; var ty = 0; var tsUs = 0L
+        var tsUs = 0L
         it.foreach { p =>
-          if (p.pw == T && p.ph == T) { tx = p.tx; ty = p.ty; tsUs = p.ts_us }
+          tsUs = p.ts_us
           var yy = 0
           while (yy < p.ph) {
             System.arraycopy(p.strip, yy * p.pw, padded, (p.py0 + yy) * P + p.px0, p.pw)
             yy += 1
           }
         }
+        val tx = (tileId % ntx).toInt; val ty = (tileId / ntx).toInt
         val core = kernel(padded, P, h, ndv)
         TileRow(imageId, tsUs, tileId, tx, ty, core, core.count(_ != ndv), elided = false)
       }
+      .filter(_.n_valid > 0)
   }
 
   /** Gaussian smooth — `gauss_fltr_astropy` `filtlib.py:101-170`: truncate=3,

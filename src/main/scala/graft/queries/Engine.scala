@@ -92,7 +92,8 @@ object Engine {
       .select(col("q_id"), col("c_id"), round(col("dist"), 6).as("dist"), col("rnk"))
   }
 
-  /** README flagship: warp two layers to a common grid, difference, stats. */
+  /** README flagship: warp two layer sets to a common grid, reduce each to a
+    * composite (per-pixel mean), difference, stats. */
   def diffStats(s: SparkSession, d: String): DataFrame = {
     val n = nImages(d)
     val imgs = images(s, d)
@@ -100,8 +101,8 @@ object Engine {
     val a = imgs.filter(substring(col("image_id"), 5, 8).cast("long") < half)
     val b = imgs.filter(substring(col("image_id"), 5, 8).cast("long") >= half)
     val target = Warp.analyze(imgs, "min", "union")
-    val ta = Warp.warpToTiles(s, a, target, "near")
-    val tb = Warp.warpToTiles(s, b, target, "near")
+    val ta = StackOps.compositeMean(Warp.warpToTiles(s, a, target, "near"), label = "a")
+    val tb = StackOps.compositeMean(Warp.warpToTiles(s, b, target, "near"), label = "b")
     RasterOps.tileStats(RasterOps.tileDiff(ta, tb))
   }
 

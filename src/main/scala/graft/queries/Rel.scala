@@ -343,7 +343,7 @@ object Rel {
       |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
       |                                ROWS UNBOUNDED PRECEDING) AS session_idx
       |       FROM b)
-      |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+      |SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
       |       min(t_us) AS t_start_us, max(t_us) AS t_end_us
       |FROM sx GROUP BY user_id, session_idx""".stripMargin
 

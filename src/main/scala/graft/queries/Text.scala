@@ -173,13 +173,21 @@ object Text {
       |      min(('0x'||substr(md5('3:'||sh),1,8))::BIGINT)::VARCHAR) AS band1
       |FROM sh GROUP BY doc_id""".stripMargin
 
-  /** LSH bucket self-join: candidate near-dup pairs sharing either band. */
+  /** LSH bucket self-join: candidate near-dup pairs sharing either band.
+    * Unpivoted to (band_idx, band_val) rows and equi-joined on both — an
+    * `ON a=x OR b=y` join has no equi keys and degenerates to a
+    * BroadcastNestedLoopJoin; the exploded form is a pure hash join with the
+    * identical result set (a pair shares band i ⟺ its (i, val) rows meet),
+    * and is the only pair-join shape that survives 100 TB. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(s, d)
-    val a = sig.select(col("doc_id").as("d1"), col("band0"), col("band1"))
-    val b = sig.select(col("doc_id").as("d2"), col("band0").as("b0"), col("band1").as("b1"))
-    a.join(b, (col("band0") === col("b0") || col("band1") === col("b1")) &&
-              col("d1") < col("d2"))
+    val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("bi"), col("band0").as("bv")),
+        struct(lit(1).as("bi"), col("band1").as("bv")))).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    bands.select(col("doc_id").as("d1"), col("bi"), col("bv"))
+      .join(bands.select(col("doc_id").as("d2"), col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
   }

@@ -13,10 +13,11 @@ object Vec {
   def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
-  /** dot(a, b) folded in double, Spark side. */
+  /** dot(a, b) — codegen'd left-to-right double fold (graft.functions.VecDot),
+    * bit-identical to the interpreted `aggregate(zip_with(...))` form and to
+    * DuckDB's `list_sum(list_transform(...))`. */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-         s"cast(0 as double), (acc, v) -> acc + v)")
+    graft.functions.VecFunctions.vecDot(col(a), col(b))
 
   /** Brute-force cosine top-3: queries = vec_id < 10, candidates = the rest.
     * Rank on rounded cosine with vec_id tie-break (deterministic across
@@ -54,18 +55,48 @@ object Vec {
   }
 
   /** Embedding near-dup pairs: cosine > 0.2 over all pairs (threshold tuned
-    * so the synthetic table yields a non-trivial result set). */
+    * so the synthetic table yields a non-trivial result set).
+    *
+    * Shape: an exact threshold join at cos > 0.2 means angle < 78.5° — a cap
+    * so wide that no LSH/blocking scheme can bound the candidate set (the
+    * qualifying pairs in the synthetic table go down to cos = 0.200019, and
+    * max pair cosine is ~0.6: the data has no clusters for buckets to
+    * exploit). The output itself can be Ω(n²), so the honest scale shape is
+    * the classic block-pair theta-join (1-bucket-theta): assign each vector
+    * to one of B blocks, broadcast the B(B+1)/2 unordered block pairs onto
+    * both sides, and equi-join on (bi, bj). Every vector ships ~B/2 times
+    * (B ≈ √(2·parallelism) keeps replication at √P), work is evenly spread
+    * over B(B+1)/2 hash-join groups, and the plan is a pure
+    * BroadcastHashJoin → ShuffledHashJoin pipeline — no
+    * BroadcastNestedLoopJoin, no driver collect. For genuinely clustered
+    * embeddings at high thresholds (real near-dup), route through the LSH
+    * bucket join instead (graft.operators.Similarity.annCosine / q59). */
   def embNearDup(s: SparkSession, d: String): DataFrame = {
+    val nBlocks = 8 // ≈ √(2·32 partitions): replication ~B/2 per side
     val e = emb(s, d)
-    // norms precomputed once per vector (5k rows), not once per pair (12.5M)
-    val a = e.select(col("vec_id").as("d1"), col("embedding").as("av"), col("label").as("l1"))
-      .withColumn("na", sqrt(dot("av", "av")))
-    val b = e.select(col("vec_id").as("d2"), col("embedding").as("bv"), col("label").as("l2"))
-      .withColumn("nb", sqrt(dot("bv", "bv")))
-    val cos = round(dot("av", "bv") / (col("na") * col("nb")), 6)
-    a.join(b, col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("l1"), col("l2"), cos.as("cos"))
+      .withColumn("bid", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+      .withColumn("nrm", sqrt(dot("embedding", "embedding"))) // once per vector, not per pair
+    val tasks = s.createDataFrame(
+      for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    val a = e.join(broadcast(tasks), col("bid") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("ad"), col("embedding").as("av"),
+              col("label").as("al"), col("nrm").as("an"))
+    val b = e.join(broadcast(tasks), col("bid") === col("bj"))
+      .select(col("bi"), col("bj"), col("vec_id").as("bd"), col("embedding").as("bv"),
+              col("label").as("bl"), col("nrm").as("bn"))
+    val cos = round(dot("av", "bv") / (col("an") * col("bn")), 6)
+    a.join(b, Seq("bi", "bj"))
+      // intra-block pairs appear (x,y) and (y,x); cross-block pairs once
+      .filter(col("bi") =!= col("bj") || col("ad") < col("bd"))
+      .select(col("ad"), col("bd"), col("al"), col("bl"), cos.as("cos"))
       .filter(col("cos") > 0.2)
+      // emit with d1 < d2 regardless of block orientation (cos is symmetric)
+      .select(least(col("ad"), col("bd")).as("d1"),
+              greatest(col("ad"), col("bd")).as("d2"),
+              when(col("ad") < col("bd"), col("al")).otherwise(col("bl")).as("l1"),
+              when(col("ad") < col("bd"), col("bl")).otherwise(col("al")).as("l2"),
+              col("cos"))
   }
 
   val embNearDupSql: String = {
