@@ -128,27 +128,36 @@ object StackOps {
 
   final case class TrendBuf(var n: Int, cnt: Array[Int], st: Array[Double],
                             stt: Array[Double], sy: Array[Double], sty: Array[Double],
+                            syy: Array[Double],
                             tmin: Array[Double], tmax: Array[Double])
   final case class TileTrend(tile_id: Long, count: Array[Int],
-                             slope_yr: Array[Float], intercept: Array[Float])
+                             slope_yr: Array[Float], intercept: Array[Float],
+                             r2: Array[Float], t_stat: Array[Float])
 
   /** Per-pixel OLS via normal-equation sums (`malib.py:1084-1092`); gates:
     * count ≥ nThresh (`malib.py:1014-1016`) and time-spread ≥ minDtPtp days
     * (`malib.py:1020-1025`); slope ×365.25 → units/yr (`malib.py:1169`).
-    * t in days. */
-  class TileTrendAgg(tileLen: Int, ndv: Float, nThresh: Int, minDtPtp: Double)
+    * t in days, internally shifted by the first layer's day (shift-invariant
+    * slope/r2/T0; conditions the t² sums). Diagnostics per the rsq/conf_test
+    * blocks (`malib.py:1139-1156`): r2 = SSreg/SStot, T0 = slope/SE with
+    * SE = √(SSres/(n−2)/Sxx); with `confTest`, slope/intercept are masked
+    * where |T0| ≤ t_{α/2, n−2} (the scipy t.ppf gate, here graft TDist). */
+  class TileTrendAgg(tileLen: Int, ndv: Float, nThresh: Int, minDtPtp: Double,
+                     confTest: Boolean = false, alpha: Double = 0.05)
       extends Aggregator[TileRow, TrendBuf, TileTrend] with Serializable {
     def zero: TrendBuf = TrendBuf(0, new Array[Int](tileLen), new Array[Double](tileLen),
       new Array[Double](tileLen), new Array[Double](tileLen), new Array[Double](tileLen),
+      new Array[Double](tileLen),
       Array.fill(tileLen)(Double.MaxValue), Array.fill(tileLen)(Double.MinValue))
     def reduce(b: TrendBuf, r: TileRow): TrendBuf = {
       b.n += 1
-      val t = r.ts_us / 86400e6
+      val t = r.ts_us / 86400e6 - 20000.0
       var i = 0
       while (i < tileLen) {
         val v = r.payload(i)
         if (v != ndv) {
           b.cnt(i) += 1; b.st(i) += t; b.stt(i) += t * t; b.sy(i) += v; b.sty(i) += t * v
+          b.syy(i) += v.toDouble * v
           if (t < b.tmin(i)) b.tmin(i) = t
           if (t > b.tmax(i)) b.tmax(i) = t
         }
@@ -161,7 +170,7 @@ object StackOps {
       var i = 0
       while (i < tileLen) {
         a.cnt(i) += b.cnt(i); a.st(i) += b.st(i); a.stt(i) += b.stt(i)
-        a.sy(i) += b.sy(i); a.sty(i) += b.sty(i)
+        a.sy(i) += b.sy(i); a.sty(i) += b.sty(i); a.syy(i) += b.syy(i)
         if (b.tmin(i) < a.tmin(i)) a.tmin(i) = b.tmin(i)
         if (b.tmax(i) > a.tmax(i)) a.tmax(i) = b.tmax(i)
         i += 1
@@ -170,21 +179,47 @@ object StackOps {
     }
     def finish(b: TrendBuf): TileTrend = {
       val slope = new Array[Float](tileLen); val icpt = new Array[Float](tileLen)
+      val r2 = new Array[Float](tileLen); val tstat = new Array[Float](tileLen)
+      // t_{α/2, df} memo — one inversion per distinct sample count
+      val critMemo = scala.collection.mutable.HashMap.empty[Int, Double]
       var i = 0
       while (i < tileLen) {
         val n = b.cnt(i)
         val ptp = if (n > 0) b.tmax(i) - b.tmin(i) else 0.0
+        slope(i) = ndv; icpt(i) = ndv; r2(i) = ndv; tstat(i) = ndv
         if (n >= nThresh && ptp >= minDtPtp) {
           val det = n * b.stt(i) - b.st(i) * b.st(i)
           if (det != 0.0) {
             val sl = (n * b.sty(i) - b.st(i) * b.sy(i)) / det
-            slope(i) = (sl * 365.25).toFloat
-            icpt(i) = ((b.sy(i) - sl * b.st(i)) / n).toFloat
-          } else { slope(i) = ndv; icpt(i) = ndv }
-        } else { slope(i) = ndv; icpt(i) = ndv }
+            val ic = (b.sy(i) - sl * b.st(i)) / n
+            val sxx = b.stt(i) - b.st(i) * b.st(i) / n
+            val sxy = b.sty(i) - b.st(i) * b.sy(i) / n
+            val syyC = b.syy(i) - b.sy(i) * b.sy(i) / n
+            val ssres = syyC - sl * sxy
+            if (syyC > 0) r2(i) = (sl * sxy / syyC).toFloat
+            var keep = true
+            if (n > 2) {
+              if (ssres > 0) {
+                val se = math.sqrt(ssres / (n - 2) / sxx)
+                val t0 = sl / se
+                tstat(i) = t0.toFloat
+                if (confTest) {
+                  val ta = critMemo.getOrElseUpdate(n,
+                    graft.functions.TDist.crit(alpha, n - 2.0))
+                  keep = math.abs(t0) > ta // malib.py:1153-1156 (mask insignificant)
+                }
+              } // ssres == 0: perfect fit, T0 → ∞, always significant
+            } else if (confTest) keep = false // df < 1: no significance evidence
+            if (keep) {
+              slope(i) = (sl * 365.25).toFloat
+              // intercept reported at t=0 epoch days (undo the -20000 shift)
+              icpt(i) = (ic - sl * 20000.0).toFloat
+            }
+          }
+        }
         i += 1
       }
-      TileTrend(-1L, b.cnt, slope, icpt)
+      TileTrend(-1L, b.cnt, slope, icpt, r2, tstat)
     }
     def bufferEncoder: Encoder[TrendBuf] = Encoders.product[TrendBuf]
     def outputEncoder: Encoder[TileTrend] = Encoders.product[TileTrend]
@@ -192,14 +227,28 @@ object StackOps {
 
   def trend(tiles: Dataset[TileRow], tileSize: Int = Warp.TileSize,
             ndv: Float = ImageTable.Ndv, nThresh: Int = 2,
-            minDtPtp: Double = 0.0): Dataset[TileTrend] = {
+            minDtPtp: Double = 0.0, confTest: Boolean = false,
+            alpha: Double = 0.05): Dataset[TileTrend] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new TileTrendAgg(tileSize * tileSize, ndv, nThresh, minDtPtp)
+    val agg = new TileTrendAgg(tileSize * tileSize, ndv, nThresh, minDtPtp, confTest, alpha)
     tiles.groupByKey(_.tile_id).mapGroups { (tid, it) =>
       val b = it.foldLeft(agg.zero)(agg.reduce)
       agg.finish(b).copy(tile_id = tid)
     }
+  }
+
+  /** The reference's default time-spread gate when none is given
+    * (`malib.py:1020-1025`): 10 % of the 96th percentile of the per-pixel
+    * date range. Exact percentile here (test scale); at 100 TB swap in
+    * percentile_approx — the gate is a heuristic, not an oracle surface. */
+  def autoMinDtPtp(tiles: Dataset[TileRow], tileSize: Int = Warp.TileSize,
+                   ndv: Float = ImageTable.Ndv): Double = {
+    val dt = dtStats(tiles, tileSize, ndv).toDF()
+      .select(explode(col("ptp_us")).as("ptp_us"))
+      .filter(col("ptp_us") >= 0)
+    val p96 = dt.agg(expr("percentile(ptp_us, 0.96)")).head().getDouble(0)
+    0.10 * p96 / 86400e6
   }
 
   /** Per-pixel first/last valid timestamp + ptp + center —

@@ -273,12 +273,113 @@ object Stencil {
   /** Iterative gap fill — `gaussfill`/`maskfill` (`filtlib.py:240-247`,
     * `malib.py:1352-1375`): repeated dilate-with-neighbor-mean until
     * `rounds` passes ran (each pass = one halo exchange). */
-  def fillGaps(tiles: Dataset[TileRow], ntx: Int, nty: Int, rounds: Int,
-               tileSize: Int = Warp.TileSize,
-               ndv: Float = graft.sources.ImageTable.Ndv): Dataset[TileRow] = {
+  def fillGapsDilate(tiles: Dataset[TileRow], ntx: Int, nty: Int, rounds: Int,
+                     tileSize: Int = Warp.TileSize,
+                     ndv: Float = graft.sources.ImageTable.Ndv): Dataset[TileRow] = {
     var cur = tiles
     for (_ <- 0 until rounds)
       cur = Stencil(cur, ntx, nty, halo = 1, tileSize, ndv)(morphKernel("dilate", 1))
+    cur
+  }
+
+  /** Local polynomial gap interpolation — the `map_interp`/`ma_interp`
+    * analog (`geolib.py:1737-1769`, `malib.py:1842-1852`; the reference runs
+    * scipy griddata-cubic, a C1 piecewise-cubic interpolant over the valid
+    * support): each GAP pixel is filled from a least-squares degree-`degree`
+    * polynomial fit over the valid pixels of its (2h+1)² window, evaluated
+    * at the gap center. Local coordinates are scaled by 1/h so the normal
+    * equations stay conditioned. Valid pixels pass through unchanged; gaps
+    * with fewer than ~2× the coefficient count of support pixels (or a
+    * singular fit) stay masked. Exactly reproduces surfaces that are
+    * polynomials of total degree ≤ `degree` — the golden contract. */
+  def interpKernel(degree: Int = 3): (Array[Float], Int, Int, Float) => Array[Float] = {
+    val terms = (for { i <- 0 to degree; j <- 0 to degree - i } yield (i, j)).toArray
+    val nT = terms.length
+    (padded, p, h, ndv) => {
+      val t = p - 2 * h
+      val out = new Array[Float](t * t)
+      val m = Array.ofDim[Double](nT, nT + 1)
+      val b = new Array[Double](nT)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          val c = padded((y + h) * p + (x + h))
+          if (c != ndv) out(y * t + x) = c
+          else {
+            var a = 0
+            while (a < nT) { java.util.Arrays.fill(m(a), 0.0); a += 1 }
+            var n = 0
+            var dy = -h
+            while (dy <= h) {
+              var dx = -h
+              while (dx <= h) {
+                val v = padded((y + h + dy) * p + (x + h + dx))
+                if (v != ndv) {
+                  n += 1
+                  val ux = dx.toDouble / h; val uy = dy.toDouble / h
+                  var a2 = 0
+                  while (a2 < nT) {
+                    b(a2) = math.pow(ux, terms(a2)._1) * math.pow(uy, terms(a2)._2)
+                    a2 += 1
+                  }
+                  var r = 0
+                  while (r < nT) {
+                    var cIdx = 0
+                    while (cIdx < nT) { m(r)(cIdx) += b(r) * b(cIdx); cIdx += 1 }
+                    m(r)(nT) += b(r) * v
+                    r += 1
+                  }
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (n >= 2 * nT) {
+              // Gaussian elimination w/ partial pivoting; only the (0,0)-term
+              // coefficient is needed (polynomial value at the gap center)
+              var ok = true
+              var cc = 0
+              while (cc < nT && ok) {
+                var piv = cc
+                var r = cc + 1
+                while (r < nT) { if (math.abs(m(r)(cc)) > math.abs(m(piv)(cc))) piv = r; r += 1 }
+                val tmp = m(cc); m(cc) = m(piv); m(piv) = tmp
+                if (math.abs(m(cc)(cc)) < 1e-9 * n) ok = false
+                else {
+                  r = 0
+                  while (r < nT) {
+                    if (r != cc) {
+                      val f = m(r)(cc) / m(cc)(cc)
+                      var k = cc
+                      while (k <= nT) { m(r)(k) -= f * m(cc)(k); k += 1 }
+                    }
+                    r += 1
+                  }
+                }
+                cc += 1
+              }
+              if (ok) out(y * t + x) = (m(0)(nT) / m(0)(0)).toFloat
+              else out(y * t + x) = ndv
+            } else out(y * t + x) = ndv
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Gap fill, `map_interp` grade (the default fill): one halo exchange,
+    * degree-3 local polynomial interpolation of gap pixels. */
+  def fillGaps(tiles: Dataset[TileRow], ntx: Int, nty: Int, rounds: Int = 1,
+               tileSize: Int = Warp.TileSize,
+               ndv: Float = graft.sources.ImageTable.Ndv,
+               halo: Int = 4, degree: Int = 3): Dataset[TileRow] = {
+    var cur = tiles
+    for (_ <- 0 until rounds)
+      cur = Stencil(cur, ntx, nty, halo, tileSize, ndv)(interpKernel(degree))
     cur
   }
 

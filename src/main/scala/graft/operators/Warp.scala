@@ -155,19 +155,23 @@ object Warp {
 }
 
 /** Resampling kernels — `parse_rs_alg` `warplib.py:238-262` (near, bilinear,
-  * cubic, average, mode), NDV-aware. Bilinear renormalizes over valid
-  * neighbors; cubic is Catmull-Rom a=-0.5 falling back to bilinear when the
-  * 4×4 support has gaps; average/mode pool source pixels whose centers land
+  * cubic, cubicspline, lanczos, average, mode), NDV-aware. Bilinear
+  * renormalizes over valid neighbors; cubic is Catmull-Rom a=-0.5 falling
+  * back to bilinear when the 4×4 support has gaps; cubicspline is the cubic
+  * B-spline approximator (4×4, non-negative weights); lanczos is the a=3
+  * windowed sinc (6×6); average/mode pool source pixels whose centers land
   * in the target pixel footprint (the downsampling semantics). */
 object Resample {
   def sample(src: Array[Float], w: Int, h: Int, g: GridSpec,
              mx: Double, my: Double, kernel: String, ndv: Float,
              targetRes: Double): Float = kernel match {
-    case "near"     => near(src, w, h, g, mx, my, ndv)
-    case "bilinear" => bilinear(src, w, h, g, mx, my, ndv)
-    case "cubic"    => cubic(src, w, h, g, mx, my, ndv)
-    case "average"  => pooled(src, w, h, g, mx, my, ndv, targetRes, mode = false)
-    case "mode"     => pooled(src, w, h, g, mx, my, ndv, targetRes, mode = true)
+    case "near"        => near(src, w, h, g, mx, my, ndv)
+    case "bilinear"    => bilinear(src, w, h, g, mx, my, ndv)
+    case "cubic"       => cubic(src, w, h, g, mx, my, ndv)
+    case "cubicspline" => separable(src, w, h, g, mx, my, ndv, 2, bsplineWeight)
+    case "lanczos"     => separable(src, w, h, g, mx, my, ndv, 3, lanczosWeight)
+    case "average"     => pooled(src, w, h, g, mx, my, ndv, targetRes, mode = false)
+    case "mode"        => pooled(src, w, h, g, mx, my, ndv, targetRes, mode = true)
     case k => throw new IllegalArgumentException(s"unknown kernel $k")
   }
 
@@ -221,6 +225,55 @@ object Resample {
       while (dx <= 2) {
         val x = x0 + dx; val y = y0 + dy
         val wt = cubicWeight(pxf - x) * cubicWeight(pyf - y)
+        if (x >= 0 && x < w && y >= 0 && y < h && src(y * w + x) != ndv) {
+          sum += src(y * w + x) * wt; wsum += wt
+        } else if (wt != 0.0) gap = true
+        dx += 1
+      }
+      dy += 1
+    }
+    if (gap || wsum == 0) bilinear(src, w, h, g, mx, my, ndv)
+    else (sum / wsum).toFloat
+  }
+
+  /** Cubic B-spline basis — the `cubicspline` alg (`warplib.py:238-262`
+    * lists GDAL's GRA_CubicSpline): smoothing approximator, weights ≥ 0,
+    * support radius 2. */
+  def bsplineWeight(t: Double): Double = {
+    val at = math.abs(t)
+    if (at <= 1) (4.0 - 6.0 * at * at + 3.0 * at * at * at) / 6.0
+    else if (at < 2) { val u = 2.0 - at; u * u * u / 6.0 }
+    else 0.0
+  }
+
+  /** Lanczos a=3 windowed sinc (`GRA_Lanczos`): support radius 3, negative
+    * lobes (sharpening). */
+  def lanczosWeight(t: Double): Double = {
+    val at = math.abs(t)
+    if (at < 1e-12) 1.0
+    else if (at >= 3.0) 0.0
+    else {
+      val pt = math.Pi * t
+      3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+    }
+  }
+
+  /** Generic separable kernel of support radius r over the (2r)² neighborhood
+    * around the fractional source pixel; same gap policy as `cubic`: any
+    * missing support pixel with nonzero weight → fall back to bilinear
+    * (mask-safe: a negative-lobe kernel must never interpolate across NDV). */
+  def separable(src: Array[Float], w: Int, h: Int, g: GridSpec,
+                mx: Double, my: Double, ndv: Float, r: Int,
+                weight: Double => Double): Float = {
+    val (pxf, pyf) = g.mapToPixel(mx, my)
+    val x0 = math.floor(pxf).toInt; val y0 = math.floor(pyf).toInt
+    var sum = 0.0; var wsum = 0.0; var gap = false
+    var dy = 1 - r
+    while (dy <= r) {
+      var dx = 1 - r
+      while (dx <= r) {
+        val x = x0 + dx; val y = y0 + dy
+        val wt = weight(pxf - x) * weight(pyf - y)
         if (x >= 0 && x < w && y >= 0 && y < h && src(y * w + x) != ndv) {
           sum += src(y * w + x) * wt; wsum += wt
         } else if (wt != 0.0) gap = true

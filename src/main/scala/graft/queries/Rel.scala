@@ -120,38 +120,66 @@ object Rel {
     * sums (`malib.py:1084-1092`), gates count ≥ 2 and time-spread > 0
     * (`malib.py:1014-1025`), slope scaled ×365.25 to per-year
     * (`malib.py:1169`). t in days from integer microseconds. */
-  def trendOls(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
+  /** Per-key OLS + diagnostics — `ma_linreg` `malib.py:999-1171` incl. the
+    * rsq block (`malib.py:1139-1144`) and the conf_test T-statistic
+    * (`malib.py:1146-1156`): r2 = SSreg/SStot, T0 = slope/SE with
+    * SE = √(SSres/(n−2)/Sxx). r2/T0 computed from sums of t−20000 (a global
+    * day-offset shift; both are shift-invariant) so the cross-engine r6
+    * rounding isn't eaten by cancellation at epoch-day magnitudes. */
+  def trendOls(s: SparkSession, d: String): DataFrame = {
+    val base = ev(s, d)
       .select(col("user_id"),
         (tUs(col("ts")).cast("double") / 86400e6).as("t"),
         col("value").as("y"))
+      .withColumn("tc", col("t") - 20000.0)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
            sum(col("t") * col("t")).as("stt"), sum(col("y")).as("sy"),
            sum(col("t") * col("y")).as("sty"),
+           sum(col("tc")).as("stc"), sum(col("tc") * col("tc")).as("stcc"),
+           sum(col("tc") * col("y")).as("stcy"), sum(col("y") * col("y")).as("syy"),
            (max(col("t")) - min(col("t"))).as("ptp"))
-      .select(col("user_id"), col("n"),
-        r6(when(col("n") >= 2 && col("ptp") > 0,
+    val sxx = col("stcc") - col("stc") * col("stc") / col("n")
+    val sxy = col("stcy") - col("stc") * col("sy") / col("n")
+    val syyC = col("syy") - col("sy") * col("sy") / col("n")
+    val b = sxy / sxx
+    val ssres = syyC - b * sxy
+    val fitOk = col("n") >= 2 && col("ptp") > 0
+    base.select(col("user_id"), col("n"),
+        r6(when(fitOk,
           (col("n") * col("sty") - col("st") * col("sy")) /
           (col("n") * col("stt") - col("st") * col("st")) * lit(365.25)))
           .as("slope_yr"),
-        r6(when(col("n") >= 2 && col("ptp") > 0,
+        r6(when(fitOk,
           (col("sy") - (col("n") * col("sty") - col("st") * col("sy")) /
             (col("n") * col("stt") - col("st") * col("st")) * col("st")) / col("n")))
-          .as("intercept"))
+          .as("intercept"),
+        r6(when(fitOk && syyC > 0, b * sxy / syyC)).as("r2"),
+        r6(when(fitOk && col("n") > 2 && ssres > 0,
+          b / sqrt(ssres / (col("n") - 2) / sxx))).as("t_stat"))
+  }
 
   val trendOlsSql: String =
     """WITH s AS (
       |  SELECT user_id, count(*)::BIGINT AS n, sum(t) AS st, sum(t*t) AS stt,
-      |         sum(y) AS sy, sum(t*y) AS sty, max(t)-min(t) AS ptp
-      |  FROM (SELECT user_id, epoch_us(ts)/86400e6 AS t, value AS y FROM events)
-      |  GROUP BY user_id)
+      |         sum(y) AS sy, sum(t*y) AS sty,
+      |         sum(tc) AS stc, sum(tc*tc) AS stcc, sum(tc*y) AS stcy,
+      |         sum(y*y) AS syy, max(t)-min(t) AS ptp
+      |  FROM (SELECT user_id, epoch_us(ts)/86400e6 AS t,
+      |               epoch_us(ts)/86400e6 - 20000.0 AS tc, value AS y FROM events)
+      |  GROUP BY user_id),
+      |d AS (SELECT *, stcc - stc*stc/n AS sxx, stcy - stc*sy/n AS sxy,
+      |             syy - sy*sy/n AS syyc FROM s)
       |SELECT user_id, n,
       |  round(CASE WHEN n >= 2 AND ptp > 0
       |    THEN (n*sty - st*sy)/(n*stt - st*st) * 365.25 END, 6) AS slope_yr,
       |  round(CASE WHEN n >= 2 AND ptp > 0
-      |    THEN (sy - (n*sty - st*sy)/(n*stt - st*st) * st)/n END, 6) AS intercept
-      |FROM s""".stripMargin
+      |    THEN (sy - (n*sty - st*sy)/(n*stt - st*st) * st)/n END, 6) AS intercept,
+      |  round(CASE WHEN n >= 2 AND ptp > 0 AND syyc > 0
+      |    THEN (sxy/sxx) * sxy / syyc END, 6) AS r2,
+      |  round(CASE WHEN n > 2 AND ptp > 0 AND syyc - (sxy/sxx)*sxy > 0
+      |    THEN (sxy/sxx) / sqrt((syyc - (sxy/sxx)*sxy) / (n - 2) / sxx) END, 6) AS t_stat
+      |FROM d""".stripMargin
 
   /** Range filter — `range_fltr` `filtlib.py:18-24`: keep values in [5, 45]. */
   def rangeFltr(s: SparkSession, d: String): DataFrame =

@@ -50,6 +50,55 @@ class StackSpec extends AnyFunSuite {
     assert(gated.slope_yr(0) == ndv)
   }
 
+  test("t-distribution quantiles match published two-sided critical values") {
+    import graft.functions.TDist
+    assert(math.abs(TDist.crit(0.05, 1) - 12.7062) < 1e-3)
+    assert(math.abs(TDist.crit(0.05, 2) - 4.30265) < 1e-4)
+    assert(math.abs(TDist.crit(0.05, 10) - 2.22814) < 1e-4)
+    assert(math.abs(TDist.crit(0.05, 30) - 2.04227) < 1e-4)
+    assert(math.abs(TDist.cdf(0.0, 5) - 0.5) < 1e-12)
+  }
+
+  test("trend diagnostics: r2/t_stat closed form + conf_test mask (malib.py:1139-1156)") {
+    import spark.implicits._
+    // pixel 0: y = (0,1,2,10) at t = 0..3 days → hand-computed:
+    //   Sxx=5, Sxy=15.5, Syy=62.75, b=3.1, r2=0.765737, SE=√(14.7/2/5),
+    //   T0=2.55683 < t_{.025,2}=4.30265 → insignificant
+    // pixel 1: exact line y = 2 + 3t → r2 = 1, perfect fit → kept under conf
+    val rows = Seq(
+      tile("a", 0 * day, Array(0f, 2f, ndv, ndv)),
+      tile("b", 1 * day, Array(1f, 5f, ndv, ndv)),
+      tile("c", 2 * day, Array(2f, 8f, ndv, ndv)),
+      tile("d", 3 * day, Array(10f, 11f, ndv, ndv)))
+    val tr = StackOps.trend(spark.createDataset(rows), tileSize = 2, nThresh = 2).head()
+    assert(math.abs(tr.r2(0) - 0.765737) < 1e-4)
+    assert(math.abs(tr.t_stat(0) - 2.55683) < 1e-3)
+    assert(math.abs(tr.slope_yr(0) - 3.1 * 365.25) < 1e-2)
+    assert(math.abs(tr.r2(1) - 1.0) < 1e-5)
+    // conf_test: noisy pixel masked, perfect-fit pixel kept
+    val conf = StackOps.trend(spark.createDataset(rows), tileSize = 2,
+      nThresh = 2, confTest = true).head()
+    assert(conf.slope_yr(0) == ndv && conf.intercept(0) == ndv)
+    assert(math.abs(conf.slope_yr(1) - 3 * 365.25) < 1e-2)
+  }
+
+  test("auto min_dt_ptp = 10% of the p96 per-pixel date range (malib.py:1020-1025)") {
+    import spark.implicits._
+    // pixel 0 spread 3 days, pixel 1 spread 1 day (layers b..c only)
+    val t = spark.createDataset(Seq(
+      tile("a", 0 * day, Array(1f, ndv, ndv, ndv)),
+      tile("b", 1 * day, Array(2f, 4f, ndv, ndv)),
+      tile("c", 2 * day, Array(3f, 5f, ndv, ndv)),
+      tile("d", 3 * day, Array(4f, ndv, ndv, ndv))))
+    val auto = StackOps.autoMinDtPtp(t, tileSize = 2)
+    // valid ptps (days): pixel0 = 3, pixel1 = 1 → p96 ≈ 2.92 → gate ≈ 0.292
+    assert(auto > 0.29 && auto < 0.3, s"auto=$auto")
+    val gated = StackOps.trend(t, tileSize = 2, minDtPtp = auto).head()
+    assert(gated.slope_yr(0) != ndv && gated.slope_yr(1) != ndv)
+    val hardGate = StackOps.trend(t, tileSize = 2, minDtPtp = 2.0).head()
+    assert(hardGate.slope_yr(0) != ndv && hardGate.slope_yr(1) == ndv)
+  }
+
   test("dt stats golden: first/last/ptp/center, ptp masked where 0 (malib.py:310-324)") {
     import spark.implicits._
     val t = spark.createDataset(Seq(

@@ -51,7 +51,8 @@ class StencilSpec extends AnyFunSuite {
         ("erode", Stencil.morphKernel("erode", 1), 1),
         ("dilate", Stencil.morphKernel("dilate", 1), 1),
         ("slope", Stencil.slopeKernel(2.0), 1),
-        ("highpass", Stencil.highpassKernel(1.0), 3))) {
+        ("highpass", Stencil.highpassKernel(1.0), 3),
+        ("interp", Stencil.interpKernel(3), 4))) {
       val got = assemble(
         Stencil(tiles, ntx, nty, halo)(kern).collect().toSeq, target, 64)
       val whole = wholeArray(
@@ -176,9 +177,34 @@ class FillSpec extends AnyFunSuite {
     val u = Stencil(t, 1, 1, 2)(Stencil.uniformKernel(2)).head()
     assert(u.payload(0) == 10.0f && u.payload(20 * 64 + 20) == ndv)
     // two dilate rounds close a 4x4 hole completely with the neighbor mean
-    val filled = Stencil.fillGaps(t, 1, 1, rounds = 2).head()
+    val dilated = Stencil.fillGapsDilate(t, 1, 1, rounds = 2).head()
+    assert(dilated.n_valid == 64 * 64)
+    assert(dilated.payload(21 * 64 + 21) == 10.0f)
+    // the interp fill (default) closes it in one pass, exactly for a constant
+    val filled = Stencil.fillGaps(t, 1, 1).head()
     assert(filled.n_valid == 64 * 64)
     assert(filled.payload(21 * 64 + 21) == 10.0f)
+  }
+
+  test("interp fill reproduces an exact cubic surface in the hole (map_interp geolib.py:1737-1769)") {
+    import spark.implicits._
+    def surf(x: Int, y: Int): Float = {
+      val u = x / 10.0; val v = y / 10.0
+      (2.0 + 1.5 * u - 0.8 * v + 0.3 * u * u - 0.2 * u * v +
+       0.05 * u * u * u + 0.07 * u * v * v).toFloat
+    }
+    val payload = Array.tabulate(64 * 64)(i => surf(i % 64, i / 64))
+    for (y <- 30 until 35; x <- 28 until 33) payload(y * 64 + x) = ndv // 5×5 hole
+    val t = spark.createDataset(Seq(TileRow("x", 0L, 0L, 0, 0, payload, 64*64-25, false)))
+    val filled = Stencil.fillGaps(t, 1, 1).head()
+    assert(filled.n_valid == 64 * 64)
+    for (y <- 30 until 35; x <- 28 until 33) {
+      val got = filled.payload(y * 64 + x); val want = surf(x, y)
+      assert(math.abs(got - want) < 1e-3, s"interp at ($x,$y): $got vs $want")
+    }
+    // valid pixels pass through bit-identically
+    for (i <- 0 until 64 * 64 if !(i / 64 >= 30 && i / 64 < 35 && i % 64 >= 28 && i % 64 < 33))
+      assert(filled.payload(i) == surf(i % 64, i / 64))
   }
 }
 
@@ -202,5 +228,21 @@ class FitPolySpec extends AnyFunSuite {
     // degree-1 fit of the same data leaves structured residuals (sanity)
     val (_, r1) = RasterOps.fitPoly2D(pts, degree = 1)
     assert(r1.agg(max(abs(col("resid")))).head().getDouble(0) > 1.0)
+  }
+
+  test("fit survives map-scale (UTM) coordinates via centering/scaling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same quadratic shape but at UTM magnitudes (x ~ 5e5, y ~ 5e6): the raw
+    // monomial normal equations are numerically singular; the centered/scaled
+    // fit must still drive residuals to ~0
+    val pts = (for (x <- 0 until 20; y <- 0 until 20) yield {
+      val xd = 500000.0 + x * 30.0; val yd = 5000000.0 + y * 30.0
+      val u = (xd - 500000.0) / 30.0; val v = (yd - 5000000.0) / 30.0
+      (xd, yd, 3.0 + 2 * u - v + 0.5 * u * u - 0.25 * u * v + 0.1 * v * v)
+    }).toDF("x", "y", "z")
+    val (_, withResid) = RasterOps.fitPoly2D(pts, degree = 2)
+    val maxResid = withResid.agg(max(abs(col("resid")))).head().getDouble(0)
+    assert(maxResid < 1e-4, s"maxResid $maxResid")
   }
 }

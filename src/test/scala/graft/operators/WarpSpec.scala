@@ -169,6 +169,59 @@ class WarpSpec extends AnyFunSuite {
     }
   }
 
+  test("cubicspline/lanczos weight functions: partition of unity and sinc zeros") {
+    // cubic B-spline: Σ_k B(f−k) = 1 and Σ_k k·B(f−k) = f (linear reproduction)
+    for (f <- Seq(0.0, 0.125, 0.5, 0.73, 0.999)) {
+      val ks = -1 to 2
+      val s0 = ks.map(k => Resample.bsplineWeight(f - k)).sum
+      val s1 = ks.map(k => k * Resample.bsplineWeight(f - k)).sum
+      assert(math.abs(s0 - 1.0) < 1e-12, s"unity at $f")
+      assert(math.abs(s1 - f) < 1e-12, s"linear at $f")
+    }
+    // lanczos a=3: 1 at 0, 0 at every other integer, symmetric
+    assert(Resample.lanczosWeight(0.0) == 1.0)
+    for (k <- Seq(-2, -1, 1, 2)) assert(math.abs(Resample.lanczosWeight(k)) < 1e-12)
+    assert(math.abs(Resample.lanczosWeight(0.4) - Resample.lanczosWeight(-0.4)) < 1e-15)
+  }
+
+  test("cubicspline warp of an affine surface is exact (B-spline linear reproduction)") {
+    import spark.implicits._
+    val img = ImageTable.generate(spark, 2).as[ImageRow]
+      .filter(_.image_id == ImageTable.imageIdOf(1)).toDF()
+    val g = ImageTable.gridOf(1)
+    val target = GridSpec.fromExtentRes(g.extent.pad(-9.0), 2.0, ImageTable.Crs)
+    val tiles = Warp.warpToTiles(spark, img, target, "cubicspline").collect()
+    var checked = 0
+    for (t <- tiles; py <- 0 until 64; px <- 0 until 64) {
+      val v = t.payload(py * 64 + px)
+      if (v != ImageTable.Ndv) {
+        val gx = t.tx * 64 + px; val gy = t.ty * 64 + py
+        val (mx, my) = target.pixelToMap(gx, gy)
+        val want = ImageTable.surface(1, mx, my)
+        assert(math.abs(v - want) < 1e-2, s"cubicspline at ($gx,$gy): $v vs $want")
+        checked += 1
+      }
+    }
+    assert(checked > 500)
+  }
+
+  test("lanczos interpolates exactly at source-lattice points; bounded elsewhere") {
+    val g = ImageTable.gridOf(1)
+    val src = Codec.decode(ImageTable.row(1).bytes, g.w, g.h, "raw", ImageTable.Ndv)
+    // interior source pixel centers: full 6×6 support, sinc zeros ⇒ exact
+    for (cy <- 10 to 12; cx <- 10 to 12) {
+      val (mx, my) = g.pixelToMap(cx.toDouble, cy.toDouble)
+      val v = Resample.sample(src, g.w, g.h, g, mx, my, "lanczos", ImageTable.Ndv, 2.0)
+      assert(v == src(cy * g.w + cx), s"lanczos lattice at ($cx,$cy)")
+    }
+    // off-lattice: stays in a sane envelope of the smooth surface
+    for (fy <- Seq(10.3, 11.7); fx <- Seq(10.2, 12.6)) {
+      val (mx, my) = g.pixelToMap(fx, fy)
+      val v = Resample.sample(src, g.w, g.h, g, mx, my, "lanczos", ImageTable.Ndv, 2.0)
+      assert(v > 100 && v < 160, s"lanczos envelope: $v")
+    }
+  }
+
   test("tile ids are consistent with (tx, ty) and the target tiling") {
     val target = Warp.analyze(images, "min", "union")
     val ntx = (target.w + 63) / 64
