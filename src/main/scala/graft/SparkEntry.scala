@@ -76,6 +76,11 @@ object SparkEntry {
     "q57_resumable_job"    -> (Engine.resumableJob _),
     "q58_theilsen"         -> (Engine.theilSenTiles _),
     "q59_ann_lsh"          -> (Engine.annLsh _),
+    // round-2 SQL-twinned additions
+    "q60_hist2d_clipped"   -> (Rel2.hist2dClipped _),
+    "q61_mad_fltr_sampled" -> (Rel2.madFltrSampled _),
+    "q62_knn_orders"       -> (Rel2.knnOrders _),
+    "q63_warp_assign"      -> ((s, _) => Engine.warpAssign(s, "")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +125,9 @@ object SparkEntry {
     "q37_hist2d"         -> Rel2.hist2dSql,
     "q38_bin_by_z"       -> Rel2.binByZSql,
     "q39_absrange_fltr"  -> Rel2.absrangeFltrSql,
+    "q60_hist2d_clipped" -> Rel2.hist2dClippedSql,
+    "q61_mad_fltr_sampled" -> Rel2.madFltrSampledSql,
+    "q62_knn_orders"     -> Rel2.knnOrdersSql,
+    "q63_warp_assign"    -> Engine.warpAssignSql,
   )
 }

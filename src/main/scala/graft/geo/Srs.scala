@@ -46,6 +46,15 @@ object Srs {
     (if (neg) -d else d, m, s)
   }
 
+  /** Decimal degrees → degrees + decimal minutes — `dd2dm`
+    * `geolib.py:286-291`. Faithful to the reference, including its
+    * `m + s/3600` form (sic — the reference divides seconds by 3600, not
+    * 60) and its `(d, m, s)` return shape with the original seconds. */
+  def dd2dm(dd: Double): (Double, Double, Double) = {
+    val (d, m, s) = dd2dms(dd)
+    (d, m + s / 3600.0, s)
+  }
+
   /** (d, m, s) → decimal degrees — `dms2dd` `geolib.py:254-262`. */
   def dms2dd(d: Double, m: Double, s: Double): Double = {
     val sign = if (d < 0) -1.0 else 1.0
@@ -106,6 +115,35 @@ object Srs {
       math.pow((1.0 - e * slat) / (1.0 + e * slat), e / 2)
     val k = m70t70 * t / m
     1.0 / (k * k)
+  }
+
+  // --- Local projection factory — `localortho`/`localtmerc`
+  // (`geolib.py:117-150`): a metric plane centered on (lon0, lat0) for
+  // width/height/area calculations. Spherical forward formulas on the WGS84
+  // mean sphere (Snyder's standard forms); for the local extents these serve
+  // (the reference uses them only for cartesian distance/area on a single
+  // geometry) the spherical-vs-ellipsoidal error is <0.1 %, documented here
+  // rather than pulling in a PROJ dependency. ---
+  private val Rm = 6371008.8 // mean sphere radius, same as haversineM
+
+  /** Local orthographic forward: (lon, lat) → meters on the tangent plane
+    * at (lon0, lat0) — `localortho` `geolib.py:130-138`. */
+  def localOrtho(lon0: Double, lat0: Double)(lon: Double, lat: Double): (Double, Double) = {
+    val l0 = math.toRadians(lat0); val dl = math.toRadians(lon - lon0)
+    val lr = math.toRadians(lat)
+    val x = Rm * math.cos(lr) * math.sin(dl)
+    val y = Rm * (math.cos(l0) * math.sin(lr) - math.sin(l0) * math.cos(lr) * math.cos(dl))
+    (x, y)
+  }
+
+  /** Local transverse-Mercator forward (spherical, k0 = 1) —
+    * `localtmerc` `geolib.py:122-127`. */
+  def localTmerc(lon0: Double, lat0: Double)(lon: Double, lat: Double): (Double, Double) = {
+    val dl = math.toRadians(lon - lon0); val lr = math.toRadians(lat)
+    val b = math.cos(lr) * math.sin(dl)
+    val x = Rm * 0.5 * math.log((1 + b) / (1 - b)) // atanh(B)
+    val y = Rm * (math.atan2(math.tan(lr), math.cos(dl)) - math.toRadians(lat0))
+    (x, y)
   }
 
   /** Haversine great-circle distance in meters on the WGS84 mean sphere —

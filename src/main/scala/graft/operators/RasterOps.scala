@@ -94,7 +94,8 @@ object RasterOps {
     * per column, first and last valid row; top edge walked left→right at the
     * first-valid boundary, bottom edge right→left, closed into a polygon in
     * map coordinates (pixel centers, like the reference's pixelToMap call). */
-  def outline(img: ImageRow): Option[Array[Byte]] = {
+  def outline(img: ImageRow, simplify: Boolean = false,
+              convex: Boolean = false): Option[Array[Byte]] = {
     val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
     val ndv = img.ndv.toFloat
     val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
@@ -125,7 +126,11 @@ object RasterOps {
       xs += mx; ys += my
     }
     xs += xs.head; ys += ys.head
-    Some(Wkb.writePolygon(Polygon(Ring(xs.toArray, ys.toArray), Nil)))
+    var geom = graft.geo.MultiPolygon(Seq(Polygon(Ring(xs.toArray, ys.toArray), Nil)))
+    // 2-px simplify tolerance / convex hull, geolib.py:884-891
+    if (simplify) geom = graft.geo.Geom.simplify(geom, 2.0 * img.res)
+    if (convex) geom = graft.geo.MultiPolygon(Seq(graft.geo.Geom.convexHull(geom)))
+    Some(Wkb.writePolygon(geom.polys.head))
   }
 
   /** 2-D polynomial surface fit — `polyfit2d`/`ma_fitpoly`

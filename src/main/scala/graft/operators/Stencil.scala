@@ -238,6 +238,177 @@ object Stencil {
       out
     }
 
+  /** Island removal — `remove_islands` `filtlib.py:472-481` / `mask_islands`
+    * `malib.py:1320-1327`: morphological CLOSING of the invalid mask
+    * (dilate(invalid, k) then erode back), which removes valid islands /
+    * peninsulas thinner than ~2k px while leaving values untouched. Output
+    * pixel p stays valid iff some q with |q−p|∞ ≤ k has a fully-valid k-box
+    * (the erode-then-dilate composition, evaluated in one pass with halo
+    * 2k). Values are the ORIGINAL pixel values — unlike morphKernel's
+    * dilate, nothing is fabricated. */
+  def removeIslandsKernel(k: Int): (Array[Float], Int, Int, Float) => Array[Float] =
+    (padded, p, h, ndv) => {
+      require(h >= 2 * k, s"halo $h < 2*iterations ${2 * k}")
+      val t = p - 2 * h
+      // eroded validity for every q in [core − k, core + k] (padded coords)
+      val lo = h - k; val hi = p - h + k // exclusive hi
+      val ew = hi - lo
+      val er = new Array[Boolean](ew * ew)
+      var qy = lo
+      while (qy < hi) {
+        var qx = lo
+        while (qx < hi) {
+          var ok = true
+          var dy = -k
+          while (dy <= k && ok) {
+            var dx = -k
+            while (dx <= k && ok) {
+              if (padded((qy + dy) * p + (qx + dx)) == ndv) ok = false
+              dx += 1
+            }
+            dy += 1
+          }
+          er((qy - lo) * ew + (qx - lo)) = ok
+          qx += 1
+        }
+        qy += 1
+      }
+      val out = Array.fill(t * t)(ndv)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          val c = padded((y + h) * p + (x + h))
+          if (c != ndv) {
+            var any = false
+            var dy = -k
+            while (dy <= k && !any) {
+              var dx = -k
+              while (dx <= k && !any) {
+                if (er((y + h + dy - lo) * ew + (x + h + dx - lo))) any = true
+                dx += 1
+              }
+              dy += 1
+            }
+            if (any) out(y * t + x) = c
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** remove_islands over a tiled stack: one halo exchange of width 2k. */
+  def removeIslands(tiles: Dataset[TileRow], ntx: Int, nty: Int, iterations: Int = 1,
+                    tileSize: Int = Warp.TileSize,
+                    ndv: Float = graft.sources.ImageTable.Ndv): Dataset[TileRow] =
+    Stencil(tiles, ntx, nty, halo = 2 * iterations, tileSize, ndv)(
+      removeIslandsKernel(iterations))
+
+  /** gdaldem terrain derivatives — `gdaldem_mem_ds`/`gdaldem_wrapper`
+    * `geolib.py:1563-1599` wraps all modes; slope lives in slopeKernel.
+    * All use the Horn 3×3 gradient (p = dz/dx east+, q = dz/dy with rows
+    * increasing south) and require full 3×3 support (NDV otherwise):
+    *  - aspect:    compass azimuth of the downslope direction, degrees
+    *               clockwise from north in [0, 360); flat cells → NDV
+    *  - hillshade: 255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(azL−asp))
+    *               with light azimuth/altitude in degrees (gdaldem defaults
+    *               315/45); flat cells shade to 255·sin(alt)
+    *  - tri:       mean |center − neighbor| over the 8 neighbors (Wilson)
+    *  - tpi:       center − mean(8 neighbors)
+    *  - roughness: max − min of the 3×3 window */
+  def demKernel(mode: String, res: Double, lightAz: Double = 315.0,
+                lightAlt: Double = 45.0): (Array[Float], Int, Int, Float) => Array[Float] =
+    (padded, p, h, ndv) => {
+      require(h >= 1)
+      val t = p - 2 * h
+      val out = Array.fill(t * t)(ndv)
+      def v(px: Int, py: Int): Float = padded(py * p + px)
+      val azR = math.toRadians(lightAz); val altR = math.toRadians(lightAlt)
+      var y = 0
+      while (y < t) {
+        var x = 0
+        while (x < t) {
+          val cx = x + h; val cy = y + h
+          var ok = true
+          var dy = -1
+          while (dy <= 1 && ok) {
+            var dx = -1
+            while (dx <= 1 && ok) { if (v(cx + dx, cy + dy) == ndv) ok = false; dx += 1 }
+            dy += 1
+          }
+          if (ok) {
+            val c = v(cx, cy)
+            mode match {
+              case "aspect" | "hillshade" =>
+                val dzdx = ((v(cx+1,cy-1) + 2*v(cx+1,cy) + v(cx+1,cy+1)) -
+                            (v(cx-1,cy-1) + 2*v(cx-1,cy) + v(cx-1,cy+1))) / (8 * res)
+                val dzdyS = ((v(cx-1,cy+1) + 2*v(cx,cy+1) + v(cx+1,cy+1)) -
+                             (v(cx-1,cy-1) + 2*v(cx,cy-1) + v(cx+1,cy-1))) / (8 * res)
+                if (mode == "aspect") {
+                  if (dzdx == 0 && dzdyS == 0) out(y * t + x) = ndv // flat
+                  else {
+                    // downslope east comp = −p, north comp = +q_south
+                    var az = math.toDegrees(math.atan2(-dzdx, dzdyS))
+                    if (az < 0) az += 360.0
+                    out(y * t + x) = az.toFloat
+                  }
+                } else {
+                  val slope = math.atan(math.sqrt(dzdx * dzdx + dzdyS * dzdyS))
+                  val asp = math.atan2(-dzdx, dzdyS) // radians, from north CW
+                  val shade = math.sin(altR) * math.cos(slope) +
+                    math.cos(altR) * math.sin(slope) * math.cos(azR - asp)
+                  out(y * t + x) = (255.0 * math.max(0.0, shade)).toFloat
+                }
+              case "tri" =>
+                var s = 0.0
+                var dy2 = -1
+                while (dy2 <= 1) {
+                  var dx2 = -1
+                  while (dx2 <= 1) {
+                    if (!(dx2 == 0 && dy2 == 0)) s += math.abs(c - v(cx + dx2, cy + dy2))
+                    dx2 += 1
+                  }
+                  dy2 += 1
+                }
+                out(y * t + x) = (s / 8.0).toFloat
+              case "tpi" =>
+                var s = 0.0
+                var dy2 = -1
+                while (dy2 <= 1) {
+                  var dx2 = -1
+                  while (dx2 <= 1) {
+                    if (!(dx2 == 0 && dy2 == 0)) s += v(cx + dx2, cy + dy2)
+                    dx2 += 1
+                  }
+                  dy2 += 1
+                }
+                out(y * t + x) = (c - s / 8.0).toFloat
+              case "roughness" =>
+                var mn = Float.MaxValue; var mx = Float.MinValue
+                var dy2 = -1
+                while (dy2 <= 1) {
+                  var dx2 = -1
+                  while (dx2 <= 1) {
+                    val w = v(cx + dx2, cy + dy2)
+                    if (w < mn) mn = w
+                    if (w > mx) mx = w
+                    dx2 += 1
+                  }
+                  dy2 += 1
+                }
+                out(y * t + x) = mx - mn
+              case m => throw new IllegalArgumentException(m)
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
   /** Uniform (mean) filter — `uniform_fltr` `filtlib.py:382-394`:
     * window mean over valid pixels, original mask preserved. */
   def uniformKernel(radius: Int): (Array[Float], Int, Int, Float) => Array[Float] =

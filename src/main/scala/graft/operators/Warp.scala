@@ -96,22 +96,27 @@ object Warp {
     }
   }
 
-  /** Warp one image onto the target grid, cut into tiles. */
-  def warpOne(img: ImageRow, target: GridSpec, kernel: String,
-              tileSize: Int, ntx: Int): Iterator[TileRow] = {
-    val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
-    val inter = g.extent.intersection(target.extent).getOrElse(return Iterator.empty)
-    val src = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
-    val ndv = img.ndv.toFloat
-    val aligned = isAligned(g, target)
-    val tsUs = img.ts.getTime * 1000L
-
-    // target-pixel bounds of the overlap (clamped)
+  /** Target-pixel bounds of an image grid's overlap with the target
+    * (clamped), or None when disjoint — the tile-assignment arithmetic of
+    * warpOne, exposed for the SQL-twinned assignment oracle (q63). */
+  def pixelBounds(g: GridSpec, target: GridSpec): Option[(Int, Int, Int, Int)] = {
+    val inter = g.extent.intersection(target.extent).getOrElse(return None)
     val px0 = math.max(0, math.floor((inter.xmin - target.ulx) / target.res).toInt)
     val px1 = math.min(target.w - 1, math.ceil((inter.xmax - target.ulx) / target.res).toInt - 1)
     val py0 = math.max(0, math.floor((target.uly - inter.ymax) / target.res).toInt)
     val py1 = math.min(target.h - 1, math.ceil((target.uly - inter.ymin) / target.res).toInt - 1)
-    if (px1 < px0 || py1 < py0) return Iterator.empty
+    if (px1 < px0 || py1 < py0) None else Some((px0, px1, py0, py1))
+  }
+
+  /** Warp one image onto the target grid, cut into tiles. */
+  def warpOne(img: ImageRow, target: GridSpec, kernel: String,
+              tileSize: Int, ntx: Int): Iterator[TileRow] = {
+    val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
+    val (px0, px1, py0, py1) = pixelBounds(g, target).getOrElse(return Iterator.empty)
+    val src = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+    val ndv = img.ndv.toFloat
+    val aligned = isAligned(g, target)
+    val tsUs = img.ts.getTime * 1000L
 
     val tx0 = px0 / tileSize; val tx1 = px1 / tileSize
     val ty0 = py0 / tileSize; val ty1 = py1 / tileSize

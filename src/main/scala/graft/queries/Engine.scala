@@ -205,6 +205,53 @@ object Engine {
       .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rnk"))
   }
 
+  /** Warp tile-assignment oracle (SQL-twinned): the analyze (min-res /
+    * union-extent) + intersection + pixel/tile-bounds arithmetic of the warp
+    * on the closed-form synthetic grid layout, per image — every value
+    * integer-exact, so the DuckDB twin hash-matches bit-for-bit. Fixed
+    * n=800 (the SQL twin generates the same series; this is a fixture
+    * oracle, not a scale query). */
+  def warpAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 800
+    val meta = s.createDataset(0 until n).map { i =>
+      val g = ImageTable.gridOf(i)
+      (i, g.ulx, g.uly, g.res, g.w, g.h, g.crs)
+    }.toDF("i", "ulx", "uly", "res", "w", "h", "crs")
+    val target = Warp.analyze(
+      meta.withColumn("image_id", format_string("img_%08d", col("i"))), "min", "union")
+    s.createDataset(0 until n).map { i =>
+      val g = ImageTable.gridOf(i)
+      val (px0, px1, py0, py1) = Warp.pixelBounds(g, target).get // fixture always overlaps
+      val ts = Warp.TileSize
+      (i, px0, px1, py0, py1,
+       (px1 / ts - px0 / ts + 1).toLong * (py1 / ts - py0 / ts + 1))
+    }.toDF("i", "px0", "px1", "py0", "py1", "n_tiles")
+  }
+
+  val warpAssignSql: String =
+    """WITH g AS (
+      |  SELECT i::INT AS i,
+      |    500000.0 + (i % 7) * 10.0 AS ulx, 5300000.0 - (i % 5) * 8.0 AS uly,
+      |    CASE i % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 3.0 ELSE 4.0 END AS res,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h
+      |  FROM generate_series(0, 799) t(i)),
+      |tgt AS (
+      |  SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+      |    round((max(ulx + w*res) - min(ulx)) / min(res))::INT AS ns,
+      |    round((max(uly) - min(uly - h*res)) / min(res))::INT AS nl
+      |  FROM g),
+      |b AS (
+      |  SELECT i,
+      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+      |    least(ns - 1, ceil((least(ulx + w*res, tulx + ns*tres) - tulx) / tres) - 1)::INT AS px1,
+      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+      |    least(nl - 1, ceil((tuly - greatest(uly - h*res, tuly - nl*tres)) / tres) - 1)::INT AS py1
+      |  FROM g, tgt)
+      |SELECT i, px0, px1, py0, py1,
+      |  ((px1 // 64 - px0 // 64 + 1)::BIGINT * (py1 // 64 - py0 // 64 + 1)) AS n_tiles
+      |FROM b""".stripMargin
+
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */
   def trendTiles(s: SparkSession, d: String): DataFrame = {
     val imgs = images(s, d)

@@ -17,7 +17,7 @@ object Rel {
   def ord(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/orders.parquet")
   def ev(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/events.parquet")
 
-  private def r6(c: Column): Column = round(c, 6)
+  private[queries] def r6(c: Column): Column = round(c, 6)
 
   /** Integer epoch microseconds from a parquet TIMESTAMP_NTZ column. The
     * session timezone is pinned UTC, so the NTZ→TZ cast is the identity
@@ -116,10 +116,6 @@ object Rel {
       |  (min(epoch_us(ts)) + floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 2))::BIGINT AS center_us
       |FROM events GROUP BY user_id""".stripMargin
 
-  /** Per-key OLS trend — `ma_linreg` `malib.py:999-1171`: normal-equation
-    * sums (`malib.py:1084-1092`), gates count ≥ 2 and time-spread > 0
-    * (`malib.py:1014-1025`), slope scaled ×365.25 to per-year
-    * (`malib.py:1169`). t in days from integer microseconds. */
   /** Per-key OLS + diagnostics — `ma_linreg` `malib.py:999-1171` incl. the
     * rsq block (`malib.py:1139-1144`) and the conf_test T-statistic
     * (`malib.py:1146-1156`): r2 = SSreg/SStot, T0 = slope/SE with

@@ -54,6 +54,102 @@ object Rel2 {
       |       count(*)::BIGINT AS n
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  /** Percentile-clipped 2-D histogram — the `get_2dhist` default range path
+    * (`malib.py:1772-1781`): axis limits = (p0.1, p99.9) per axis, 16 fixed
+    * bins over the clipped range, out-of-range samples dropped, the top
+    * edge folded into the last bin (np.histogram2d's closed right edge). */
+  def hist2dClipped(s: SparkSession, d: String): DataFrame = {
+    val t = li(s, d).select(col("l_quantity").cast("double").as("x"),
+                            col("l_extendedprice").cast("double").as("y"))
+    val lims = t.agg(
+      expr("percentile(x, 0.001)").as("xlo"), expr("percentile(x, 0.999)").as("xhi"),
+      expr("percentile(y, 0.001)").as("ylo"), expr("percentile(y, 0.999)").as("yhi"))
+    t.crossJoin(lims)
+      .filter(col("x").between(col("xlo"), col("xhi")) &&
+              col("y").between(col("ylo"), col("yhi")))
+      .select(
+        least(floor((col("x") - col("xlo")) / (col("xhi") - col("xlo")) * 16), lit(15L))
+          .cast("long").as("bx"),
+        least(floor((col("y") - col("ylo")) / (col("yhi") - col("ylo")) * 16), lit(15L))
+          .cast("long").as("by"))
+      .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("n"))
+  }
+
+  val hist2dClippedSql: String =
+    """WITH t AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+      |           FROM lineitem),
+      |lims AS (SELECT quantile_cont(x, 0.001) AS xlo, quantile_cont(x, 0.999) AS xhi,
+      |                quantile_cont(y, 0.001) AS ylo, quantile_cont(y, 0.999) AS yhi
+      |         FROM t)
+      |SELECT least(floor((x - xlo)/(xhi - xlo)*16), 15)::BIGINT AS bx,
+      |       least(floor((y - ylo)/(yhi - ylo)*16), 15)::BIGINT AS by,
+      |       count(*)::BIGINT AS n
+      |FROM t, lims
+      |WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Stride-sampled MAD filter — the bounded-percentile scale path: the
+    * reference itself derives robust bounds from a SUBSAMPLE above 4e6
+    * valid values (`malib.py:1612-1624` stride rule, `fast_median`
+    * `malib.py:1499`). Here the med/NMAD bounds come from a deterministic
+    * 1-in-16 stride (l_orderkey % 16 = 0 — pushdown-friendly, identical in
+    * the oracle) and the filter is applied to the FULL table, so the two
+    * global exact-percentile sort-aggs of q07 shrink to sample size. Exact
+    * mode (q07) remains for parity-critical paths; at 100 TB this is the
+    * shape that survives. */
+  def madFltrSampled(s: SparkSession, d: String): DataFrame = {
+    val t = li(s, d)
+    val samp = t.filter(pmod(col("l_orderkey"), lit(16)) === 0)
+    val med = samp.agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    val nmad = samp.crossJoin(med)
+      .agg(first(col("med")).as("med"),
+           expr("1.4826 * percentile(abs(l_extendedprice - med), 0.5)").as("nmad"))
+    t.crossJoin(nmad)
+      .filter(col("l_extendedprice").between(col("med") - col("nmad") * 2,
+                                             col("med") + col("nmad") * 2))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_kept"),
+           Rel.r6(avg(col("l_extendedprice"))).as("kept_mean"))
+  }
+
+  val madFltrSampledSql: String =
+    """WITH s AS (SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 16 = 0),
+      |m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM s),
+      |n AS (SELECT any_value(m.med) AS med,
+      |             1.4826*quantile_cont(abs(s.l_extendedprice - m.med), 0.5) AS nmad
+      |      FROM s, m)
+      |SELECT l_linestatus, count(*)::BIGINT AS n_kept,
+      |       round(avg(l_extendedprice),6) AS kept_mean
+      |FROM lineitem, n
+      |WHERE l_extendedprice BETWEEN med - 2*nmad AND med + 2*nmad
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** Ring-kNN with a SQL twin: the k-ring expansion operator (north rule)
+    * over points derived arithmetically from orders, oracle-checked against
+    * DuckDB's brute-force window — the engine result must be SET-EXACT, not
+    * just approximate (KnnSpec proves the ring bound; this proves it against
+    * an independent engine). dist emitted unrounded: both engines compute
+    * the identical IEEE sqrt/pow chain. */
+  def knnOrders(s: SparkSession, d: String): DataFrame = {
+    val pts = Rel.ord(s, d).select(col("o_orderkey").as("pt_id"),
+      ((col("o_orderkey") * 37 % 10000) / lit(10.0)).as("x"),
+      ((col("o_custkey") * 53 % 10000) / lit(10.0)).as("y"))
+    val queries = pts.filter(col("pt_id") < 400)
+    graft.operators.Knn.knn(s, queries, pts, k = 5)
+      .select(col("q_id"), col("c_id"), col("dist"), col("rnk"))
+  }
+
+  val knnOrdersSql: String =
+    """WITH pts AS (SELECT o_orderkey AS pt_id,
+      |                    (o_orderkey * 37 % 10000)/10.0 AS x,
+      |                    (o_custkey * 53 % 10000)/10.0 AS y FROM orders),
+      |j AS (SELECT q.pt_id AS q_id, c.pt_id AS c_id,
+      |        sqrt(pow(c.x - q.x, 2) + pow(c.y - q.y, 2)) AS dist
+      |      FROM pts q CROSS JOIN pts c WHERE q.pt_id < 400),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY dist ASC, c_id ASC) AS rnk FROM j)
+      |SELECT q_id, c_id, dist, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   /** Bin x by z — `bin_x_by_z` `malib.py:1802-1836`: digitize z into bins,
     * per-bin med/NMAD/mean/std/count of x. */
   def binByZ(s: SparkSession, d: String): DataFrame = {

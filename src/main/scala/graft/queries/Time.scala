@@ -21,13 +21,23 @@ object Time {
     t.select(col("event_id"),
       yr.as("yr"), month(col("ts")).as("mo"), dayofyear(col("ts")).as("doy"),
       round(yr + (dayofyear(col("ts")) - 1 + dayFrac) / daysInYear, 9).as("decyear"),
-      // jd is emitted UNROUNDED: long→double, /86400e6, +2440587.5 are all
-      // correctly-rounded IEEE ops → bit-identical in Spark and DuckDB,
-      // while rounding at any dp puts some µs-granular rows on a half-
-      // boundary where the engines' round() implementations disagree
+      // jd/ord_py/mat_o are emitted UNROUNDED: long→double, /86400e6, and
+      // +const are all correctly-rounded IEEE ops → bit-identical in Spark
+      // and DuckDB, while rounding at any dp puts some µs-granular rows on
+      // a half-boundary where the engines' round() implementations disagree
       // (measured: 19,972/100k rows differ at 9 dp, 23/100k at 6 dp,
       // 0/100k unrounded).
-      (tUs(col("ts")).cast("double") / 86400e6 + 2440587.5).as("jd"))
+      (tUs(col("ts")).cast("double") / 86400e6 + 2440587.5).as("jd"),
+      // Python ordinal / Matlab datenum (dt2o/dt2mat timelib.py:527-548)
+      (tUs(col("ts")).cast("double") / 86400e6 + 719163.0).as("ord_py"),
+      (tUs(col("ts")).cast("double") / 86400e6 + 719529.0).as("mat_o"),
+      // GPS week + ms-of-week (gps2dt inverse, timelib.py:519-525): pure
+      // integer arithmetic (long div/mod), then an exact double division
+      ((tUs(col("ts")) - lit(graft.functions.TimeLib.GpsEpochUs)) -
+        pmod(tUs(col("ts")) - lit(graft.functions.TimeLib.GpsEpochUs), lit(604800000000L)))
+        .divide(604800000000.0).cast("long").as("gps_week"),
+      pmod(tUs(col("ts")) - lit(graft.functions.TimeLib.GpsEpochUs), lit(604800000000L))
+        .cast("double").divide(1000.0).as("gps_ms"))
   }
 
   val dateFuncsSql: String =
@@ -37,7 +47,11 @@ object Time {
       |        (epoch_us(ts) - epoch_us(date_trunc('day', ts)))/86400e6)
       |      / (CASE WHEN (year(ts) % 4 = 0 AND year(ts) % 100 <> 0)
       |               OR year(ts) % 400 = 0 THEN 366.0 ELSE 365.0 END), 9) AS decyear,
-      |  epoch_us(ts)/86400e6 + 2440587.5 AS jd
+      |  epoch_us(ts)/86400e6 + 2440587.5 AS jd,
+      |  epoch_us(ts)/86400e6 + 719163.0 AS ord_py,
+      |  epoch_us(ts)/86400e6 + 719529.0 AS mat_o,
+      |  ((epoch_us(ts) - 315964800000000) // 604800000000)::BIGINT AS gps_week,
+      |  ((epoch_us(ts) - 315964800000000) % 604800000000)::DOUBLE / 1000.0 AS gps_ms
       |FROM events""".stripMargin
 
   /** Repeat-timestamp de-dup — `fix_repeat_dt` `timelib.py:183-191`: equal

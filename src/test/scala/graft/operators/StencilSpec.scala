@@ -97,6 +97,66 @@ class StencilSpec extends AnyFunSuite {
     vals.foreach(v => assert(math.abs(v - want) < 0.05, s"$v vs $want"))
   }
 
+  test("gdaldem family on the affine surface: aspect/hillshade/tpi/tri/roughness closed-form") {
+    import spark.implicits._
+    val images = ImageTable.generate(spark, 1)  // raw plane, res 2
+    val g = ImageTable.gridOf(0)
+    val tiles = Warp.warpToTiles(spark, images, g, "near").cache()
+    val ntx = (g.w + 63) / 64; val nty = (g.h + 63) / 64
+    val B = ImageTable.B; val C = ImageTable.C; val res = g.res
+    def vals(mode: String) = Stencil(tiles, ntx, nty, 1)(
+      Stencil.demKernel(mode, res)).collect().flatMap(_.payload.filter(_ != ndv))
+
+    // surface z = a + B(mx−X0) + C(Y0−my): dz/dx = B, dz/dy(south) = +C
+    var wantAz = math.toDegrees(math.atan2(-B, C)); if (wantAz < 0) wantAz += 360
+    vals("aspect").foreach(v => assert(math.abs(v - wantAz) < 0.05, s"aspect $v vs $wantAz"))
+
+    val s = math.atan(math.sqrt(B * B + C * C))
+    val asp = math.atan2(-B, C)
+    val wantShade = 255.0 * math.max(0.0,
+      math.sin(math.toRadians(45)) * math.cos(s) +
+      math.cos(math.toRadians(45)) * math.sin(s) * math.cos(math.toRadians(315) - asp))
+    vals("hillshade").foreach(v => assert(math.abs(v - wantShade) < 0.1, s"shade $v vs $wantShade"))
+
+    vals("tpi").foreach(v => assert(math.abs(v) < 1e-3, s"tpi $v"))
+
+    val wantRough = (math.abs(B) + math.abs(C)) * 2 * res
+    vals("roughness").foreach(v => assert(math.abs(v - wantRough) < 1e-3, s"rough $v"))
+
+    val wantTri = res * (2 * math.abs(B) + 2 * math.abs(C) +
+      2 * math.abs(B + C) + 2 * math.abs(B - C)) / 8.0
+    vals("tri").foreach(v => assert(math.abs(v - wantTri) < 1e-3, s"tri $v"))
+  }
+
+  test("remove_islands kills small valid islands, keeps large regions intact (filtlib.py:472-481)") {
+    import spark.implicits._
+    val payload = Array.fill(64 * 64)(ndv)
+    // large valid block 5..40 × 5..40, plus a 3×3 island at (50..52, 50..52)
+    for (y <- 5 to 40; x <- 5 to 40) payload(y * 64 + x) = (x + y).toFloat
+    for (y <- 50 to 52; x <- 50 to 52) payload(y * 64 + x) = 7f
+    val t = spark.createDataset(Seq(
+      TileRow("x", 0L, 0L, 0, 0, payload, payload.count(_ != ndv), false)))
+    val out = Stencil.removeIslands(t, 1, 1, iterations = 2).head()
+    // island gone
+    for (y <- 50 to 52; x <- 50 to 52) assert(out.payload(y * 64 + x) == ndv)
+    // large block fully intact with original values (closing ≈ identity on a box)
+    for (y <- 5 to 40; x <- 5 to 40)
+      assert(out.payload(y * 64 + x) == (x + y).toFloat, s"($x,$y)")
+    assert(out.n_valid == 36 * 36)
+    // tiled == whole-array for the closing kernel
+    val images = ImageTable.generate(spark, 2).filter(col("image_id") === ImageTable.imageIdOf(1))
+    val g = ImageTable.gridOf(1)
+    val target = GridSpec.fromExtentRes(g.extent, 2.0, ImageTable.Crs)
+    val tiles = Warp.warpToTiles(spark, images, target, "bilinear").cache()
+    val ntx = (target.w + 63) / 64; val nty = (target.h + 63) / 64
+    val got = assemble(
+      Stencil.removeIslands(tiles, ntx, nty, 2).collect().toSeq, target, 64)
+    val whole = wholeArray(
+      assemble(tiles.collect().toSeq, target, 64), target.w, target.h,
+      Stencil.removeIslandsKernel(2), 4)
+    assert(got.indices.forall(i => got(i) == whole(i)))
+  }
+
   test("erode shrinks validity; dilate then erode restores interior") {
     import spark.implicits._
     val payload = Array.fill(64 * 64)(ndv)
