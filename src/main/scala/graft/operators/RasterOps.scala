@@ -205,6 +205,73 @@ object RasterOps {
     (coef, pts.withColumn("fit", fitted).withColumn("resid", col("z") - col("fit")))
   }
 
+  /** `maskfill` — `malib.py:1352-1375` (binary_fill_holes): invalid regions
+    * NOT connected to the image border are interior holes. Returns the
+    * edge-connected invalid mask (true = outside the filled footprint) —
+    * exactly the mask the reference applies after inpainting so interior
+    * fills survive but the outer margin stays masked. BFS flood fill from
+    * every border invalid pixel (4-connectivity, scipy's default). */
+  def maskFillHoles(px: Array[Float], w: Int, h: Int, ndv: Float): Array[Boolean] = {
+    val outside = new Array[Boolean](w * h)
+    val queue = new java.util.ArrayDeque[Int]()
+    def push(i: Int): Unit =
+      if (!outside(i) && px(i) == ndv) { outside(i) = true; queue.add(i) }
+    var x = 0
+    while (x < w) { push(x); push((h - 1) * w + x); x += 1 }
+    var y = 0
+    while (y < h) { push(y * w); push(y * w + w - 1); y += 1 }
+    while (!queue.isEmpty) {
+      val i = queue.poll()
+      val cx = i % w; val cy = i / w
+      if (cx > 0) push(i - 1)
+      if (cx < w - 1) push(i + 1)
+      if (cy > 0) push(i - w)
+      if (cy < h - 1) push(i + w)
+    }
+    outside
+  }
+
+  /** `maskfill_edgeinclude` — `malib.py:1377-1391`: morphological OPENING of
+    * the invalid mask (erode then dilate, k iterations, box structuring):
+    * thin invalid intrusions vanish, bulk invalid regions keep their shape.
+    * Returns the opened invalid mask (true = masked). */
+  def maskfillEdgeInclude(px: Array[Float], w: Int, h: Int, ndv: Float,
+                          iterations: Int = 1): Array[Boolean] = {
+    var cur = Array.tabulate(w * h)(i => px(i) == ndv)
+    def pass(src: Array[Boolean], erode: Boolean): Array[Boolean] = {
+      val out = new Array[Boolean](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var acc = erode // erode: AND over window; dilate: OR
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val xx = x + dx; val yy = y + dy
+              // out-of-image counts as invalid (scipy pads with False for
+              // erosion of the mask? the reference erodes the INVALID mask;
+              // border behavior: treat outside as invalid = true)
+              val v = if (xx < 0 || xx >= w || yy < 0 || yy >= h) true
+                      else src(yy * w + xx)
+              if (erode) acc &= v else acc |= v
+              dx += 1
+            }
+            dy += 1
+          }
+          out(y * w + x) = acc
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    for (_ <- 0 until iterations) cur = pass(cur, erode = true)
+    for (_ <- 0 until iterations) cur = pass(cur, erode = false)
+    cur
+  }
+
   /** dz filter — `dz_fltr_ma` `filtlib.py:411-441`: mask src pixels where
     * |src − ref| is outside [lo, hi]; join on tile_id. */
   def dzFilter(src: Dataset[TileRow], ref: Dataset[TileRow], lo: Double, hi: Double,

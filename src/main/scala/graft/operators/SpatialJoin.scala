@@ -100,56 +100,79 @@ object SpatialJoin {
                 tileSize: Int = Warp.TileSize, invert: Boolean = false,
                 ndv: Float = ImageTable.Ndv): org.apache.spark.sql.Dataset[TileRow] = {
     import spark.implicits._
-    val cs = tileSize * target.res
-    val pc = polyCells(spark, polys, cs, saltFactor = 1)
-      .select(col("cell_id"), col("poly_id"), col("geom_wkb"))
+    // polygons map straight onto the TARGET's tile grid (no intermediate
+    // cell join, and `tiles` is consumed exactly once — re-deriving the
+    // tile-id set from the stack would re-run the upstream warp)
     val ulx = target.ulx; val uly = target.uly; val res = target.res
-    val tcells = tiles.map(t => (t.tile_id, t.tx, t.ty)).distinct()
-      .flatMap { case (tid, tx, ty) =>
-        val x0 = ulx + tx.toDouble * tileSize * res
-        val y1 = uly - ty.toDouble * tileSize * res
-        val te = Extent(x0, y1 - tileSize * res, x0 + tileSize * res, y1)
-        PlanarCell.cover(te, cs).map(c => (tid, c))
-      }.toDF("tile_id", "cell_id")
-    val cands = tcells.join(pc, Seq("cell_id"))
-      // a polygon can share several covering cells with one tile — dedup
-      .groupBy(col("tile_id"), col("poly_id")).agg(first(col("geom_wkb")).as("wkb"))
+    val ntx = (target.w + tileSize - 1) / tileSize
+    val nty = (target.h + tileSize - 1) / tileSize
+    val cs = tileSize * res
+    val cands = polys.select("poly_id", "geom_wkb", "xmin", "ymin", "xmax", "ymax")
+      .flatMap { r =>
+        val wkb = r.getAs[Array[Byte]](1)
+        val tx0 = math.max(0, math.floor((r.getDouble(2) - ulx) / cs).toInt)
+        val tx1 = math.min(ntx - 1, math.floor((r.getDouble(4) - ulx) / cs).toInt)
+        val ty0 = math.max(0, math.floor((uly - r.getDouble(5)) / cs).toInt)
+        val ty1 = math.min(nty - 1, math.floor((uly - r.getDouble(3)) / cs).toInt)
+        for (ty <- ty0 to ty1; tx <- tx0 to tx1)
+          yield (ty.toLong * ntx + tx, wkb)
+      }
+      .toDF("tile_id", "wkb")
       .groupBy(col("tile_id")).agg(collect_list(col("wkb")).as("wkbs"))
-      .as[(Long, Seq[Array[Byte]])]
-      .groupByKey(_._1)
-    tiles.groupByKey(_.tile_id).cogroup(cands) { (_, tIt, cIt) =>
-      val geoms: Array[MultiPolygon] = cIt.nextOption()
-        .map(_._2.map(w => Wkb.read(w)).toArray).getOrElse(Array.empty)
-      if (geoms.isEmpty && !invert) Iterator.empty      // nothing inside → all masked
-      else if (geoms.isEmpty) tIt                       // inverted: nothing masked
-      else {
-        var mask: Array[Boolean] = null // inside-flags, computed once per tile_id
-        tIt.flatMap { t =>
-          if (mask == null) {
-            mask = new Array[Boolean](tileSize * tileSize)
+    // broadcast the small candidate table: the tile stream stays NARROW (no
+    // payload shuffle, no driver collect of the polygon layer — the agg +
+    // broadcast exchange distributes it). For polygon layers too big to
+    // broadcast, drop the broadcast() hint and AQE picks a shuffle join.
+    tiles.toDF().join(broadcast(cands), Seq("tile_id"), "left")
+      .select(col("image_id"), col("ts_us"), col("tile_id"), col("tx"), col("ty"),
+              col("payload"), col("wkbs"))
+      .as[(String, Long, Long, Int, Int, Array[Float], Seq[Array[Byte]])]
+      .mapPartitions { it =>
+        // per-task caches: one WKB decode + one PIP mask per distinct tile_id
+        val geomCache = new java.util.HashMap[Long, Array[MultiPolygon]]()
+        val maskCache = new java.util.HashMap[Long, Array[Boolean]]()
+        it.flatMap { case (imageId, tsUs, tileId, tx, ty, payload0, wkbs) =>
+          if (wkbs == null) {
+            // no candidate polygons: all pixels are "outside"
+            if (invert) Some(TileRow(imageId, tsUs, tileId, tx, ty, payload0,
+              payload0.count(_ != ndv), elided = false))
+            else None
+          } else {
+            var geoms = geomCache.get(tileId)
+            if (geoms == null) {
+              geoms = wkbs.map(w => Wkb.read(w)).toArray
+              if (geomCache.size > 4096) { geomCache.clear(); maskCache.clear() }
+              geomCache.put(tileId, geoms)
+            }
+            var mask = maskCache.get(tileId)
+            if (mask == null) {
+              mask = new Array[Boolean](tileSize * tileSize)
+              var i = 0
+              while (i < mask.length) {
+                val px = tx * tileSize + (i % tileSize)
+                val py = ty * tileSize + (i / tileSize)
+                val (mx, my) = target.pixelToMap(px.toDouble, py.toDouble)
+                var j = 0; var ins = false
+                while (j < geoms.length && !ins) { ins = geoms(j).contains(mx, my); j += 1 }
+                mask(i) = ins
+                i += 1
+              }
+              maskCache.put(tileId, mask)
+            }
+            val payload = payload0.clone()
+            var nValid = 0
             var i = 0
-            while (i < mask.length) {
-              val px = t.tx * tileSize + (i % tileSize)
-              val py = t.ty * tileSize + (i / tileSize)
-              val (mx, my) = target.pixelToMap(px.toDouble, py.toDouble)
-              var j = 0; var ins = false
-              while (j < geoms.length && !ins) { ins = geoms(j).contains(mx, my); j += 1 }
-              mask(i) = ins
+            while (i < payload.length) {
+              if (payload(i) != ndv) {
+                if (mask(i) == invert) payload(i) = ndv else nValid += 1
+              }
               i += 1
             }
+            if (nValid > 0) Some(TileRow(imageId, tsUs, tileId, tx, ty, payload, nValid,
+              elided = false))
+            else None
           }
-          val payload = t.payload.clone()
-          var nValid = 0
-          var i = 0
-          while (i < payload.length) {
-            if (payload(i) != ndv) {
-              if (mask(i) == invert) payload(i) = ndv else nValid += 1
-            }
-            i += 1
-          }
-          if (nValid > 0) Some(t.copy(payload = payload, n_valid = nValid)) else None
         }
       }
-    }
   }
 }

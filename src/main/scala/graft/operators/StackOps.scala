@@ -413,6 +413,75 @@ object StackOps {
       .toDF("cell_id", "n", "slope_yr", "intercept")
   }
 
+  /** RANSAC per-cell line fit — the `ma_linreg` robust variant
+    * (`malib.py:960-993` runs sklearn's RANSACRegressor): `trials`
+    * deterministic 2-point hypotheses per cell (indices from a splitmix
+    * hash of (cell, trial) — no RNG state, partition-invariant), inliers =
+    * |residual| ≤ max(absThresh, NMAD of y) (sklearn's default threshold is
+    * the MAD of y), best trial = max inliers with lowest-trial tie-break,
+    * final slope = OLS over the winning inlier set. Gates mirror OLS. */
+  def ransac(cells: DataFrame, nThresh: Int = 2, trials: Int = 16,
+             absThresh: Double = 0.0): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    cells.select(col("cell_id"), col("ts_us"), col("v"))
+      .as[(Long, Long, Float)]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val pts = it.map(r => (r._2 / 86400e6, r._3.toDouble)).toArray
+          .sortBy(p => (p._1, p._2)) // deterministic order independent of shuffle
+        val n = pts.length
+        if (n < nThresh || pts.map(_._1).distinct.length < 2) {
+          (cell, n, Double.NaN, Double.NaN, 0)
+        } else {
+          val ys = pts.map(_._2).sorted
+          val med = if (n % 2 == 1) ys(n / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2
+          val devs = pts.map(p => math.abs(p._2 - med)).sorted
+          val mad = if (n % 2 == 1) devs(n / 2) else (devs(n / 2 - 1) + devs(n / 2)) / 2
+          val thr = math.max(absThresh, math.max(1.4826 * mad, 1e-9))
+          var bestInliers: Array[Int] = null
+          var t = 0
+          while (t < trials) {
+            val i = (math.floorMod(mix(cell * 1000003L + t), n.toLong)).toInt
+            var j = (math.floorMod(mix(cell * 998244353L + t * 31L + 7L), n.toLong)).toInt
+            if (j == i) j = (j + 1) % n
+            if (pts(i)._1 != pts(j)._1) {
+              val sl = (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+              val ic = pts(i)._2 - sl * pts(i)._1
+              val inl = (0 until n).filter(q =>
+                math.abs(pts(q)._2 - (sl * pts(q)._1 + ic)) <= thr).toArray
+              if (bestInliers == null || inl.length > bestInliers.length)
+                bestInliers = inl
+            }
+            t += 1
+          }
+          if (bestInliers == null || bestInliers.length < nThresh) {
+            (cell, n, Double.NaN, Double.NaN, 0)
+          } else {
+            // OLS refit over the winning inlier set
+            val sel = bestInliers.map(pts)
+            val m = sel.length.toDouble
+            val st = sel.map(_._1).sum; val sy = sel.map(_._2).sum
+            val stt = sel.map(p => p._1 * p._1).sum
+            val sty = sel.map(p => p._1 * p._2).sum
+            val det = m * stt - st * st
+            if (det == 0.0) (cell, n, Double.NaN, Double.NaN, sel.length)
+            else {
+              val sl = (m * sty - st * sy) / det
+              (cell, n, sl * 365.25, (sy - sl * st) / m, sel.length)
+            }
+          }
+        }
+      }
+      .toDF("cell_id", "n", "slope_yr", "intercept", "n_inliers")
+  }
+
   /** Stack clip by cell-range predicate — `stack_clip` `malib.py:733-816`:
     * keep only tiles intersecting a pixel-window of the target grid (the
     * partition-pruning form of the reference's crop + gt update). */

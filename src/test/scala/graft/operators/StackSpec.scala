@@ -202,6 +202,23 @@ class RobustTrendSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(ts(1L)._3 - 10.0) < 1e-6)   // intercept
   }
 
+  test("RANSAC recovers the clean slope under 30% gross outliers (malib.py:960-993)") {
+    import spark.implicits._
+    // cell 1: y = 10 + 2t over 20 days, 6 of 20 samples blasted by +500
+    val clean = (0 until 20).map(t => (1L, t * day, (10.0 + 2.0 * t).toFloat))
+    val dirty = clean.zipWithIndex.map { case ((c, t, v), i) =>
+      if (i % 3 == 1 && i < 18) (c, t, v + 500f) else (c, t, v)
+    }
+    val cells = dirty.toDF("cell_id", "ts_us", "v")
+    val fit = StackOps.ransac(cells, trials = 32).head()
+    assert(math.abs(fit.getDouble(2) - 2.0 * 365.25) < 1e-6, s"slope ${fit.getDouble(2)}")
+    assert(math.abs(fit.getDouble(3) - 10.0) < 1e-6)
+    assert(fit.getInt(4) >= 14) // the clean 14 are all inliers
+    // determinism across partitionings
+    val fit2 = StackOps.ransac(cells.repartition(7), trials = 32).head()
+    assert(fit.getDouble(2) == fit2.getDouble(2))
+  }
+
   test("stack clip + subset predicates prune tiles/layers (malib.py:733-884)") {
     import spark.implicits._
     val images = graft.sources.ImageTable.generate(spark, 12, spread = true)

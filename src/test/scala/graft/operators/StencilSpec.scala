@@ -246,6 +246,31 @@ class FillSpec extends AnyFunSuite {
     assert(filled.payload(21 * 64 + 21) == 10.0f)
   }
 
+  test("maskfill: interior holes filled, edge-connected NDV stays masked (malib.py:1352-1375)") {
+    val w = 16; val h = 12
+    val px = Array.fill(w * h)(5.0f)
+    // left margin invalid (edge-connected), plus an interior 2×2 hole
+    for (y <- 0 until h; x <- 0 until 3) px(y * w + x) = ndv
+    for (y <- 5 to 6; x <- 8 to 9) px(y * w + x) = ndv
+    val outside = RasterOps.maskFillHoles(px, w, h, ndv)
+    for (y <- 0 until h; x <- 0 until 3) assert(outside(y * w + x))
+    for (y <- 5 to 6; x <- 8 to 9) assert(!outside(y * w + x)) // hole = inside
+    assert(!outside(5 * w + 12)) // valid pixel = inside
+  }
+
+  test("maskfill_edgeinclude: opening removes thin invalid intrusions (malib.py:1377-1391)") {
+    val w = 20; val h = 20
+    val px = Array.fill(w * h)(1.0f)
+    // a 1-px-wide invalid spike and a bulky 6×6 invalid block
+    for (x <- 5 to 14) px(10 * w + x) = ndv
+    for (y <- 0 until 6; x <- 0 until 6) px(y * w + x) = ndv
+    val opened = RasterOps.maskfillEdgeInclude(px, w, h, ndv, iterations = 1)
+    // the 1-px spike is gone (interior spike cells unmasked)
+    for (x <- 7 to 12) assert(!opened(10 * w + x), s"spike at $x")
+    // the bulk block survives opening in its interior
+    for (y <- 1 to 4; x <- 1 to 4) assert(opened(y * w + x), s"block ($x,$y)")
+  }
+
   test("interp fill reproduces an exact cubic surface in the hole (map_interp geolib.py:1737-1769)") {
     import spark.implicits._
     def surf(x: Int, y: Int): Float = {
