@@ -31,6 +31,18 @@ object TimeLib {
   def mat2us(o: Double): Long = o2us(o - MatlabOffset)
   def us2mat(us: Long): Double = us2o(us) + MatlabOffset
 
+  /** `jd2dt` `timelib.py:496-503`: Julian date → epoch µs. */
+  def jd2us(jd: Double): Long = math.round((jd - 2440587.5) * 86400e6)
+
+  /** `decyear2dt` `timelib.py:473-486`: year floor + fraction × the full
+    * (leap-aware) year length. */
+  def decyear2us(dy: Double): Long = {
+    val yr = math.floor(dy).toInt
+    val jan1Day = java.time.LocalDate.of(yr, 1, 1).toEpochDay
+    val nextDay = java.time.LocalDate.of(yr + 1, 1, 1).toEpochDay
+    jan1Day * 86400L * 1000000L + math.round((dy - yr) * (nextDay - jan1Day) * 86400e6)
+  }
+
   /** `doy2dt` `timelib.py:571-580`: year + (fractional, possibly >365) DOY;
     * epoch arithmetic rolls excess days over naturally, like the ordinal
     * form the reference uses. */

@@ -205,6 +205,39 @@ object RasterOps {
     (coef, pts.withColumn("fit", fitted).withColumn("resid", col("z") - col("fit")))
   }
 
+  /** Subsampled read — `ds_getma_sub`/`get_sub_dim` `iolib.py:164-247`:
+    * decimate so max(w, h) ≤ maxdim (scale = max(w, h)/maxdim, output dims
+    * rounded like the reference), res scaled accordingly. The cheap-scan
+    * path for stats over large rasters — pair with `statsStride` for the
+    * reference's full bounded-stats flow. */
+  def subsample(img: ImageRow, maxdim: Int = 1024): ImageRow = {
+    if (math.max(img.w, img.h) <= maxdim) return img
+    val scale = math.max(img.w.toDouble / maxdim, img.h.toDouble / maxdim)
+    val nw = math.rint(img.w / scale).toInt
+    val nh = math.rint(img.h / scale).toInt
+    val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+    val out = new Array[Float](nw * nh)
+    var y = 0
+    while (y < nh) {
+      val sy = math.min(img.h - 1, (y * scale).toInt)
+      var x = 0
+      while (x < nw) {
+        out(y * nw + x) = px(sy * img.w + math.min(img.w - 1, (x * scale).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    img.copy(bytes = Codec.encode(out, nw, nh, "raw"), w = nw, h = nh, fmt = "raw",
+             res = img.res * scale)
+  }
+
+  /** The reference's bounded-stats stride — `get_stats` `malib.py:1612-1624`:
+    * above `thresh` valid values, stats run on every-`stride`-th value with
+    * stride = round(count/thresh). Returns the stride to APPLY (1 = exact);
+    * the deterministic q61 stride-sample query is the relational twin. */
+  def statsStride(validCount: Long, thresh: Long = 4000000L): Int =
+    if (validCount < thresh) 1 else math.max(1, math.rint(validCount.toDouble / thresh).toInt)
+
   /** `maskfill` — `malib.py:1352-1375` (binary_fill_holes): invalid regions
     * NOT connected to the image border are interior holes. Returns the
     * edge-connected invalid mask (true = outside the filled footprint) —

@@ -71,8 +71,10 @@ object SpatialJoin {
   }
 
   /** Polygon density heatmap — `heatmap` `geolib.py:2226-2244`: per-cell
-    * count of covering polygons whose geometry actually intersects the cell
-    * (burn-add semantics at cell granularity: cell center containment). */
+    * count of polygons containing the CELL CENTER. This is exact parity,
+    * not an approximation: the reference shells out to `gdal_rasterize
+    * -burn 1 -add` WITHOUT `-at`/ALL_TOUCHED (`geolib.py:2233`), and GDAL's
+    * default rasterize rule burns a pixel iff its center is inside. */
   def heatmap(spark: SparkSession, polys: DataFrame, cellSize: Double = 64.0): DataFrame = {
     val pc = polyCells(spark, polys, cellSize, saltFactor = 1)
     val epoch = java.util.UUID.randomUUID().toString // cache scope, this invocation

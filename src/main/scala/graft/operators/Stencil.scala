@@ -308,6 +308,8 @@ object Stencil {
 
   /** gdaldem terrain derivatives — `gdaldem_mem_ds`/`gdaldem_wrapper`
     * `geolib.py:1563-1599` wraps all modes; slope lives in slopeKernel.
+    * For geographic CRS pass res·111120 (the reference's gdaldem scale,
+    * `geolib.py:1589-1590`).
     * All use the Horn 3×3 gradient (p = dz/dx east+, q = dz/dy with rows
     * increasing south) and require full 3×3 support (NDV otherwise):
     *  - aspect:    compass azimuth of the downslope direction, degrees

@@ -71,4 +71,53 @@ object PolygonTable {
         (ImageTable.Epoch0Days * 86400L + (i / 4) * 3600L) * 1000000L) // dup ts per 4
     }.toDF()
   }
+
+  /** CSV point source — `readcsv` `iolib.py:602-624`: header presence is
+    * detected from the first line (all-numeric → headerless), and headerless
+    * columns get OGR's VRT naming `field_1..field_n` (the convention
+    * `writevrt` assumes). Returns (pt_id, x, y[, z]) from the named columns. */
+  def pointsFromCsv(spark: SparkSession, path: String,
+                    xCol: String = "field_1", yCol: String = "field_2",
+                    zCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val firstLine = spark.read.text(path).head().getString(0)
+    val headerless = firstLine.split(",").forall(f =>
+      scala.util.Try(f.trim.toDouble).isSuccess)
+    var df = spark.read
+      .option("header", (!headerless).toString)
+      .option("inferSchema", "true")
+      .csv(path)
+    if (headerless)
+      df = df.toDF(df.columns.indices.map(i => s"field_${i + 1}"): _*)
+    val base = df.withColumn("pt_id",
+        format_string("pt_%07d", monotonically_increasing_id()))
+      .withColumn("x", col(xCol).cast("double"))
+      .withColumn("y", col(yCol).cast("double"))
+    zCol match {
+      case Some(zc) => base.select(col("pt_id"), col("x"), col("y"),
+                                   col(zc).cast("double").as("z"))
+      case None     => base.select(col("pt_id"), col("x"), col("y"))
+    }
+  }
+
+  /** VRT sidecar sink — `writevrt` `iolib.py:353-367`, byte-compatible
+    * layout so OGR (and the reference's tooling) can open the CSV. */
+  def writeVrt(csvPath: String, srs: String = "EPSG:4326",
+               x: String = "field_1", y: String = "field_2"): String = {
+    val base = csvPath.replaceAll("\\.[^./]*$", "")
+    val name = new java.io.File(base).getName
+    val csvName = new java.io.File(csvPath).getName
+    val vrt = base + ".vrt"
+    val body = new StringBuilder
+    body ++= "<OGRVRTDataSource>\n"
+    body ++= s"""   <OGRVRTLayer name="$name">\n"""
+    body ++= s"        <SrcDataSource>$csvName</SrcDataSource>\n"
+    body ++= "        <GeometryType>wkbPoint</GeometryType>\n"
+    body ++= s"        <LayerSRS>$srs</LayerSRS>\n"
+    body ++= s"""        <GeometryField encoding="PointFromColumns" x="$x" y="$y"/>\n"""
+    body ++= "    </OGRVRTLayer>\n"
+    body ++= "</OGRVRTDataSource>\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(vrt), body.toString)
+    vrt
+  }
 }

@@ -31,6 +31,16 @@ class TimeLibSpec extends AnyFunSuite {
     assert(TimeLib.doy2us(2023, 400.0) == dt(2024, 2, 4))     // >365 rolls over
   }
 
+  test("jd2dt / decyear2dt inverses (timelib.py:473-503)") {
+    assert(TimeLib.jd2us(2440587.5) == 0L)                 // 1970-01-01
+    assert(TimeLib.jd2us(2440588.0) == 43200L * 1000000L)
+    assert(TimeLib.decyear2us(2024.0) ==
+      java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L * 1000000L)
+    // 2024 is leap: mid-year = jan1 + 183 days
+    assert(TimeLib.decyear2us(2024.5) ==
+      (java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L + 183L * 86400L) * 1000000L)
+  }
+
   test("dd2dm faithful to the reference's form (geolib.py:286-291)") {
     val (d, m, s) = Srs.dd2dm(-12.5125)
     assert(d == -12.0)

@@ -59,3 +59,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(TimeParse.parse("bad_20201345.tif").isEmpty)     // month 13 rejected
   }
 }
+
+class CsvVrtSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("CSV point source: header detection + VRT field naming (iolib.py:353-367,602-624)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val noHdr = new java.io.File(dir, "pts.csv")
+    java.nio.file.Files.writeString(noHdr.toPath, "1.5,2.5,10\n3.0,4.0,20\n")
+    val a = graft.sources.PolygonTable.pointsFromCsv(
+      spark, noHdr.getPath, zCol = Some("field_3")).collect().sortBy(_.getDouble(1))
+    assert(a.length == 2 && a(0).getDouble(1) == 1.5 && a(0).getDouble(3) == 10.0)
+
+    val hdr = new java.io.File(dir, "pts2.csv")
+    java.nio.file.Files.writeString(hdr.toPath, "lon,lat,elev\n7.0,45.0,100\n8.0,46.0,200\n")
+    val b = graft.sources.PolygonTable.pointsFromCsv(
+      spark, hdr.getPath, xCol = "lon", yCol = "lat", zCol = Some("elev"))
+      .collect().sortBy(_.getDouble(1))
+    assert(b.length == 2 && b(1).getDouble(2) == 46.0 && b(1).getDouble(3) == 200.0)
+
+    // VRT sidecar byte-layout matches the reference's writevrt
+    val vrt = graft.sources.PolygonTable.writeVrt(noHdr.getPath)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(vrt))
+    assert(txt.startsWith("<OGRVRTDataSource>\n   <OGRVRTLayer name=\"pts\">\n"))
+    assert(txt.contains("<SrcDataSource>pts.csv</SrcDataSource>"))
+    assert(txt.contains("<GeometryField encoding=\"PointFromColumns\" x=\"field_1\" y=\"field_2\"/>"))
+    assert(txt.endsWith("</OGRVRTDataSource>\n"))
+  }
+}

@@ -246,6 +246,27 @@ class FillSpec extends AnyFunSuite {
     assert(filled.payload(21 * 64 + 21) == 10.0f)
   }
 
+  test("subsample caps dims and scales res (ds_getma_sub iolib.py:164-247)") {
+    val img0 = ImageTable.row(1)
+    // tile the payload up to a large synthetic image
+    val w = 300; val h = 200
+    val px = Array.tabulate(w * h)(i => ((i % w) + (i / w)).toFloat)
+    val big = img0.copy(bytes = Codec.encode(px, w, h, "raw"), w = w, h = h,
+      fmt = "raw", res = 2.0)
+    val sub = RasterOps.subsample(big, maxdim = 100)
+    assert(math.max(sub.w, sub.h) <= 100)
+    assert(sub.w == 100 && sub.h == math.rint(200 / 3.0).toInt)
+    assert(sub.res == 2.0 * 3.0)
+    // decimated values come from the source lattice
+    val spx = Codec.decode(sub.bytes, sub.w, sub.h, sub.fmt, ImageTable.Ndv)
+    assert(spx(0) == px(0))
+    // small images pass through untouched
+    assert(RasterOps.subsample(big, maxdim = 512) eq big)
+    // stats stride rule (malib.py:1612-1624)
+    assert(RasterOps.statsStride(1000000L) == 1)
+    assert(RasterOps.statsStride(8000000L) == 2)
+  }
+
   test("maskfill: interior holes filled, edge-connected NDV stays masked (malib.py:1352-1375)") {
     val w = 16; val h = 12
     val px = Array.fill(w * h)(5.0f)
