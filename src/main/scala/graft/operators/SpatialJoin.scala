@@ -19,20 +19,9 @@ import graft.sources.ImageTable
   * hash, polygon cells replicate ×salt. AQE skew-join covers the residual. */
 object SpatialJoin {
 
-  /** Decode cache: one WKB parse per polygon per task, not per candidate row.
-    * Keys are (operator-invocation epoch, poly_id): two polygon layers in the
-    * same JVM may reuse ids with different geometries, so a bare poly_id key
-    * would serve stale geometry across queries. */
-  private val cache = new ThreadLocal[java.util.HashMap[String, MultiPolygon]] {
-    override def initialValue() = new java.util.HashMap[String, MultiPolygon]()
-  }
-  private def poly(epoch: String, id: String, wkb: Array[Byte]): MultiPolygon = {
-    val c = cache.get()
-    val key = epoch + "/" + id
-    var p = c.get(key)
-    if (p == null) { p = Wkb.read(wkb); if (c.size > 4096) c.clear(); c.put(key, p) }
-    p
-  }
+  // The WKB decode cache lives in graft.functions.PipKernels (keyed by
+  // operator-invocation epoch + poly_id); the PIP refine is the codegen'd
+  // PipContains expression — no ScalaUDF fence in the join filter.
 
   /** Polygon side → (cell_id, salt, poly_id, geom_wkb). */
   def polyCells(spark: SparkSession, polys: DataFrame, cellSize: Double,
@@ -63,10 +52,9 @@ object SpatialJoin {
       .withColumn("salt", pmod(hash(col("pt_id")), lit(saltFactor)))
     val right = if (broadcastPolys) broadcast(pc) else pc
     val epoch = java.util.UUID.randomUUID().toString // cache scope, this invocation
-    val contains = udf((id: String, wkb: Array[Byte], x: Double, y: Double) =>
-      poly(epoch, id, wkb).contains(x, y))
     pts.join(right, Seq("cell_id", "salt"))
-      .filter(contains(col("poly_id"), col("geom_wkb"), col("x"), col("y")))
+      .filter(graft.functions.PipFunctions.pipContains(
+        lit(epoch), col("poly_id"), col("geom_wkb"), col("x"), col("y")))
       .drop("geom_wkb", "salt")
   }
 
@@ -78,11 +66,12 @@ object SpatialJoin {
   def heatmap(spark: SparkSession, polys: DataFrame, cellSize: Double = 64.0): DataFrame = {
     val pc = polyCells(spark, polys, cellSize, saltFactor = 1)
     val epoch = java.util.UUID.randomUUID().toString // cache scope, this invocation
-    val centerIn = udf((id: String, wkb: Array[Byte], cell: Long) => {
-      val e = PlanarCell.extent(cell, cellSize)
-      poly(epoch, id, wkb).contains((e.xmin + e.xmax) / 2, (e.ymin + e.ymax) / 2)
-    })
-    pc.filter(centerIn(col("poly_id"), col("geom_wkb"), col("cell_id")))
+    // cell centers from the packed id ((cx+2^30)<<31 | (cy+2^30)), inline math
+    val off = 1L << 30
+    val cx = (shiftrightunsigned(col("cell_id"), 31) - off + lit(0.5)) * cellSize
+    val cy = (col("cell_id").bitwiseAND(0x7fffffffL) - off + lit(0.5)) * cellSize
+    pc.filter(graft.functions.PipFunctions.pipContains(
+        lit(epoch), col("poly_id"), col("geom_wkb"), cx, cy))
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n_polys"))
   }
 

@@ -78,3 +78,38 @@ class CellExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 }
+
+class PipExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val df = {
+    import spark.implicits._
+    val box = graft.geo.Polygon.box(graft.geo.Extent(0, 0, 10, 10))
+    val wkb = graft.geo.Wkb.writeMultiPolygon(graft.geo.MultiPolygon(Seq(box)))
+    Seq((("p1"), wkb, 5.0, 5.0, true), (("p1"), wkb, 15.0, 5.0, false),
+        (("p1"), wkb, 9.99, 9.99, true), (("p1"), wkb, -0.01, 5.0, false))
+      .toDF("poly_id", "geom_wkb", "x", "y", "want")
+  }
+
+  test("pip_contains matches direct geometry evaluation (codegen path)") {
+    val rows = df.select(col("want"), PipFunctions.pipContains(
+      lit("e1"), col("poly_id"), col("geom_wkb"), col("x"), col("y")).as("got")).collect()
+    rows.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  test("pip_contains survives CODEGEN_ONLY factory mode and no ScalaUDF in plan") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val q = df.filter(PipFunctions.pipContains(
+        lit("e2"), col("poly_id"), col("geom_wkb"), col("x"), col("y")))
+      assert(q.count() == 2)
+      assert(!q.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+}
