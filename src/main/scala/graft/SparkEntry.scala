@@ -81,6 +81,7 @@ object SparkEntry {
     "q61_mad_fltr_sampled" -> (Rel2.madFltrSampled _),
     "q62_knn_orders"       -> (Rel2.knnOrders _),
     "q63_warp_assign"      -> ((s, _) => Engine.warpAssign(s, "")),
+    "q64_ann_ivf"          -> (Engine.annIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -52,6 +52,78 @@ object Similarity {
     keys
   }
 
+  /** IVF-flat ANN: a deterministic Lloyd k-means coarse quantizer (init =
+    * the nLists lowest-id candidates, fixed iteration count, centroids
+    * collected to the driver each round — they are nLists×dims doubles,
+    * tiny), candidates bucketed into inverted lists by nearest centroid
+    * (one shuffle), queries probe their nProbe nearest centroids and exact
+    * cosine re-ranks within the probed lists. The second scale path beside
+    * the hyperplane-LSH bucket join (annCosine): lists grow with data while
+    * probe cost stays nProbe/nLists of a full scan. Deterministic
+    * end-to-end (no RNG), so results are partition-stable. */
+  def ivfCosine(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+                k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    import graft.functions.VecFunctions.vecDot
+    import spark.implicits._
+
+    val cand = candidates.select(col("c_id"), col("embedding").as("cv")).cache()
+    // deterministic init: the nLists lowest-id candidates
+    var centroids: Array[Array[Double]] = cand.orderBy(col("c_id")).limit(nLists)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+
+    def nearest(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < cv.length && i < v.length) {
+          val t = v(i) - cv(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 0 until iters) {
+      val cs = centroids
+      val assignUdf = udf(nearest(cs) _)
+      val sums = cand.withColumn("list_id", assignUdf(col("cv")))
+        .select(col("list_id"), posexplode(col("cv")).as(Seq("i", "x")))
+        .groupBy(col("list_id"), col("i"))
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty lists keep their centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+
+    val cs = centroids
+    val assignUdf = udf(nearest(cs) _)
+    val lists = cand.withColumn("list_id", assignUdf(col("cv")))
+    val probeUdf = udf((v: Seq[Float]) => {
+      // nProbe nearest centroids, ordered by distance then index
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < cs(c).length && i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(nProbe).map(_._2).toArray
+    })
+    val qk = queries.select(col("q_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    qk.join(lists, Seq("list_id"))
+      .select(col("q_id"), col("c_id"),
+        (vecDot(col("qv"), col("cv")) /
+         (col("qn") * sqrt(vecDot(col("cv"), col("cv"))))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** ANN top-k: queries(q_id, embedding) × candidates(c_id, embedding).
     * Candidate pairs from any shared LSH bucket, exact cosine re-rank,
     * deterministic (cos desc, c_id asc) tie-break. */

@@ -252,6 +252,16 @@ object Engine {
       |  ((px1 // 64 - px0 // 64 + 1)::BIGINT * (py1 // 64 - py0 // 64 + 1)) AS n_tiles
       |FROM b""".stripMargin
 
+  /** ANN over embeddings, IVF-flat variant: deterministic k-means inverted
+    * lists + nProbe search (the second scale path beside q59's LSH). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = s.read.parquet(s"$d/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 50).select(col("vec_id").as("q_id"), col("embedding"))
+    val c = e.filter(col("vec_id") >= 50).select(col("vec_id").as("c_id"), col("embedding"))
+    graft.operators.Similarity.ivfCosine(s, q, c, k = 3, nLists = 16, nProbe = 4)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+  }
+
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */
   def trendTiles(s: SparkSession, d: String): DataFrame = {
     val imgs = images(s, d)

@@ -42,6 +42,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann == ann2)
   }
 
+  test("IVF ANN: high top-1 recall vs brute force; partition-stable") {
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val c = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("c_id"), col("embedding"))
+    val ivf = Similarity.ivfCosine(spark, q, c, k = 1, nLists = 8, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.size == 20)
+
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+           s"cast(0 as double), (acc, v) -> acc + v)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    val brute = q.select(col("q_id"), col("embedding").as("qv"))
+      .crossJoin(c.select(col("c_id"), col("embedding").as("cv")))
+      .select(col("q_id"), col("c_id"),
+        (dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv")))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = brute.count { case (qid, cid) => ivf.get(qid).contains(cid) }
+    assert(hits >= 12, s"IVF recall $hits/20 too low") // probing half the lists
+
+    val ivf2 = Similarity.ivfCosine(spark, q.repartition(5), c.repartition(9),
+        k = 1, nLists = 8, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == ivf2)
+  }
+
   test("bucket keys are deterministic and table-disambiguated") {
     val v = Array.fill(64)(0.5f)
     val k1 = Similarity.bucketKeys(v, 64, 4, 12)
