@@ -34,6 +34,54 @@ object StreamOps {
       .format("memory").queryName(queryName).start()
   }
 
+  /** Streaming exact dedup — the training-pipeline ingest pattern: drop
+    * repeated content fingerprints within the watermark horizon
+    * (dropDuplicatesWithinWatermark keeps state bounded, unlike a global
+    * dropDuplicates whose state grows forever at 100 TB/day ingest). Emits
+    * first-seen rows only. Schema: doc_id string, fp string, ts timestamp. */
+  def dedupStream(spark: SparkSession, inDir: String, queryName: String,
+                  watermark: String = "1 hour"): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("fp", StringType),
+      StructField("ts", TimestampType)))
+    spark.readStream.schema(schema).parquet(inDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+  }
+
+  /** Streaming per-key custom state — flatMapGroupsWithState: running
+    * per-cell (count, mean, min, max) maintained explicitly, the shape for
+    * state the built-in aggs can't express (e.g. per-cell layer timelines).
+    * Incremental stack-stats twin of stackStatsStream via managed state. */
+  def stackStateStream(spark: SparkSession, inDir: String,
+                       queryName: String): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("cell_id", LongType), StructField("v", DoubleType),
+      StructField("ts", TimestampType)))
+    val updateFn = (cell: Long, rows: Iterator[(Long, Double)],
+                    state: GroupState[(Long, Double, Double, Double)]) => {
+      var (n, s, mn, mx) = state.getOption.getOrElse((0L, 0.0, Double.MaxValue, Double.MinValue))
+      rows.foreach { case (_, v) =>
+        n += 1; s += v; if (v < mn) mn = v; if (v > mx) mx = v
+      }
+      state.update((n, s, mn, mx))
+      Iterator.single((cell, n, s / n, mn, mx))
+    }
+    spark.readStream.schema(schema).parquet(inDir)
+      .select(col("cell_id"), col("v")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFn)
+      .toDF("cell_id", "cnt", "vmean", "vmin", "vmax")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName).start()
+  }
+
   /** Streaming session clustering: 1-hour-gap sessions per user with a
     * 2-hour watermark for late events (append mode emits closed sessions). */
   def sessionStream(spark: SparkSession, inDir: String, queryName: String,

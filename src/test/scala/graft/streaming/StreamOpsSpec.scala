@@ -53,3 +53,40 @@ class StreamOpsSpec extends AnyFunSuite {
     q.stop()
   }
 }
+
+class StreamOps2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming exact dedup drops repeated fingerprints (bounded state)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(("d1", "fpA", ts("2024-01-01 00:00:00")),
+        ("d2", "fpA", ts("2024-01-01 00:10:00")),   // dup within watermark
+        ("d3", "fpB", ts("2024-01-01 00:20:00")))
+      .toDF("doc_id", "fp", "ts").write.mode("append").parquet(dir)
+    val q = StreamOps.dedupStream(spark, dir, "dedup_mem")
+    q.processAllAvailable()
+    val fps = spark.sql("SELECT fp FROM dedup_mem").collect().map(_.getString(0)).sorted
+    assert(fps.toSeq == Seq("fpA", "fpB"))
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState maintains running per-cell stats across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_state").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((7L, 10.0, ts("2024-01-01 00:00:00"))).toDF("cell_id", "v", "ts")
+      .write.mode("append").parquet(dir)
+    val q = StreamOps.stackStateStream(spark, dir, "state_mem")
+    q.processAllAvailable()
+    Seq((7L, 30.0, ts("2024-01-02 00:00:00"))).toDF("cell_id", "v", "ts")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val r = spark.sql("SELECT cnt, vmean, vmin, vmax FROM state_mem WHERE cell_id = 7")
+      .orderBy(col("cnt").desc).head()
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 20.0 &&
+           r.getDouble(2) == 10.0 && r.getDouble(3) == 30.0)
+    q.stop()
+  }
+}
