@@ -262,6 +262,95 @@ object Engine {
       .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rnk"))
   }
 
+  /** gdaldem terrain family over warped tiles: aspect + hillshade + TRI
+    * summarized per image (Horn 3×3 stencil, halo 1). */
+  def demFamily(s: SparkSession, d: String): DataFrame = {
+    val imgs = images(s, d)
+    val target = Warp.analyze(imgs, "min", "union")
+    val tiles = Warp.warpToTiles(s, imgs, target, "near")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val nty = (target.h + Warp.TileSize - 1) / Warp.TileSize
+    val shade = Stencil(tiles, ntx, nty, halo = 1)(
+      Stencil.demKernel("hillshade", target.res))
+    shade.toDF().groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n_tiles"), sum(col("n_valid")).as("n_shaded_px"))
+  }
+
+  /** map_interp-grade gap fill over warped tiles (local cubic LSQ). */
+  def fillInterp(s: SparkSession, d: String): DataFrame = {
+    val imgs = images(s, d)
+    val target = Warp.analyze(imgs, "min", "union")
+    val tiles = Warp.warpToTiles(s, imgs, target, "near")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val nty = (target.h + Warp.TileSize - 1) / Warp.TileSize
+    Stencil.fillGaps(tiles, ntx, nty).toDF()
+      .groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n_tiles"), sum(col("n_valid")).as("n_valid_px"))
+  }
+
+  /** remove_islands morphological closing over warped tiles. */
+  def removeIslandsQ(s: SparkSession, d: String): DataFrame = {
+    val imgs = images(s, d)
+    val target = Warp.analyze(imgs, "min", "union")
+    val tiles = Warp.warpToTiles(s, imgs, target, "near")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val nty = (target.h + Warp.TileSize - 1) / Warp.TileSize
+    Stencil.removeIslands(tiles, ntx, nty, iterations = 1).toDF()
+      .groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n_tiles"), sum(col("n_valid")).as("n_valid_px"))
+  }
+
+  /** RANSAC per-cell trend over the clipped tile window (robust variant
+    * beside q58's Theil–Sen). */
+  def ransacTiles(s: SparkSession, d: String): DataFrame = {
+    val imgs = images(s, d)
+    val target = Warp.analyze(imgs, "min", "union")
+    val tiles = StackOps.stackClip(
+      Warp.warpToTiles(s, imgs, target, "near"), 0, 0, 3, 3)
+    StackOps.ransac(StackOps.toCells(tiles))
+      .select(col("cell_id"), col("n"), round(col("slope_yr"), 4).as("slope_yr"),
+              col("n_inliers"))
+  }
+
+  /** Subsampled scan (ds_getma_sub): per-image capped dims + scaled res. */
+  def subsampleScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    images(s, d).as[graft.sources.ImageRow]
+      .map { img =>
+        val sub = RasterOps.subsample(img, maxdim = 48)
+        (img.image_id, img.w, img.h, sub.w, sub.h, sub.res)
+      }
+      .toDF("image_id", "w", "h", "sub_w", "sub_h", "sub_res")
+  }
+
+  /** Outline with the reference's 2-px simplify + convex-hull variants:
+    * vertex counts drop under simplify, hull is convex (raster→vector). */
+  def outlineSimplify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    images(s, d).as[graft.sources.ImageRow].flatMap { img =>
+      for {
+        raw <- RasterOps.outline(img)
+        simp <- RasterOps.outline(img, simplify = true)
+        hull <- RasterOps.outline(img, convex = true)
+      } yield (img.image_id,
+        graft.geo.Wkb.read(raw).polys.head.shell.n,
+        graft.geo.Wkb.read(simp).polys.head.shell.n,
+        graft.geo.Wkb.read(hull).polys.head.shell.n)
+    }.toDF("image_id", "n_raw", "n_simplified", "n_hull")
+  }
+
+  /** maskfill family: per-image interior-hole and opened-mask pixel counts. */
+  def maskfillQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    images(s, d).as[graft.sources.ImageRow].map { img =>
+      val px = graft.sources.Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+      val outside = RasterOps.maskFillHoles(px, img.w, img.h, img.ndv.toFloat)
+      val opened = RasterOps.maskfillEdgeInclude(px, img.w, img.h, img.ndv.toFloat)
+      (img.image_id, px.count(_ == img.ndv.toFloat),
+       outside.count(_ == true), opened.count(_ == true))
+    }.toDF("image_id", "n_invalid", "n_outside", "n_opened")
+  }
+
   /** Per-pixel OLS trend over the stack (ma_linreg analog), summarized. */
   def trendTiles(s: SparkSession, d: String): DataFrame = {
     val imgs = images(s, d)
