@@ -473,12 +473,36 @@ object Stencil {
       val out = new Array[Float](t * t)
       val m = Array.ofDim[Double](nT, nT + 1)
       val b = new Array[Double](nT)
+      val uxp = new Array[Double](degree + 1)
+      val uyp = new Array[Double](degree + 1)
+      // summed-area table of validity: O(1) support-count lookups let the
+      // (common) hopeless gap pixels skip the 81-point gather + solve
+      // entirely — identical results, most tiles are largely empty margins
+      val sat = new Array[Int]((p + 1) * (p + 1))
+      var sy = 0
+      while (sy < p) {
+        var sx = 0
+        while (sx < p) {
+          sat((sy + 1) * (p + 1) + (sx + 1)) =
+            (if (padded(sy * p + sx) != ndv) 1 else 0) +
+            sat(sy * (p + 1) + (sx + 1)) + sat((sy + 1) * (p + 1) + sx) -
+            sat(sy * (p + 1) + sx)
+          sx += 1
+        }
+        sy += 1
+      }
+      def windowCount(cx: Int, cy: Int): Int = {
+        val x0 = cx - h; val y0 = cy - h; val x1 = cx + h + 1; val y1 = cy + h + 1
+        sat(y1 * (p + 1) + x1) - sat(y0 * (p + 1) + x1) -
+          sat(y1 * (p + 1) + x0) + sat(y0 * (p + 1) + x0)
+      }
       var y = 0
       while (y < t) {
         var x = 0
         while (x < t) {
           val c = padded((y + h) * p + (x + h))
           if (c != ndv) out(y * t + x) = c
+          else if (windowCount(x + h, y + h) < 2 * nT) out(y * t + x) = ndv
           else {
             var a = 0
             while (a < nT) { java.util.Arrays.fill(m(a), 0.0); a += 1 }
@@ -491,9 +515,15 @@ object Stencil {
                 if (v != ndv) {
                   n += 1
                   val ux = dx.toDouble / h; val uy = dy.toDouble / h
+                  // incremental monomials (pow() here dominated the kernel)
+                  var pw = 1.0
+                  var e = 0
+                  while (e <= degree) { uxp(e) = pw; pw *= ux; e += 1 }
+                  pw = 1.0; e = 0
+                  while (e <= degree) { uyp(e) = pw; pw *= uy; e += 1 }
                   var a2 = 0
                   while (a2 < nT) {
-                    b(a2) = math.pow(ux, terms(a2)._1) * math.pow(uy, terms(a2)._2)
+                    b(a2) = uxp(terms(a2)._1) * uyp(terms(a2)._2)
                     a2 += 1
                   }
                   var r = 0
