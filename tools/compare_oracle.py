@@ -16,12 +16,16 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+STRICT = "--strict" in sys.argv  # full-precision repr instead of 9 sig digits
+
 def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            return "0.0" if v == 0.0 else repr(v)
         # collapse -0.0/0.0 and tiny fp residue beyond 9 significant digits
         return format(v, ".9g")
     if isinstance(v, bool):
