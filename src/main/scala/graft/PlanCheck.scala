@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Plan-shape diagnostics: join shapes of the pair-join queries (expect no
+  * BroadcastNestedLoopJoin/CartesianProduct) and scan pruning (ReadSchema /
+  * PushedFilters) of representative relational queries. */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -8,6 +11,7 @@ object PlanCheck {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
+    println("== pair-join shapes ==")
     for ((name, df) <- Seq(
         ("q24", queries.Text.minhashPairs(spark, d)),
         ("q28", queries.Vec.embNearDup(spark, d)),
@@ -15,11 +19,19 @@ object PlanCheck {
         ("q59", queries.Engine.annLsh(spark, d)))) {
       df.count()
       val plan = df.queryExecution.executedPlan.toString
-      val joins = plan.linesIterator.filter(l => l.contains("Join") || l.contains("Cartesian"))
-        .map(_.trim.take(100)).toSeq.distinct
-      println(s"== $name ==")
-      joins.foreach(j => println("  " + j))
-      println(s"  BNLJ=${plan.contains("BroadcastNestedLoopJoin")} CART=${plan.contains("CartesianProduct")}")
+      println(s"  $name BNLJ=${plan.contains("BroadcastNestedLoopJoin")} CART=${plan.contains("CartesianProduct")}")
+    }
+    println("== scan pruning (ReadSchema / PushedFilters) ==")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if name < "q40") {
+      val df = fn(spark, d)
+      val scans = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("ReadSchema")).toSeq.distinct
+      scans.foreach { l =>
+        val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?")
+        val pf = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+        println(f"  $name%-22s cols=${rs.split(",").length}%2d  pushed=${pf.take(60)}")
+      }
     }
     spark.stop()
   }

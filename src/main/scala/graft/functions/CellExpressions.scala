@@ -140,5 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("planar_kring"),
       new ExpressionInfo(classOf[PlanarKRing].getName, "planar_kring"),
       (es: Seq[Expression]) => PlanarKRing(cl(es(0)), ci(es(1)))))
+    // custom whole-operator plan: nearest-time as-of join (graft.plans)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

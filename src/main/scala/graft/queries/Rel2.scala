@@ -150,6 +150,27 @@ object Rel2 {
       |        ORDER BY dist ASC, c_id ASC) AS rnk FROM j)
       |SELECT q_id, c_id, dist, rnk FROM r WHERE rnk <= 5""".stripMargin
 
+  /** The nearest-time as-of join (q11's semantics) routed through the
+    * CUSTOM CATALYST PLAN — AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec
+    * (graft.plans): one cogroup + per-key binary search instead of the
+    * window form's |L_k|·|R_k| pair materialization. Oracle = the identical
+    * DuckDB window query, so the physical operator itself is hash-checked. */
+  def asofPlan(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("event_id"), col("user_id"),
+      Rel.tUs(col("ts")).as("t_us"), col("event_type"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("t_us").as("p_t"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("cu_id"), col("t_us").as("c_t"))
+    graft.plans.AsOf.join(p, c,
+        leftKey = "user_id", leftTime = "p_t",
+        rightKey = "cu_id", rightTime = "c_t", rightTie = "c_id")
+      .select(col("p_id"), col("user_id"), col("c_id"),
+              abs(col("c_t") - col("p_t")).as("dt_us"))
+  }
+
+  val asofPlanSql: String = Rel.asofNearestSql
+
   /** Bin x by z — `bin_x_by_z` `malib.py:1802-1836`: digitize z into bins,
     * per-bin med/NMAD/mean/std/count of x. */
   def binByZ(s: SparkSession, d: String): DataFrame = {
