@@ -27,6 +27,31 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("pointSample ships image payloads ~once: shuffle bytes bounded") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val images = ImageTable.generate(spark, 40).cache(); images.count()
+    val payloadBytes = images.select(sum(length(col("bytes")))).head().getLong(0)
+    // many points per image: the old shape shipped bytes per covering cell
+    // AND per matched point; the cogroup ships each image's bytes once
+    val pts = graft.sources.PolygonTable.points(spark, 4000)
+    var shuffleWrite = 0L
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Sampling.pointSample(spark, pts, images, cellSize = 256.0).count()
+      Thread.sleep(500) // let stage-completed events drain
+      assert(n > 0)
+      // bytes cross the wire once for the image side plus small point rows:
+      // well under 3× the raw payload (the per-covering-cell form was ~10×+)
+      assert(shuffleWrite < 3L * payloadBytes + 20L * 4000 * 64,
+        s"shuffleWrite=$shuffleWrite payload=$payloadBytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("points outside every image are dropped; NDV margins lower the count") {
     import spark.implicits._
     val images = ImageTable.generate(spark, 1)   // image 0: margin 3
