@@ -185,8 +185,12 @@ object Text {
         struct(lit(0).as("bi"), col("band0").as("bv")),
         struct(lit(1).as("bi"), col("band1").as("bv")))).as("b"))
       .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    bands.select(col("doc_id").as("d1"), col("bi"), col("bv"))
-      .join(bands.select(col("doc_id").as("d2"), col("bi"), col("bv")), Seq("bi", "bv"))
+    // SHUFFLE_HASH hint: the two sides are the same (expensive: shingle →
+    // 4×md5 → min) subtree; a broadcast join would EXECUTE it twice, while
+    // identical shuffle exchanges canonicalize to one ReusedExchange.
+    bands.select(col("doc_id").as("d1"), col("bi"), col("bv")).hint("shuffle_hash")
+      .join(bands.select(col("doc_id").as("d2"), col("bi"), col("bv")).hint("shuffle_hash"),
+            Seq("bi", "bv"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
