@@ -59,16 +59,40 @@ class CellExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 9)
   }
 
-  test("SparkSessionExtensions registration path") {
-    // a fresh session with the extensions class wired (the spark-submit path)
-    val s2 = spark.newSession()
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
-    // injectFunction on a live session isn't applied retroactively; assert the
-    // class at least constructs and registers through the builder API instead
-    GraftFunctions.register(s2)
-    import s2.implicits._
-    val v = s2.sql("SELECT zcell(0.0, 0.0, 5)").head().getLong(0)
-    assert(v == ZCell.encode(0.0, 0.0, 5))
+  test("spark.sql.extensions path: functions AND planner strategy injected at build") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force shared-session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions = the same injection surface spark.sql.extensions uses
+    // (the static conf can't be changed on the already-running test context)
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      assert(s2 ne prev)
+      // SQL functions resolve with NO manual registration (the spark-submit path)
+      assert(s2.sql("SELECT zcell(0.0, 0.0, 5)").head().getLong(0) ==
+        ZCell.encode(0.0, 0.0, 5))
+      // the custom as-of strategy plans with NO AsOf.install
+      import s2.implicits._
+      import org.apache.spark.sql.GraftSqlBridge
+      val l = Seq((1L, 100L, 10L)).toDF("k", "lt", "lid")
+      val r = Seq((1L, 90L, 5L), (1L, 250L, 6L)).toDF("rk", "rt", "rid")
+      val node = graft.plans.AsOfJoinNode(
+        GraftSqlBridge.logicalPlan(l), GraftSqlBridge.logicalPlan(r),
+        GraftSqlBridge.expression(l("k")), GraftSqlBridge.expression(l("lt")),
+        GraftSqlBridge.expression(r("rk")), GraftSqlBridge.expression(r("rt")),
+        GraftSqlBridge.expression(r("rid")))
+      val out = GraftSqlBridge.ofRows(s2, node).collect()
+      assert(out.length == 1 && out(0).getLong(5) == 5L) // nearest at Δ=10
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+      // s2 shares the SparkContext — do not stop it
+    }
   }
 
   test("null inputs yield null, not a crash") {
