@@ -57,16 +57,18 @@ object SparkEntry {
     "q39_absrange_fltr"  -> (Rel2.absrangeFltr _),
     // engine pipelines (no SQL twin; golden ScalaTest coverage instead)
     "q40_warp_tiles"       -> (Engine.warpTiles _),
-    "q41_stack_stats_tiles"-> (Engine.stackStatsTiles _),
-    "q42_trend_tiles"      -> (Engine.trendTiles _),
+    // q41/q42/q47/q50: oracle-exact forms of the heavy pipelines (the
+    // unrestricted full-scale forms run in Bench's flagship pipeline)
+    "q41_stack_stats_tiles"-> (EngineOracle.stackCells _),
+    "q42_trend_tiles"      -> (EngineOracle.trendCells _),
     "q43_pip_points"       -> (Engine.pipPoints _),
     "q44_heatmap_cells"    -> (Engine.heatmapCells _),
     "q45_clip_tiles"       -> (Engine.clipTiles _),
     "q46_knn_ring"         -> (Engine.knnRing _),
-    "q47_diff_stats"       -> (Engine.diffStats _),
+    "q47_diff_stats"       -> (EngineOracle.diffCells _),
     "q48_stencil_gauss"    -> (Engine.stencilGauss _),
     "q49_outlines"         -> (Engine.outlines _),
-    "q50_point_sample"     -> (Engine.pointSample _),
+    "q50_point_sample"     -> (EngineOracle.sampleCells _),
     "q51_profile"          -> (Engine.profileExtract _),
     "q52_id_dates"         -> (Engine.idDates _),
     "q53_img_features"     -> (Engine.imgFeatures _),
@@ -134,6 +136,14 @@ object SparkEntry {
     "q37_hist2d"         -> Rel2.hist2dSql,
     "q38_bin_by_z"       -> Rel2.binByZSql,
     "q39_absrange_fltr"  -> Rel2.absrangeFltrSql,
+    // oracle twins of the engine pipelines (EngineOracle scaladoc explains
+    // the bit-exactness construction)
+    "q41_stack_stats_tiles" -> EngineOracle.stackCellsSql,
+    "q42_trend_tiles"    -> EngineOracle.trendCellsSql,
+    "q47_diff_stats"     -> EngineOracle.diffCellsSql,
+    "q50_point_sample"   -> EngineOracle.sampleCellsSql,
+    "q52_id_dates"       -> EngineOracle.idDatesSql,
+    "q69_subsample_scan" -> EngineOracle.subsampleSql,
     "q60_hist2d_clipped" -> Rel2.hist2dClippedSql,
     "q61_mad_fltr_sampled" -> Rel2.madFltrSampledSql,
     "q62_knn_orders"     -> Rel2.knnOrdersSql,
