@@ -183,8 +183,11 @@ object StackOps {
     * SE = √(SSres/(n−2)/Sxx); with `confTest`, slope/intercept are masked
     * where |T0| ≤ t_{α/2, n−2} (the scipy t.ppf gate, here graft TDist). */
   class TileTrendAgg(tileLen: Int, ndv: Float, nThresh: Int, minDtPtp: Double,
-                     confTest: Boolean = false, alpha: Double = 0.05)
+                     confTest: Boolean = false, alpha: Double = 0.05,
+                     diagnostics: Boolean = true)
       extends Aggregator[TileRow, TrendBuf, TileTrend] with Serializable {
+    // r²/T0 need Σy² (the syy sums); confTest masks on T0, so it implies them
+    require(diagnostics || !confTest, "confTest requires diagnostics sums")
     def zero: TrendBuf = TrendBuf(0, new Array[Int](tileLen), new Array[Double](tileLen),
       new Array[Double](tileLen), new Array[Double](tileLen), new Array[Double](tileLen),
       new Array[Double](tileLen),
@@ -197,7 +200,7 @@ object StackOps {
         val v = r.payload(i)
         if (v != ndv) {
           b.cnt(i) += 1; b.st(i) += t; b.stt(i) += t * t; b.sy(i) += v; b.sty(i) += t * v
-          b.syy(i) += v.toDouble * v
+          if (diagnostics) b.syy(i) += v.toDouble * v
           if (t < b.tmin(i)) b.tmin(i) = t
           if (t > b.tmax(i)) b.tmax(i) = t
         }
@@ -232,24 +235,26 @@ object StackOps {
           if (det != 0.0) {
             val sl = (n * b.sty(i) - b.st(i) * b.sy(i)) / det
             val ic = (b.sy(i) - sl * b.st(i)) / n
-            val sxx = b.stt(i) - b.st(i) * b.st(i) / n
-            val sxy = b.sty(i) - b.st(i) * b.sy(i) / n
-            val syyC = b.syy(i) - b.sy(i) * b.sy(i) / n
-            val ssres = syyC - sl * sxy
-            if (syyC > 0) r2(i) = (sl * sxy / syyC).toFloat
             var keep = true
-            if (n > 2) {
-              if (ssres > 0) {
-                val se = math.sqrt(ssres / (n - 2) / sxx)
-                val t0 = sl / se
-                tstat(i) = t0.toFloat
-                if (confTest) {
-                  val ta = critMemo.getOrElseUpdate(n,
-                    graft.functions.TDist.crit(alpha, n - 2.0))
-                  keep = math.abs(t0) > ta // malib.py:1153-1156 (mask insignificant)
-                }
-              } // ssres == 0: perfect fit, T0 → ∞, always significant
-            } else if (confTest) keep = false // df < 1: no significance evidence
+            if (diagnostics) {
+              val sxx = b.stt(i) - b.st(i) * b.st(i) / n
+              val sxy = b.sty(i) - b.st(i) * b.sy(i) / n
+              val syyC = b.syy(i) - b.sy(i) * b.sy(i) / n
+              val ssres = syyC - sl * sxy
+              if (syyC > 0) r2(i) = (sl * sxy / syyC).toFloat
+              if (n > 2) {
+                if (ssres > 0) {
+                  val se = math.sqrt(ssres / (n - 2) / sxx)
+                  val t0 = sl / se
+                  tstat(i) = t0.toFloat
+                  if (confTest) {
+                    val ta = critMemo.getOrElseUpdate(n,
+                      graft.functions.TDist.crit(alpha, n - 2.0))
+                    keep = math.abs(t0) > ta // malib.py:1153-1156 (mask insignificant)
+                  }
+                } // ssres == 0: perfect fit, T0 → ∞, always significant
+              } else if (confTest) keep = false // df < 1: no significance evidence
+            }
             if (keep) {
               slope(i) = (sl * 365.25).toFloat
               // intercept reported at t=0 epoch days (undo the -20000 shift)
@@ -268,10 +273,12 @@ object StackOps {
   def trend(tiles: Dataset[TileRow], tileSize: Int = Warp.TileSize,
             ndv: Float = ImageTable.Ndv, nThresh: Int = 2,
             minDtPtp: Double = 0.0, confTest: Boolean = false,
-            alpha: Double = 0.05, maxLiveBuffers: Int = 2048): Dataset[TileTrend] = {
+            alpha: Double = 0.05, maxLiveBuffers: Int = 2048,
+            diagnostics: Boolean = true): Dataset[TileTrend] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new TileTrendAgg(tileSize * tileSize, ndv, nThresh, minDtPtp, confTest, alpha)
+    val agg = new TileTrendAgg(tileSize * tileSize, ndv, nThresh, minDtPtp, confTest,
+      alpha, diagnostics)
     partialFold(tiles, agg, maxLiveBuffers)((tid, b) => agg.finish(b).copy(tile_id = tid))
   }
 

@@ -44,4 +44,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("l_id"), col("k"), col("lt"))
     assert(AsOf.join(l2, r, "k", "lt", "rk", "rt", "r_id").count() == 0)
   }
+
+  test("NULL key/time rows are dropped, not coerced to 0") {
+    import spark.implicits._
+    AsOf.install(spark)
+    // key 0 exists on the right; a null-keyed left row must NOT match it
+    val l = Seq((Some(0L), Some(100L), 1L), (None, Some(100L), 2L),
+                (Some(0L), None, 3L))
+      .toDF("k", "lt", "l_id").select(col("l_id"), col("k"), col("lt"))
+    val r = Seq((Some(0L), Some(90L), 5L), (None, Some(100L), 6L))
+      .toDF("rk", "rt", "r_id").select(col("r_id"), col("rk"), col("rt"))
+    val out = AsOf.join(l, r, "k", "lt", "rk", "rt", "r_id")
+      .select(col("l_id"), col("r_id")).collect()
+    assert(out.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 5L)))
+  }
+
+  test("hot key: 10^6 right rows on one key stream-merge in bounded state") {
+    import spark.implicits._
+    AsOf.install(spark)
+    val nR = 1000000
+    // one hot key; right times = 10·i (ascending after the shuffle sort)
+    val r = spark.range(nR).select(col("id").as("r_id"), lit(7L).as("rk"),
+      (col("id") * 10).as("rt"))
+    val l = spark.range(500).select(col("id").as("l_id"), lit(7L).as("k"),
+      (col("id") * 20000 + 4).as("lt"))   // lt = 4 (mod 10): nearest below at Δ=4
+    val out = AsOf.join(l, r, "k", "lt", "rk", "rt", "r_id")
+      .select(col("l_id"), col("r_id")).collect()
+    assert(out.length == 500)
+    // closed form: lt = 20000·j + 4 → nearest right time 20000·j → r_id 2000·j
+    assert(out.forall(x => x.getLong(1) == x.getLong(0) * 2000))
+  }
 }
