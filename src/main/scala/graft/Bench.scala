@@ -75,6 +75,7 @@ object Bench {
     val total = results.map(_._2).sum + pipelineSec
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_sec":$pipelineSec%.3f,"images_per_sec":$imagesPerSec%.1f,"pipeline_counts":{"tiles":$nTiles,"stats":$nStats,"trend":$nTrend,"pip":$nPip,"heat":$nHeat,"knn":$nKnn}}""")
+    Engine.clearImageCache()
     spark.stop()
   }
 }

@@ -66,10 +66,14 @@ object Similarity {
     import graft.functions.VecFunctions.vecDot
     import spark.implicits._
 
-    val cand = candidates.select(col("c_id"), col("embedding").as("cv")).cache()
+    val cand = candidates.select(col("c_id"), col("embedding").as("cv"))
+    // cache scoped to the k-means loop only (iters full passes); the final
+    // assignment re-derives the narrow projection once — no leaked blocks
+    val candCached = cand.cache()
     // deterministic init: the nLists lowest-id candidates
-    var centroids: Array[Array[Double]] = cand.orderBy(col("c_id")).limit(nLists)
+    var centroids: Array[Array[Double]] = candCached.orderBy(col("c_id")).limit(nLists)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dims = centroids.map(_.length).max
 
     def nearest(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
       var best = 0; var bestD = Double.MaxValue
@@ -86,24 +90,48 @@ object Similarity {
       best
     }
 
+    // Lloyd step as a map-side partial fold: each task folds its rows into
+    // ONE (nLists × dims) sum buffer + count vector, the driver merges the
+    // per-partition partials (nLists·dims doubles each — tiny). One narrow
+    // pass per iteration; no per-row UDF, no posexplode row blow-up.
     for (_ <- 0 until iters) {
       val cs = centroids
-      val assignUdf = udf(nearest(cs) _)
-      val sums = cand.withColumn("list_id", assignUdf(col("cv")))
-        .select(col("list_id"), posexplode(col("cv")).as(Seq("i", "x")))
-        .groupBy(col("list_id"), col("i"))
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
-        .collect()
-      val next = centroids.map(_.clone()) // empty lists keep their centroid
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      val (sums, cnts) = candCached.select(col("cv")).rdd.mapPartitions { it =>
+        val s = Array.fill(cs.length)(new Array[Double](dims))
+        val n = new Array[Long](cs.length)
+        it.foreach { row =>
+          val v = row.getSeq[Float](0)
+          val l = nearest(cs)(v)
+          var i = 0
+          while (i < dims && i < v.length) { s(l)(i) += v(i); i += 1 }
+          n(l) += 1
+        }
+        Iterator.single((s, n))
+      }.reduce { case ((s1, n1), (s2, n2)) =>
+        var l = 0
+        while (l < s1.length) {
+          var i = 0
+          while (i < dims) { s1(l)(i) += s2(l)(i); i += 1 }
+          n1(l) += n2(l); l += 1
+        }
+        (s1, n1)
       }
-      centroids = next
+      centroids = centroids.indices.map { l =>
+        if (cnts(l) == 0) centroids(l) // empty lists keep their centroid
+        else sums(l).map(_ / cnts(l))
+      }.toArray
     }
+    candCached.unpersist()
 
     val cs = centroids
-    val assignUdf = udf(nearest(cs) _)
-    val lists = cand.withColumn("list_id", assignUdf(col("cv")))
+    // final inverted-list assignment: same narrow map, still UDF-free
+    val listSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("list_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +: cand.schema.fields)
+    val lists = spark.createDataFrame(
+      cand.rdd.mapPartitions { it =>
+        it.map(r => org.apache.spark.sql.Row.fromSeq(nearest(cs)(r.getSeq[Float](1)) +: r.toSeq))
+      }, listSchema)
     val probeUdf = udf((v: Seq[Float]) => {
       // nProbe nearest centroids, ordered by distance then index
       cs.indices.map { c =>

@@ -392,11 +392,14 @@ object StackOps {
                        maxIter: Int = 3, sigma: Double = 3.0): DataFrame = {
     var cells = cells0.select(col("cell_id"),
       (col("ts_us").cast("double") / 86400e6).as("t"), col("v").cast("double").as("y"))
-    var fit: DataFrame = null
+    // one action per round: carry the survivor count forward instead of
+    // re-counting the previous round's plan (was 2 count() jobs/round)
+    var prevCount = cells.count()
+    var prevCached: DataFrame = null
     var it = 0
     var changed = true
     while (it < maxIter && changed) {
-      fit = fitOls(cells)
+      val fit = fitOls(cells)
       val withResid = cells.join(fit, Seq("cell_id"))
         .withColumn("resid", col("y") - (col("slope") * col("t") + col("icpt")))
       // detrended spread = NMAD of residuals (malib.py:1101) — robust, so
@@ -411,14 +414,18 @@ object StackOps {
                 abs(col("resid")) <= col("rstd") * sigma)
         .select(col("cell_id"), col("t"), col("y"))
         .cache()
-      val before = cells.count(); val after = filtered.count()
-      changed = after < before
+      val after = filtered.count() // materializes the new cache
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = filtered
+      changed = after < prevCount
+      prevCount = after
       cells = filtered
       it += 1
     }
-    // refit on the final survivor set (the reference refits after removal)
-    fit = fitOls(cells)
-    fit.filter(col("n") >= nThresh && col("slope").isNotNull)
+    // refit on the final survivor set (the reference refits after removal);
+    // the final cache stays live — it backs the returned plan
+    fitOls(cells)
+      .filter(col("n") >= nThresh && col("slope").isNotNull)
       .select(col("cell_id"), col("n"), (col("slope") * 365.25).as("slope_yr"),
               col("icpt").as("intercept"))
   }

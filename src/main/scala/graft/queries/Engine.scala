@@ -28,6 +28,14 @@ object Engine {
     imageCache.getOrElseUpdate((s, d),
       ImageTable.generate(s, nImages(d), spread = true).cache())
 
+  /** Drop all memoized image tables (Bench/Verify call this before
+    * session stop; long-lived sessions should too — the memo itself never
+    * evicts). */
+  def clearImageCache(): Unit = {
+    imageCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    imageCache.clear()
+  }
+
   /** Flagship: warp all images to the (min-res, union-extent) common grid —
     * the warptool.py trace (SURVEY.md §3.1) — emitting tile assignments. */
   def warpTiles(s: SparkSession, d: String): DataFrame = {

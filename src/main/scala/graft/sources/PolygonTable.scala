@@ -89,8 +89,15 @@ object PolygonTable {
       .csv(path)
     if (headerless)
       df = df.toDF(df.columns.indices.map(i => s"field_${i + 1}"): _*)
-    val base = df.withColumn("pt_id",
-        format_string("pt_%07d", monotonically_increasing_id()))
+    // deterministic row ids: zipWithIndex follows the file/split order (the
+    // reference's readcsv row order), unlike monotonically_increasing_id,
+    // whose values depend on the partition layout and overflow the pad width
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withId = spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(f"pt_$i%09d" +: r.toSeq) },
+      StructType(StructField("pt_id", StringType, nullable = false) +: df.schema.fields))
+    val base = withId
       .withColumn("x", col(xCol).cast("double"))
       .withColumn("y", col(yCol).cast("double"))
     zCol match {
