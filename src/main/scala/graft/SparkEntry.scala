@@ -92,6 +92,8 @@ object SparkEntry {
     "q70_outline_simplify" -> (Engine.outlineSimplify _),
     "q71_maskfill"         -> (Engine.maskfillQ _),
     "q72_asof_plan"        -> (Rel2.asofPlan _),
+    // round-3 additions
+    "q73_geom_union"       -> (EngineOracle.geomUnion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +151,6 @@ object SparkEntry {
     "q62_knn_orders"     -> Rel2.knnOrdersSql,
     "q63_warp_assign"    -> Engine.warpAssignSql,
     "q72_asof_plan"      -> Rel2.asofPlanSql,
+    "q73_geom_union"     -> EngineOracle.geomUnionSql,
   )
 }

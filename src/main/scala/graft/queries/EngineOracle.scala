@@ -109,6 +109,58 @@ object EngineOracle {
       quantNoRipple(Engine.images(s, d)),
       cellSize = 256.0, pad = 1)
 
+  /** q73: exact polygon-union aggregate (GeomUnionAgg trapezoid dissolve)
+    * over the rectilinear polygon kinds — union area and extent, which the
+    * SQL twin re-derives with an independent slab-scanline rectangle union.
+    * Non-rectilinear inputs (C-shapes, donuts, crossing shapes) are covered
+    * by the GeomBoolSpec goldens. */
+  def geomUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pid = substring(col("poly_id"), 6, 5).cast("int")
+    val rects = PolygonTable.generate(s, Engine.nPolys(d))
+      .filter(pid % 4 === 0 || pid % 4 === 3)
+    rects
+      .agg(count(lit(1)).cast("int").as("n_polys"),
+           graft.functions.GeomFunctions.geomUnion(col("geom_wkb")).as("u"))
+      .as[(Int, Array[Byte])]
+      .map { case (n, wkb) =>
+        val mp = graft.geo.Wkb.read(wkb)
+        val e = mp.bbox
+        (n, graft.geo.Geom.area(mp), e.xmin, e.ymin, e.xmax, e.ymax)
+      }
+      .toDF("n_polys", "area", "xmin", "ymin", "xmax", "ymax")
+  }
+
+  /** DuckDB twin of q73: slab-scanline union area of the same closed-form
+    * rectangles (PolygonTable.polygon kinds 0 and 3) — every coordinate is
+    * an integer, so both engines' area sums are exact. */
+  val geomUnionSql: String =
+    """WITH p AS (SELECT i FROM generate_series(0, 119) t(i) WHERE i % 4 = 0 OR i % 4 = 3),
+      |c AS (SELECT i, 500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy FROM p),
+      |r AS (
+      |  SELECT i, cx AS x1, cx + 80 AS x2, cy - 60 AS y1, cy AS y2 FROM c WHERE i % 4 = 0
+      |  UNION ALL SELECT i, 499950, 508242, 5298000, 5300050 FROM c WHERE i = 3
+      |  UNION ALL SELECT i, cx, cx + 40, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, cx + 70, cx + 110, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3),
+      |xs AS (SELECT DISTINCT x FROM (SELECT x1 AS x FROM r UNION SELECT x2 AS x FROM r)),
+      |sl AS (SELECT * FROM (SELECT x AS sx1, lead(x) OVER (ORDER BY x) AS sx2 FROM xs)
+      |       WHERE sx2 IS NOT NULL),
+      |cov AS (SELECT sl.sx1, sl.sx2, r.y1, r.y2
+      |        FROM sl JOIN r ON r.x1 <= sl.sx1 AND r.x2 >= sl.sx2),
+      |m AS (SELECT sx1, sx2, y1, y2,
+      |        max(y2) OVER (PARTITION BY sx1 ORDER BY y1, y2
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM cov),
+      |gi AS (SELECT *, sum(CASE WHEN pmax IS NULL OR y1 > pmax THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY sx1 ORDER BY y1, y2 ROWS UNBOUNDED PRECEDING) AS grp
+      |       FROM m),
+      |iv AS (SELECT sx1, sx2, grp, min(y1) AS iy1, max(y2) AS iy2
+      |       FROM gi GROUP BY sx1, sx2, grp)
+      |SELECT (SELECT count(*) FROM p)::INT AS n_polys,
+      |  (SELECT sum(CAST(sx2 - sx1 AS DOUBLE) * (iy2 - iy1)) FROM iv) AS area,
+      |  (SELECT min(x1)::DOUBLE FROM r) AS xmin, (SELECT min(y1)::DOUBLE FROM r) AS ymin,
+      |  (SELECT max(x2)::DOUBLE FROM r) AS xmax, (SELECT max(y2)::DOUBLE FROM r) AS ymax""".stripMargin
+
   // ---------------------------------------------------------------- SQL twins
   // All literals that are not exactly representable in binary are cast
   // ::DOUBLE (DuckDB parses bare decimals as DECIMAL, whose exact arithmetic
