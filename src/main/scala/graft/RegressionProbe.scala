@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.{StackOps, Warp}
+import graft.operators.{StackOps, Stencil, Warp}
 import graft.sources.ImageTable
 
 /** Temporary probe for the r2 driver regressions (VERDICT r2 "What's wrong"
@@ -25,6 +25,10 @@ object RegressionProbe {
       spread = true).cache()
     images.count()
     val target = Warp.analyze(images, "min", "union")
+    val bigImages = ImageTable.generate(spark, 200, spread = true, dimScale = 8).cache()
+    bigImages.count()
+    val bigTarget = Warp.analyze(bigImages, "min", "union")
+    val bigNtx = (bigTarget.w + 63) / 64; val bigNty = (bigTarget.h + 63) / 64
 
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); val n = f; val s = (System.nanoTime() - t0) / 1e9
@@ -42,6 +46,17 @@ object RegressionProbe {
         }),
         "q20_dedup" -> (() => time {
           graft.queries.Text.dedupExact(spark, sfDir).count()
+        }),
+        // large-σ smoothing on big rasters (dimScale-8 fixture, ~400×350 px
+        // per image): one direct 47×47 kernel vs the decimating pyramid
+        // (gauss_fltr_pyramid filtlib.py:175-226, size 48)
+        "gauss_direct48" -> (() => time {
+          val t = Warp.warpToTiles(spark, bigImages, bigTarget, "near")
+          Stencil(t, bigNtx, bigNty, halo = 23)(Stencil.gaussKernel(47 / 6.0)).count()
+        }),
+        "gauss_pyramid48" -> (() => time {
+          val t = Warp.warpToTiles(spark, bigImages, bigTarget, "near")
+          Stencil.gaussPyramid(t, bigNtx, bigNty, size = 48)._1.count()
         }))
       tasks.foreach { case (name, f) =>
         val s = f(); acc(name) = s :: acc(name)

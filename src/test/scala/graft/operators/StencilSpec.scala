@@ -52,7 +52,12 @@ class StencilSpec extends AnyFunSuite {
         ("dilate", Stencil.morphKernel("dilate", 1), 1),
         ("slope", Stencil.slopeKernel(2.0), 1),
         ("highpass", Stencil.highpassKernel(1.0), 3),
-        ("interp", Stencil.interpKernel(3), 4))) {
+        ("interp", Stencil.interpKernel(3), 4),
+        ("iterdilate", Stencil.iteratedDilateKernel(3), 3),
+        ("rolling_max", Stencil.rollingKernel(5,
+          (v, n) => { var m = Float.MinValue; var i = 0
+                      while (i < n) { if (v(i) > m) m = v(i); i += 1 }; m }), 2),
+        ("bandpass", Stencil.bandpassKernel(1.0, 2.0), 9))) {
       val got = assemble(
         Stencil(tiles, ntx, nty, halo)(kern).collect().toSeq, target, 64)
       val whole = wholeArray(
@@ -155,6 +160,96 @@ class StencilSpec extends AnyFunSuite {
       assemble(tiles.collect().toSeq, target, 64), target.w, target.h,
       Stencil.removeIslandsKernel(2), 4)
     assert(got.indices.forall(i => got(i) == whole(i)))
+  }
+
+  test("fillGapsDilate single exchange == chained per-round exchanges") {
+    import spark.implicits._
+    val images = ImageTable.generate(spark, 1) // image 0: NDV margin 3
+    val g = ImageTable.gridOf(0)
+    val target = GridSpec.fromExtentRes(g.extent, 2.0, ImageTable.Crs)
+    val tiles = Warp.warpToTiles(spark, images, target, "near").cache()
+    val ntx = (target.w + 63) / 64; val nty = (target.h + 63) / 64
+    val single = assemble(
+      Stencil.fillGapsDilate(tiles, ntx, nty, rounds = 3).collect().toSeq, target, 64)
+    var chained = tiles
+    for (_ <- 0 until 3)
+      chained = Stencil(chained, ntx, nty, halo = 1)(Stencil.morphKernel("dilate", 1))
+    val want = assemble(chained.collect().toSeq, target, 64)
+    assert(single.sameElements(want))
+    assert(single.count(_ != ndv) > assemble(tiles.collect().toSeq, target, 64).count(_ != ndv))
+    tiles.unpersist()
+  }
+
+  test("rolling reducer: circular half-pixel disc per filtlib.py:303-312; fills gaps") {
+    // direct check on one padded frame: size-5 circular window max
+    val p = 11; val h = 2
+    val padded = Array.tabulate(p * p)(i => (i % 7).toFloat)
+    padded(5 * p + 5) = ndv
+    val out = Stencil.rollingKernel(5, (v, n) => {
+      var m = Float.MinValue; var i = 0
+      while (i < n) { if (v(i) > m) m = v(i); i += 1 }; m
+    })(padded, p, h, ndv)
+    val t = p - 2 * h
+    // gap pixel gets filled from its window (rolling_fltr fills)
+    assert(out((5 - h) * t + (5 - h)) != ndv)
+    // reproduce the reference's mask: keep (i,j) iff (i-2.5)²+(j-2.5)² ≤ 6.25
+    for (y <- 0 until t; x <- 0 until t) {
+      var m = Float.MinValue
+      for (i <- 0 until 5; j <- 0 until 5
+           if (i - 2.5) * (i - 2.5) + (j - 2.5) * (j - 2.5) <= 6.25) {
+        val v = padded((y + h + i - 2) * p + (x + h + j - 2))
+        if (v != ndv && v > m) m = v
+      }
+      assert(out(y * t + x) == m, s"($x,$y)")
+    }
+  }
+
+  test("bandpass rejects DC and the affine trend (filtlib.py:262-268)") {
+    val p = 40; val h = 9
+    // constant field → bandpass 0
+    val const = Array.fill(p * p)(42.0f)
+    val bc = Stencil.bandpassKernel(1.0, 2.0)(const, p, h, ndv)
+    assert(bc.forall(v => math.abs(v) < 1e-4))
+    // affine field → gauss is identity in the interior → bandpass ~0
+    val affine = Array.tabulate(p * p)(i => (0.5f * (i % p) - 0.25f * (i / p)))
+    val ba = Stencil.bandpassKernel(1.0, 2.0)(affine, p, h, ndv)
+    assert(ba.forall(v => math.abs(v) < 1e-3))
+  }
+
+  test("gaussPyramid: levels, lattice registration, affine exactness (filtlib.py:175-226)") {
+    import spark.implicits._
+    // image 1 is raw + pure affine (no ripple, no margin)
+    val images = ImageTable.generate(spark, 2).filter(col("image_id") === ImageTable.imageIdOf(1))
+    val g = ImageTable.gridOf(1)
+    val target = GridSpec.fromExtentRes(g.extent, 2.0, ImageTable.Crs)
+    val tiles = Warp.warpToTiles(spark, images, target, "near").cache()
+    val ntx = (target.w + 63) / 64; val nty = (target.h + 63) / 64
+    val levels = 3 // size 8
+    val (coarse, cntx, _) = Stencil.gaussPyramid(tiles, ntx, nty, size = 8)
+    assert(cntx == (ntx + 7) / 8) // ceil-halved 3× (levels = floor(log2 8))
+    val rows = coarse.collect()
+    assert(rows.nonEmpty)
+    val scale = 1 << levels
+    var checked = 0
+    rows.foreach { t =>
+      for (py <- 0 until 64; px <- 0 until 64) {
+        val v = t.payload(py * 64 + px)
+        if (v != ndv) {
+          // coarse pixel (X', Y') sits on original even-lattice pixel
+          // (scale·X', scale·Y'): interior values stay the affine surface
+          val gx = (t.tx * 64 + px) * scale; val gy = (t.ty * 64 + py) * scale
+          if (gx > 2 * scale && gy > 2 * scale &&
+              gx < target.w - 2 * scale && gy < target.h - 2 * scale) {
+            val (mx, my) = target.pixelToMap(gx, gy)
+            val want = ImageTable.surface(1, mx, my)
+            assert(math.abs(v - want) < 1e-2, s"($gx,$gy): $v vs $want")
+            checked += 1
+          }
+        }
+      }
+    }
+    assert(checked > 20, s"only $checked interior coarse pixels")
+    tiles.unpersist()
   }
 
   test("erode shrinks validity; dilate then erode restores interior") {
