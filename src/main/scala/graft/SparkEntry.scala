@@ -94,6 +94,10 @@ object SparkEntry {
     "q72_asof_plan"        -> (Rel2.asofPlan _),
     // round-3 additions
     "q73_geom_union"       -> (EngineOracle.geomUnion _),
+    // Structured Streaming pipelines run for real (file source → watermark →
+    // stateful op → sink) on a bounded fixture; see queries/Stream.scala
+    "q74_stream_dedup"     -> (Stream.streamDedup _),
+    "q75_stream_sessions"  -> (Stream.streamSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,5 +156,7 @@ object SparkEntry {
     "q63_warp_assign"    -> Engine.warpAssignSql,
     "q72_asof_plan"      -> Rel2.asofPlanSql,
     "q73_geom_union"     -> EngineOracle.geomUnionSql,
+    "q74_stream_dedup"   -> Stream.streamDedupSql,
+    "q75_stream_sessions"-> Stream.streamSessionsSql,
   )
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Driver-visible Structured Streaming queries (SURVEY §2.10 extension).
+  *
+  * Each query builds a deterministic bounded stream fixture from the sf
+  * tables, runs the REAL streaming pipeline — file source → watermarked
+  * stateful operator → memory sink — across multiple micro-batches, then
+  * returns the sink contents as a batch DataFrame. What's under test is the
+  * streaming machinery itself (keyed state, event-time watermark,
+  * append-mode eviction); what makes it oracle-checkable is that on a
+  * bounded input the streaming result must equal the batch form, which
+  * DuckDB can compute directly on the source table.
+  *
+  * Scale note: the memory sink is fixture-only — at 100 TB/day ingest these
+  * same pipelines write to a real sink (kafka/parquet); state stays bounded
+  * by the watermark horizon either way (the point of
+  * dropDuplicatesWithinWatermark / session_window + watermark vs their
+  * unbounded-state cousins).
+  */
+object Stream {
+  private def fixtureDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  private def sinkName(tag: String): String =
+    s"graft_${tag}_${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** q74: streaming exact dedup — the training-pipeline ingest pattern
+    * (batch twin: q20 / `Text.dedupExact`). The documents table becomes a
+    * 3-micro-batch stream of (doc_id, dup_key, event-time); duplicates of a
+    * key first seen in an EARLIER micro-batch are dropped by watermarked
+    * state, not by a global shuffle — the 100 TB/day ingest shape. Event
+    * time advances 1 ms per doc, so any realistic corpus stays far inside
+    * the 30-day dedup horizon and the bounded result is exactly the
+    * distinct key set. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = fixtureDir("q74")
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val src = Text.docs(s, d).select(
+      col("doc_id").cast("string").as("doc_id"),
+      lower(substring(col("text"), 1, 20)).as("fp"),
+      timestamp_micros(lit(baseUs) + col("doc_id") * 1000L).as("ts"))
+    // three appends → three+ source files; maxFilesPerTrigger=1 forces one
+    // micro-batch per file so cross-batch state is genuinely exercised
+    (0 to 2).foreach { r =>
+      src.filter(col("doc_id").cast("long") % 3 === r)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val name = sinkName("q74")
+    val q = StreamOps.dedupStream(s, dir, name, watermark = "30 days",
+                                  maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+    // which doc survives per key is batch/partition-order dependent; the
+    // surviving KEY SET is the deterministic (and the meaningful) output
+    s.table(name).select(col("fp")).distinct()
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT lower(substr(text, 1, 20)) AS fp FROM documents""".stripMargin
+
+  /** q75: streaming session clustering — `dt_cluster` `timelib.py:421-455`
+    * as `session_window` (4 h gap) in append mode with a 2 h watermark
+    * (batch twin: q12, which uses the strict-gap break; session_window
+    * merges overlapping [t, t+gap) windows, so its break is `diff >= gap`
+    * and its session end is last-event + gap — the oracle mirrors both).
+    * All real events arrive in micro-batch 1; two sentinel batches then
+    * advance the event-time watermark past every real session end, which is
+    * what forces append mode to emit (= evict) the closed sessions. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = fixtureDir("q75")
+    // parquet NTZ → LTZ(UTC) so the stream's event-time watermark applies
+    val evs = s.read.parquet(s"$d/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+              col("value").as("v"))
+    evs.write.mode("append").parquet(dir)
+    val maxTsUs = evs.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val name = sinkName("q75")
+    val q = StreamOps.sessionStream(s, dir, name, gap = "4 hours")
+    q.processAllAvailable()
+    // sentinel k raises max event time; the batch that processes sentinel
+    // k+1 runs with the watermark sentinel k set, evicting everything below
+    Seq(1, 2).foreach { k =>
+      Seq((-k.toLong, maxTsUs + k * 30L * 86400 * 1000000L, 0.0))
+        .toDF("user_id", "us", "v")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("v"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_micros(col("t_start")).as("t_start_us"),
+        unix_micros(col("t_end")).as("t_end_us"),
+        col("n_events"),
+        round(col("v_sum"), 6).as("v_sum"))
+  }
+
+  val streamSessionsSql: String =
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS t_us, value AS v FROM events),
+      |b AS (SELECT *, CASE WHEN t_us - lag(t_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS brk
+      |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC)),
+      |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t_us ASC
+      |                                ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM b)
+      |SELECT user_id, min(t_us) AS t_start_us,
+      |       max(t_us) + 14400000000 AS t_end_us,
+      |       count(*)::BIGINT AS n_events, round(sum(v), 6) AS v_sum
+      |FROM sx GROUP BY user_id, sid""".stripMargin
+}

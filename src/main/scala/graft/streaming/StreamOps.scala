@@ -40,12 +40,16 @@ object StreamOps {
     * dropDuplicates whose state grows forever at 100 TB/day ingest). Emits
     * first-seen rows only. Schema: doc_id string, fp string, ts timestamp. */
   def dedupStream(spark: SparkSession, inDir: String, queryName: String,
-                  watermark: String = "1 hour"): StreamingQuery = {
+                  watermark: String = "1 hour",
+                  maxFilesPerTrigger: Int = 0): StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", StringType), StructField("fp", StringType),
       StructField("ts", TimestampType)))
-    spark.readStream.schema(schema).parquet(inDir)
+    val reader = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else reader).parquet(inDir)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .writeStream.outputMode("append")
