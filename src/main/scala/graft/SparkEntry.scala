@@ -98,6 +98,9 @@ object SparkEntry {
     // stateful op → sink) on a bounded fixture; see queries/Stream.scala
     "q74_stream_dedup"     -> (Stream.streamDedup _),
     "q75_stream_sessions"  -> (Stream.streamSessions _),
+    // oracle-exact forms of the robust trend + heatmap engine paths
+    "q76_theilsen_cells"   -> (EngineOracle.theilSenCells _),
+    "q77_heatmap_rects"    -> (EngineOracle.heatmapRects _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,5 +161,7 @@ object SparkEntry {
     "q73_geom_union"     -> EngineOracle.geomUnionSql,
     "q74_stream_dedup"   -> Stream.streamDedupSql,
     "q75_stream_sessions"-> Stream.streamSessionsSql,
+    "q76_theilsen_cells" -> EngineOracle.theilSenCellsSql,
+    "q77_heatmap_rects"  -> EngineOracle.heatmapRectsSql,
   )
 }

@@ -356,4 +356,93 @@ object EngineOracle {
       |  CASE WHEN greatest(w, h) <= 48 THEN h ELSE round_even(h / scale, 0)::INT END AS sub_h,
       |  CASE WHEN greatest(w, h) <= 48 THEN res ELSE res * scale END AS sub_res
       |FROM sc""".stripMargin
+
+  /** q76 oracle form: per-pixel Theil–Sen (median of pairwise slopes,
+    * `ma_linreg` robust variant malib.py:960-998) over the exact-time
+    * subset, clipped to the 4×4 top-left tile window to bound the O(n²)
+    * pairs. Bit-exact cross-engine because every slope is ONE correctly-
+    * rounded division of exact operands (Δv integer, Δt a 3-fraction-bit
+    * dyadic), sorting identical doubles is engine-independent, and the
+    * even-count median (a+b)/2 is one rounded add + an exact halving —
+    * which the SQL twin reproduces with explicit order statistics instead
+    * of DuckDB's interpolating `median` (a + (b-a)·0.5 rounds differently). */
+  def theilSenCells(s: SparkSession, d: String): DataFrame = {
+    val imgs = trendSubset(Engine.images(s, d))
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val tiles = StackOps.stackClip(Warp.warpToTiles(s, imgs, target, "near"), 0, 0, 3, 3)
+    StackOps.theilSen(StackOps.toCells(tiles))
+      .select(
+        expr(s"cast((cell_id div 4096) % $ntx as int) * 64 + cast((cell_id % 4096) % 64 as int)").as("px"),
+        expr(s"cast((cell_id div 4096) div $ntx as int) * 64 + cast((cell_id % 4096) div 64 as int)").as("py"),
+        col("n"),
+        nanvl(col("slope_yr"), lit(-9999.0)).as("slope_yr"),
+        nanvl(col("intercept"), lit(-9999.0)).as("intercept"))
+  }
+
+  /** DuckDB twin of q76: pairwise-slope self-join + exact-order-statistic
+    * medians (rank (cnt+1)//2 and cnt//2+1; they coincide for odd counts). */
+  val theilSenCellsSql: String = {
+    def medCte(src: String, vcol: String, out: String): String =
+      s"""${src}_r AS (SELECT x, y, $vcol,
+         |    row_number() OVER (PARTITION BY x, y ORDER BY $vcol) AS rn,
+         |    count(*) OVER (PARTITION BY x, y) AS cnt FROM $src),
+         |$out AS (SELECT x, y,
+         |    sum($vcol) FILTER (WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1) /
+         |    count(*) FILTER (WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1) AS m
+         |  FROM ${src}_r GROUP BY x, y)""".stripMargin
+    s"""${cellSql(trendOnly = true)},
+       |w AS (SELECT i, x, y, v::DOUBLE AS v,
+       |    CAST(((19723 + day) * 86400 + hr * 3600)::BIGINT * 1000000 AS DOUBLE)
+       |      / 86400000000.0::DOUBLE AS t
+       |  FROM cells WHERE x < 256 AND y < 256),
+       |g AS (SELECT x, y, count(*)::INT AS n, count(DISTINCT t) AS ndt
+       |      FROM w GROUP BY x, y),
+       |sl AS (SELECT a.x, a.y, (b.v - a.v) / (b.t - a.t) AS sv
+       |       FROM w a JOIN w b ON a.x = b.x AND a.y = b.y AND a.t < b.t),
+       |${medCte("sl", "sv", "med")},
+       |ic AS (SELECT w.x, w.y, w.v - med.m * w.t AS sv
+       |       FROM w JOIN med ON w.x = med.x AND w.y = med.y),
+       |${medCte("ic", "sv", "icm")}
+       |SELECT g.x AS px, g.y AS py, g.n,
+       |  CASE WHEN g.n >= 2 AND g.ndt >= 2
+       |       THEN med.m * 365.25::DOUBLE ELSE -9999.0::DOUBLE END AS slope_yr,
+       |  CASE WHEN g.n >= 2 AND g.ndt >= 2
+       |       THEN icm.m ELSE -9999.0::DOUBLE END AS intercept
+       |FROM g LEFT JOIN med ON g.x = med.x AND g.y = med.y
+       |       LEFT JOIN icm ON g.x = icm.x AND g.y = icm.y""".stripMargin
+  }
+
+  /** q77 oracle form: polygon-density heatmap (`geolib.py:2226-2244`) over
+    * the rectilinear polygon kinds — the production covering-cell + PIP
+    * pipeline; on axis-aligned boxes the ray-crossing rule reduces to the
+    * half-open [xmin,xmax)×[ymin,ymax) center test the SQL twin applies
+    * (all coordinates and cell centers are exact doubles). */
+  def heatmapRects(s: SparkSession, d: String): DataFrame = {
+    val pid = substring(col("poly_id"), 6, 5).cast("int")
+    graft.operators.SpatialJoin.heatmap(s,
+      PolygonTable.generate(s, Engine.nPolys(d))
+        .filter(pid % 4 === 0 || pid % 4 === 3),
+      cellSize = 64.0)
+  }
+
+  /** DuckDB twin of q77: same rectangle rows as the q73 twin, covering-cell
+    * enumeration on the 64 m grid, half-open center containment, packed
+    * cell id ((cx+2³⁰)·2³¹ + (cy+2³⁰), PlanarCell.pack). */
+  val heatmapRectsSql: String =
+    """WITH p AS (SELECT i FROM generate_series(0, 119) t(i) WHERE i % 4 = 0 OR i % 4 = 3),
+      |c AS (SELECT i, 500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy FROM p),
+      |r AS (
+      |  SELECT i, cx AS x1, cx + 80 AS x2, cy - 60 AS y1, cy AS y2 FROM c WHERE i % 4 = 0
+      |  UNION ALL SELECT i, 499950, 508242, 5298000, 5300050 FROM c WHERE i = 3
+      |  UNION ALL SELECT i, cx, cx + 40, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, cx + 70, cx + 110, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3),
+      |gx AS (SELECT r.*, unnest(generate_series(x1 // 64, x2 // 64)) AS cgx FROM r),
+      |gxy AS (SELECT gx.*, unnest(generate_series(y1 // 64, y2 // 64)) AS cgy FROM gx),
+      |hit AS (SELECT DISTINCT i, cgx, cgy FROM gxy
+      |        WHERE (cgx + 0.5::DOUBLE) * 64 >= x1 AND (cgx + 0.5::DOUBLE) * 64 < x2
+      |          AND (cgy + 0.5::DOUBLE) * 64 >= y1 AND (cgy + 0.5::DOUBLE) * 64 < y2)
+      |SELECT (cgx + 1073741824) * 2147483648 + (cgy + 1073741824) AS cell_id,
+      |       count(*)::BIGINT AS n_polys
+      |FROM hit GROUP BY cgx, cgy""".stripMargin
 }

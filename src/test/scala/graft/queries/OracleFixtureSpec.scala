@@ -42,4 +42,23 @@ class OracleFixtureSpec extends AnyFunSuite {
       assert(t * 8 == math.rint(t * 8), s"t=$t for image $i is not on the 1/8 grid")
     }
   }
+
+  test("rect ray-crossing PIP == half-open center test on every covering cell (q77 twin)") {
+    import graft.sources.PolygonTable
+    var checked = 0L
+    for (i <- 0 until 120 if i % 4 == 0 || i % 4 == 3) {
+      val mp = PolygonTable.polygon(i, 120)
+      val bb = mp.bbox
+      for (gx <- math.floor(bb.xmin / 64).toLong to math.floor(bb.xmax / 64).toLong;
+           gy <- math.floor(bb.ymin / 64).toLong to math.floor(bb.ymax / 64).toLong) {
+        val px = (gx + 0.5) * 64; val py = (gy + 0.5) * 64
+        val pip = mp.contains(px, py)
+        val halfOpen = mp.polys.exists(p =>
+          px >= p.bbox.xmin && px < p.bbox.xmax && py >= p.bbox.ymin && py < p.bbox.ymax)
+        assert(pip == halfOpen, s"poly $i cell ($gx,$gy): pip=$pip halfOpen=$halfOpen")
+        checked += 1
+      }
+    }
+    assert(checked > 4000, s"only $checked centers checked — fixture changed?")
+  }
 }
