@@ -101,6 +101,7 @@ object SparkEntry {
     // oracle-exact forms of the robust trend + heatmap engine paths
     "q76_theilsen_cells"   -> (EngineOracle.theilSenCells _),
     "q77_heatmap_rects"    -> (EngineOracle.heatmapRects _),
+    "q78_img_feature_stats"-> (EngineOracle.imgFeatureStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,5 +164,9 @@ object SparkEntry {
     "q75_stream_sessions"-> Stream.streamSessionsSql,
     "q76_theilsen_cells" -> EngineOracle.theilSenCellsSql,
     "q77_heatmap_rects"  -> EngineOracle.heatmapRectsSql,
+    "q78_img_feature_stats" -> EngineOracle.imgFeatureStatsSql,
+    // closed-form chain checks for the raster→vector outline family
+    "q49_outlines"       -> EngineOracle.outlinesSql,
+    "q70_outline_simplify" -> EngineOracle.outlineSimplifySql,
   )
 }

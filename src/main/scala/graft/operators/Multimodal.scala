@@ -27,9 +27,11 @@ object Multimodal {
         val std = if (n > 1)
           math.sqrt(valid.map(v => (v - mean) * (v - mean)).sum / n) else 0.0
         val (mn, mx) = if (n > 0) (valid.min.toDouble, valid.max.toDouble) else (0.0, 0.0)
+        // double-precision binning: on integer-quantized payloads every op
+        // is correctly rounded from exact operands → engine-portable
         val hist = new Array[Long](4)
         if (mx > mn) valid.foreach { v =>
-          hist(math.min(3, ((v - mn) / (mx - mn) * 4).toInt)) += 1
+          hist(math.min(3, ((v.toDouble - mn) / (mx - mn) * 4).toInt)) += 1
         }
         (img.image_id, img.fmt, img.w, img.h,
          n.toDouble / (img.w * img.h), mean, std,

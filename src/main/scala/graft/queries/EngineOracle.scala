@@ -445,4 +445,88 @@ object EngineOracle {
       |SELECT (cgx + 1073741824) * 2147483648 + (cgy + 1073741824) AS cell_id,
       |       count(*)::BIGINT AS n_polys
       |FROM hit GROUP BY cgx, cgy""".stripMargin
+
+  /** Image-grid CTE with the formatted id (ImageTable closed forms at the
+    * sf0.01 driver scale; `where` narrows to an oracle subset). */
+  private def imSql(where: String = "TRUE"): String =
+    s"""WITH im AS (
+       |  SELECT i,
+       |    printf('img_%08d_%s_%02d00', i,
+       |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+       |      i % 24) AS image_id,
+       |    (i * 3) % 360 AS day,
+       |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+       |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+       |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+       |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+       |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+       |  FROM generate_series(0, 799) t(i)
+       |  WHERE $where)""".stripMargin
+
+  /** DuckDB twin of q49: NDV margins are the ONLY invalid pixels in source
+    * images (ImageTable.renderPixels), so trim bounds are closed-form and
+    * the per-column outline ring has 2·w_trim+1 points → WKB polygon length
+    * 1+4+4+4 + 16·n = 29 + 32·w_trim. A bug anywhere in the decode → trim →
+    * outline → WKB chain breaks the hash. */
+  val outlinesSql: String =
+    s"""${imSql()}
+       |SELECT image_id,
+       |  (w - 2 * marg)::INT AS w_trim, (h - 2 * marg)::INT AS h_trim,
+       |  ulx + marg * res AS ulx_trim, uly - marg * res AS uly_trim,
+       |  (29 + 32 * (w - 2 * marg))::INT AS outline_wkb_len
+       |FROM im""".stripMargin
+
+  /** DuckDB twin of q70: raw ring 2·validCols+1; the 2-px Douglas-Peucker
+    * simplify and the convex hull of a rectangle outline both collapse to
+    * the 4 corners + closing point. */
+  val outlineSimplifySql: String =
+    s"""${imSql()}
+       |SELECT image_id, (2 * (w - 2 * marg) + 1)::INT AS n_raw,
+       |  5::INT AS n_simplified, 5::INT AS n_hull
+       |FROM im""".stripMargin
+
+  /** q78 oracle form: multimodal feature extraction (`Multimodal
+    * .imageFeatures`) on the quantized subset — decode → per-image validity
+    * fraction, brightness mean/min-max histogram. Emits only the columns
+    * whose arithmetic is a fixed chain of correctly-rounded ops on exact
+    * operands (px_std and ahash accumulate in array order → engine-specific;
+    * they stay under the q53 golden). */
+  def imgFeatureStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.imageFeatures(s, quantNoRipple(Engine.images(s, d)))
+      .select(col("image_id"), col("w"), col("h"), col("valid_frac"),
+              col("px_mean"), col("h0"), col("h1"), col("h2"), col("h3"))
+
+  /** DuckDB twin of q78: source-grid pixel values from the quantized
+    * closed form; 4-bin histogram binned in double exactly as the engine
+    * ((v-mn)/(mx-mn)·4 truncated; ·4 is exact, division correctly rounded
+    * identically in both engines). */
+  val imgFeatureStatsSql: String =
+    s"""${imSql("i % 3 <> 2 AND (i // 3) % 3 <> 0")},
+       |px AS (SELECT im.*, unnest(generate_series(marg, w - marg - 1)) AS sx FROM im),
+       |pxy AS (SELECT px.*, unnest(generate_series(marg, h - marg - 1)) AS sy FROM px),
+       |v AS (
+       |  SELECT image_id, w, h,
+       |    greatest(1, least(255, round_even(
+       |      (120.0::DOUBLE + 0.05::DOUBLE * day
+       |        + 0.01::DOUBLE * ((ulx + (sx + 0.5::DOUBLE) * res) - 500000.0::DOUBLE))
+       |        - 0.005::DOUBLE * (5300000.0::DOUBLE - (uly - (sy + 0.5::DOUBLE) * res)), 0)))::INT AS v
+       |  FROM pxy),
+       |g AS (SELECT image_id, min(w) AS w, min(h) AS h, count(*) AS n,
+       |        sum(v) AS sv, min(v) AS mn, max(v) AS mx
+       |      FROM v GROUP BY image_id),
+       |b AS (SELECT v.image_id,
+       |        CASE WHEN g.mx > g.mn
+       |             THEN least(3, floor(CAST(v.v - g.mn AS DOUBLE)
+       |                                 / (g.mx - g.mn) * 4)::INT)
+       |             ELSE -1 END AS bin
+       |      FROM v JOIN g USING (image_id))
+       |SELECT g.image_id, g.w::INT AS w, g.h::INT AS h,
+       |  CAST(g.n AS DOUBLE) / (g.w * g.h) AS valid_frac,
+       |  CAST(g.sv AS DOUBLE) / g.n AS px_mean,
+       |  coalesce(sum(CASE WHEN bin = 0 THEN 1 END), 0)::BIGINT AS h0,
+       |  coalesce(sum(CASE WHEN bin = 1 THEN 1 END), 0)::BIGINT AS h1,
+       |  coalesce(sum(CASE WHEN bin = 2 THEN 1 END), 0)::BIGINT AS h2,
+       |  coalesce(sum(CASE WHEN bin = 3 THEN 1 END), 0)::BIGINT AS h3
+       |FROM g JOIN b USING (image_id)
+       |GROUP BY g.image_id, g.w, g.h, g.n, g.sv""".stripMargin
 }
