@@ -168,5 +168,8 @@ object SparkEntry {
     // closed-form chain checks for the raster→vector outline family
     "q49_outlines"       -> EngineOracle.outlinesSql,
     "q70_outline_simplify" -> EngineOracle.outlineSimplifySql,
+    // rectilinear PIP by crossing parity: the flagship join + full heatmap
+    "q43_pip_points"     -> EngineOracle.pipPointsSql,
+    "q44_heatmap_cells"  -> EngineOracle.heatmapCellsSql,
   )
 }

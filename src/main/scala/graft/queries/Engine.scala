@@ -71,7 +71,10 @@ object Engine {
       PolygonTable.generate(s, nPolys(d)),
       cellSize = 64.0, saltFactor = 4)
       .groupBy(col("poly_id"))
-      .agg(count(lit(1)).as("n_pts"), round(avg(col("z")), 4).as("z_mean"))
+      // full-precision mean: z is dyadic (quarter steps), so the sum is
+      // exact in any order and the mean is ONE correctly-rounded division —
+      // bit-portable to the DuckDB twin (rounding would be LESS portable)
+      .agg(count(lit(1)).as("n_pts"), avg(col("z")).as("z_mean"))
 
   /** Polygon-density heatmap (`heatmap` geolib.py:2226-2244). */
   def heatmapCells(s: SparkSession, d: String): DataFrame =

@@ -446,6 +446,73 @@ object EngineOracle {
       |       count(*)::BIGINT AS n_polys
       |FROM hit GROUP BY cgx, cgy""".stripMargin
 
+  /** Vertical-edge table of EVERY polygon kind (all rectilinear —
+    * PolygonTable.polygon closed forms at sf0.01): one row per vertical
+    * edge (xe, ylo, yhi). Even-odd ray crossing over these edges IS the
+    * engine's `ringContains` on rectilinear rings: a rightward ray from
+    * (px, py) crosses a vertical edge iff ylo <= py < yhi AND px < xe
+    * (horizontal edges never satisfy (yi>py) != (yj>py)); the donut hole
+    * and the disjoint multipolygon boxes fall out of crossing PARITY. */
+  private val polyEdgesSql: String =
+    """c AS (SELECT i, printf('poly_%05d', i) AS poly_id,
+      |        500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy
+      |      FROM generate_series(0, 119) t(i)),
+      |e AS (
+      |  SELECT i, poly_id, cx AS xe, cy - 60 AS ylo, cy AS yhi FROM c WHERE i % 4 = 0
+      |  UNION ALL SELECT i, poly_id, cx + 80, cy - 60, cy FROM c WHERE i % 4 = 0
+      |  UNION ALL SELECT i, poly_id, cx, cy - 100, cy FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, poly_id, cx + 40, cy - 70, cy - 30 FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, poly_id, cx + 100, cy - 100, cy - 70 FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, poly_id, cx + 100, cy - 30, cy FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, poly_id, cx, cy - 90, cy FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, poly_id, cx + 90, cy - 90, cy FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, poly_id, cx + 25, cy - 65, cy - 25 FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, poly_id, cx + 65, cy - 65, cy - 25 FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, poly_id, 499950, 5298000, 5300050 FROM c WHERE i = 3
+      |  UNION ALL SELECT i, poly_id, 508242, 5298000, 5300050 FROM c WHERE i = 3
+      |  UNION ALL SELECT i, poly_id, cx, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, poly_id, cx + 40, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, poly_id, cx + 70, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, poly_id, cx + 110, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3)""".stripMargin
+
+  /** DuckDB twin of q43 (the flagship PIP join, ALL polygon kinds): points
+    * inside by crossing parity, grouped per polygon. z is dyadic → the sum
+    * is exact and z_mean is one correctly-rounded division. */
+  val pipPointsSql: String =
+    s"""WITH pt AS (SELECT i, printf('pt_%07d', i) AS pt_id,
+       |    (499900 + (i * 131) % 8592)::DOUBLE AS x,
+       |    (5300100 - (i * 71) % 2400)::DOUBLE AS y,
+       |    100 + i % 50 + 0.25::DOUBLE * (i % 7) AS z
+       |  FROM generate_series(0, 39999) t(i)),
+       |$polyEdgesSql,
+       |hit AS (
+       |  SELECT pt.pt_id, e.poly_id, any_value(pt.z) AS z
+       |  FROM pt JOIN e ON pt.y >= e.ylo AND pt.y < e.yhi AND pt.x < e.xe
+       |  GROUP BY pt.pt_id, e.poly_id
+       |  HAVING count(*) % 2 = 1)
+       |SELECT poly_id, count(*)::BIGINT AS n_pts, sum(z) / count(*) AS z_mean
+       |FROM hit GROUP BY poly_id""".stripMargin
+
+  /** DuckDB twin of q44 (heatmap over ALL polygon kinds): covering cells
+    * from the per-polygon edge bbox, center-inside by crossing parity,
+    * packed PlanarCell ids. */
+  val heatmapCellsSql: String =
+    s"""WITH $polyEdgesSql,
+       |bb AS (SELECT i, min(xe) AS x1, max(xe) AS x2, min(ylo) AS y1, max(yhi) AS y2
+       |       FROM e GROUP BY i),
+       |gx AS (SELECT bb.*, unnest(generate_series(x1 // 64, x2 // 64)) AS cgx FROM bb),
+       |gxy AS (SELECT gx.*, unnest(generate_series(y1 // 64, y2 // 64)) AS cgy FROM gx),
+       |hit AS (
+       |  SELECT g.i, g.cgx, g.cgy
+       |  FROM gxy g JOIN e ON e.i = g.i
+       |    AND (g.cgy + 0.5::DOUBLE) * 64 >= e.ylo AND (g.cgy + 0.5::DOUBLE) * 64 < e.yhi
+       |    AND (g.cgx + 0.5::DOUBLE) * 64 < e.xe
+       |  GROUP BY g.i, g.cgx, g.cgy
+       |  HAVING count(*) % 2 = 1)
+       |SELECT (cgx + 1073741824) * 2147483648 + (cgy + 1073741824) AS cell_id,
+       |       count(*)::BIGINT AS n_polys
+       |FROM hit GROUP BY cgx, cgy""".stripMargin
+
   /** Image-grid CTE with the formatted id (ImageTable closed forms at the
     * sf0.01 driver scale; `where` narrows to an oracle subset). */
   private def imSql(where: String = "TRUE"): String =
