@@ -171,5 +171,7 @@ object SparkEntry {
     // rectilinear PIP by crossing parity: the flagship join + full heatmap
     "q43_pip_points"     -> EngineOracle.pipPointsSql,
     "q44_heatmap_cells"  -> EngineOracle.heatmapCellsSql,
+    "q54_img_resize"     -> EngineOracle.imgResizeSql,
+    "q57_resumable_job"  -> EngineOracle.resumableJobSql,
   )
 }

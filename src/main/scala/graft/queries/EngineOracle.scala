@@ -552,6 +552,60 @@ object EngineOracle {
        |  5::INT AS n_simplified, 5::INT AS n_hull
        |FROM im""".stripMargin
 
+  /** DuckDB twin of q54: every thumbnail is 8×8 raw float32 = 256 bytes —
+    * the constant pins the resize plumbing's output shape per image id. */
+  val imgResizeSql: String =
+    s"""${imSql()}
+       |SELECT image_id, 8::INT AS w, 8::INT AS h, 256::INT AS n_bytes FROM im""".stripMargin
+
+  /** DuckDB twin of q57: the checkpointed tiling job's per-stage lineage
+    * row counts re-derived from the q63-proven pixel-bounds arithmetic on
+    * the first-400-images spread grid. Tiles with NO valid pixel are not
+    * emitted by the warp (NDV-margin images shed edge tiles), so tile
+    * ranges come from the VALID-pixel bounds — enumerated with the same
+    * source-index mapping the cellSql twin uses, validity filtered by the
+    * margin test. (Resume SEMANTICS stay under CheckpointSpec; the twin
+    * pins the stage outputs.) */
+  val resumableJobSql: String =
+    """WITH im AS (
+      |  SELECT i,
+      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+      |  FROM generate_series(0, 399) t(i)),
+      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
+      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
+      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
+      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
+      |  FROM im, tgt),
+      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+      |src AS (
+      |  SELECT i, marg, w, h, x, y,
+      |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
+      |         ELSE floor(((tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sx,
+      |    CASE WHEN i % 3 = 0 THEN y + round((uly - tuly) / tres)::INT
+      |         ELSE floor(((uly - (tuly - (y + 0.5::DOUBLE) * tres)) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sy
+      |  FROM bxy),
+      |v AS (SELECT i, min(x) AS vx0, max(x) AS vx1, min(y) AS vy0, max(y) AS vy1
+      |      FROM src
+      |      WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg
+      |      GROUP BY i),
+      |tx AS (SELECT v.i, unnest(generate_series(vx0 // 64, vx1 // 64)) AS tx, vy0, vy1 FROM v),
+      |txy AS (SELECT i, tx, unnest(generate_series(vy0 // 64, vy1 // 64)) AS ty FROM tx)
+      |SELECT 'images' AS stage, 400::BIGINT AS "rows"
+      |UNION ALL SELECT 'stack_stats', count(DISTINCT (tx, ty)) FROM txy
+      |UNION ALL SELECT 'tiles', count(*) FROM txy
+      |UNION ALL SELECT 'trend', count(DISTINCT (tx, ty)) FROM txy""".stripMargin
+
   /** q78 oracle form: multimodal feature extraction (`Multimodal
     * .imageFeatures`) on the quantized subset — decode → per-image validity
     * fraction, brightness mean/min-max histogram. Emits only the columns
