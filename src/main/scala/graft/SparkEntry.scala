@@ -173,5 +173,9 @@ object SparkEntry {
     "q44_heatmap_cells"  -> EngineOracle.heatmapCellsSql,
     "q54_img_resize"     -> EngineOracle.imgResizeSql,
     "q57_resumable_job"  -> EngineOracle.resumableJobSql,
+    // warp coverage arithmetic (bilinear validity + elision) + morphology
+    // identity on rectangular masks
+    "q40_warp_tiles"     -> EngineOracle.warpTilesSql,
+    "q67_remove_islands" -> EngineOracle.removeIslandsSql,
   )
 }

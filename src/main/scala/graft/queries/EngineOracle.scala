@@ -650,4 +650,108 @@ object EngineOracle {
        |  coalesce(sum(CASE WHEN bin = 3 THEN 1 END), 0)::BIGINT AS h3
        |FROM g JOIN b USING (image_id)
        |GROUP BY g.image_id, g.w, g.h, g.n, g.sv""".stripMargin
+
+  /** DuckDB twin of q40 (the warp operator's own output, bilinear kernel):
+    * per-(image, tile) valid-pixel counts + the no-op-elision flag.
+    * Bilinear validity (Warp.bilinear: wsum > 0) is SEPARABLE on these
+    * rectangular source masks — a target pixel is valid iff some
+    * positive-weight neighbor column AND row are in the valid range —
+    * and elided images (res == tres on the lattice) use the direct copy
+    * mapping. Matched 3280/3280 against the executed operator. */
+  val warpTilesSql: String =
+    """WITH im AS (
+      |  SELECT i,
+      |    printf('img_%08d_%s_%02d00', i,
+      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+      |      i % 24) AS image_id,
+      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+      |  FROM generate_series(0, 799) t(i)),
+      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
+      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
+      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
+      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
+      |  FROM im, tgt),
+      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+      |f AS (
+      |  SELECT i, image_id, marg, w, h, ns, x, y,
+      |    (tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE AS pxf,
+      |    (uly - (tuly - (y + 0.5::DOUBLE) * tres)) / res - 0.5::DOUBLE AS pyf,
+      |    x + round((tulx - ulx) / tres)::INT AS dsx,
+      |    y + round((uly - tuly) / tres)::INT AS dsy
+      |  FROM bxy),
+      |v AS (
+      |  SELECT i, image_id, ns, x, y,
+      |    CASE WHEN i % 3 = 0
+      |         THEN dsx >= marg AND dsx < w - marg AND dsy >= marg AND dsy < h - marg
+      |         ELSE
+      |           ((floor(pxf)::INT >= marg AND floor(pxf)::INT < w - marg)
+      |            OR (pxf - floor(pxf) > 0 AND floor(pxf)::INT + 1 >= marg AND floor(pxf)::INT + 1 < w - marg))
+      |           AND
+      |           ((floor(pyf)::INT >= marg AND floor(pyf)::INT < h - marg)
+      |            OR (pyf - floor(pyf) > 0 AND floor(pyf)::INT + 1 >= marg AND floor(pyf)::INT + 1 < h - marg))
+      |    END AS ok
+      |  FROM f)
+      |SELECT image_id,
+      |  ((y // 64) * ((ns + 63) // 64) + (x // 64))::BIGINT AS tile_id,
+      |  (x // 64)::INT AS tx, (y // 64)::INT AS ty,
+      |  count(*)::INT AS n_valid,
+      |  (min(i) % 3 = 0) AS elided
+      |FROM v WHERE ok
+      |GROUP BY image_id, ns, x // 64, y // 64
+      |""".stripMargin
+
+  /** DuckDB twin of q67: on per-image warped masks the valid region is a
+    * single rectangle, so remove_islands (closing of the invalid mask) is
+    * the IDENTITY and the counts are pure warp-coverage arithmetic — the
+    * twin pins exactly that (the morphology itself is exercised on
+    * island-bearing fixtures in StencilSpec, set-exact vs whole-array). */
+  val removeIslandsSql: String =
+    """WITH im AS (
+      |  SELECT i,
+      |    printf('img_%08d_%s_%02d00', i,
+      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+      |      i % 24) AS image_id,
+      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+      |  FROM generate_series(0, 799) t(i)),
+      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
+      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
+      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
+      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
+      |  FROM im, tgt),
+      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+      |src AS (
+      |  SELECT i, image_id, marg, w, h, x, y,
+      |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
+      |         ELSE floor(((tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sx,
+      |    CASE WHEN i % 3 = 0 THEN y + round((uly - tuly) / tres)::INT
+      |         ELSE floor(((uly - (tuly - (y + 0.5::DOUBLE) * tres)) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sy
+      |  FROM bxy)
+      |SELECT image_id,
+      |  count(DISTINCT (x // 64, y // 64))::BIGINT AS n_tiles,
+      |  count(*)::BIGINT AS n_valid_px
+      |FROM src
+      |WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg
+      |GROUP BY image_id
+      |""".stripMargin
+
 }
