@@ -102,6 +102,7 @@ object SparkEntry {
     "q76_theilsen_cells"   -> (EngineOracle.theilSenCells _),
     "q77_heatmap_rects"    -> (EngineOracle.heatmapRects _),
     "q78_img_feature_stats"-> (EngineOracle.imgFeatureStats _),
+    "q79_profile_cells"    -> (EngineOracle.profileCells _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -177,5 +178,6 @@ object SparkEntry {
     // identity on rectangular masks
     "q40_warp_tiles"     -> EngineOracle.warpTilesSql,
     "q67_remove_islands" -> EngineOracle.removeIslandsSql,
+    "q79_profile_cells"  -> EngineOracle.profileCellsSql,
   )
 }

@@ -754,4 +754,71 @@ object EngineOracle {
       |GROUP BY image_id
       |""".stripMargin
 
+  /** q79 oracle form: profile extraction (`geolib.py:1018-1098`) on the
+    * quantized subset — the real line2pts remainder-carry transect + the
+    * production pointSample window median/NMAD (the q50 machinery along a
+    * line). The full-set form stays q51. */
+  def profileCells(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ImageTable
+    import ImageTable.{X0, Y0}
+    Sampling.profile(s, quantNoRipple(Engine.images(s, d)),
+      xs = Seq(X0, X0 + ImageTable.ClusterCols * 256.0),
+      ys = Seq(Y0 - 50.0, Y0 - 120.0), dl = 10.0)
+  }
+
+  /** DuckDB twin of q79: transect points re-derived with the same double
+    * chain (t = k·10 exact; x = x0 + dx·t/len with len = √(dx²+dy²) — every
+    * op correctly rounded identically), then the q50 window logic. */
+  val profileCellsSql: String =
+    s"""WITH im AS (
+       |  SELECT i,
+       |    printf('img_%08d_%s_%02d00', i,
+       |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+       |      i % 24) AS image_id,
+       |    (i * 3) % 360 AS day,
+       |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+       |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+       |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+       |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+       |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+       |  FROM generate_series(0, 799) t(i)
+       |  WHERE i % 3 <> 2 AND (i // 3) % 3 <> 0),
+       |seg AS (SELECT 8192.0::DOUBLE AS dx, -70.0::DOUBLE AS dy,
+       |               sqrt(8192.0::DOUBLE * 8192.0::DOUBLE + 70.0::DOUBLE * 70.0::DOUBLE) AS len),
+       |pt AS (
+       |  SELECT k, printf('prof_%06d', k) AS pt_id,
+       |    500000.0::DOUBLE + dx * (k * 10.0::DOUBLE) / len AS x,
+       |    5299950.0::DOUBLE + dy * (k * 10.0::DOUBLE) / len AS y,
+       |    k * 10.0::DOUBLE AS dist_along
+       |  FROM generate_series(0, 2000) t(k), seg
+       |  WHERE k * 10.0::DOUBLE < len),
+       |hit AS (
+       |  SELECT pt.pt_id, pt.x, pt.y, pt.dist_along, im.*,
+       |    floor(((pt.x - im.ulx) / im.res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT AS cx,
+       |    floor(((im.uly - pt.y) / im.res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT AS cy
+       |  FROM pt, im
+       |  WHERE pt.x >= im.ulx AND pt.x <= im.ulx + im.w * im.res
+       |    AND pt.y >= im.uly - im.h * im.res AND pt.y <= im.uly),
+       |win AS (
+       |  SELECT h.pt_id, h.image_id, h.x, h.y, h.dist_along,
+       |    greatest(1, least(255, round_even(
+       |      (120.0::DOUBLE + 0.05::DOUBLE * day
+       |        + 0.01::DOUBLE * ((ulx + (cx + dx + 0.5::DOUBLE) * res) - 500000.0::DOUBLE))
+       |        - 0.005::DOUBLE * (5300000.0::DOUBLE - (uly - (cy + dy + 0.5::DOUBLE) * res)), 0)))::INT AS v
+       |  FROM hit h, unnest([-1, 0, 1]) tx(dx), unnest([-1, 0, 1]) ty(dy)
+       |  WHERE cx + dx >= marg AND cx + dx < w - marg
+       |    AND cy + dy >= marg AND cy + dy < h - marg),
+       |med AS (
+       |  SELECT pt_id, image_id, any_value(x) AS x, any_value(y) AS y,
+       |    any_value(dist_along) AS dist_along,
+       |    quantile_cont(v, 0.5) AS m, count(*)::INT AS n
+       |  FROM win GROUP BY pt_id, image_id
+       |  HAVING count(*) >= 5)
+       |SELECT w.pt_id, w.image_id, any_value(m.x) AS x, any_value(m.y) AS y,
+       |  any_value(m.m) AS samp_med,
+       |  1.4826::DOUBLE * quantile_cont(abs(w.v - m.m), 0.5) AS samp_nmad,
+       |  any_value(m.n) AS samp_count,
+       |  any_value(m.dist_along) AS dist_along
+       |FROM win w JOIN med m ON w.pt_id = m.pt_id AND w.image_id = m.image_id
+       |GROUP BY w.pt_id, w.image_id""".stripMargin
 }
