@@ -179,5 +179,6 @@ object SparkEntry {
     "q40_warp_tiles"     -> EngineOracle.warpTilesSql,
     "q67_remove_islands" -> EngineOracle.removeIslandsSql,
     "q79_profile_cells"  -> EngineOracle.profileCellsSql,
+    "q71_maskfill"       -> EngineOracle.maskfillSql,
   )
 }

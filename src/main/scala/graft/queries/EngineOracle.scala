@@ -754,6 +754,21 @@ object EngineOracle {
       |GROUP BY image_id
       |""".stripMargin
 
+  /** DuckDB twin of q71: on margin-only source masks the maskfill family is
+    * closed-form — the BFS outside fill equals the margin ring (all invalid
+    * connects to the border), and the edge-including opening of an EMPTY
+    * invalid mask is exactly the 1-px border ring 2(w+h)−4 (out-of-bounds
+    * counts as invalid), while a ≥3-px margin ring reproduces itself.
+    * Hole-bearing fixtures stay under FillSpec. */
+  val maskfillSql: String =
+    s"""${imSql()}
+       |SELECT image_id,
+       |  (w * h - (w - 2 * marg) * (h - 2 * marg))::INT AS n_invalid,
+       |  (w * h - (w - 2 * marg) * (h - 2 * marg))::INT AS n_outside,
+       |  (CASE WHEN marg > 0 THEN w * h - (w - 2 * marg) * (h - 2 * marg)
+       |        ELSE 2 * (w + h) - 4 END)::INT AS n_opened
+       |FROM im""".stripMargin
+
   /** q79 oracle form: profile extraction (`geolib.py:1018-1098`) on the
     * quantized subset — the real line2pts remainder-carry transect + the
     * production pointSample window median/NMAD (the q50 machinery along a
