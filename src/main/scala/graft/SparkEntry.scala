@@ -180,5 +180,9 @@ object SparkEntry {
     "q67_remove_islands" -> EngineOracle.removeIslandsSql,
     "q79_profile_cells"  -> EngineOracle.profileCellsSql,
     "q71_maskfill"       -> EngineOracle.maskfillSql,
+    // mask-preserving gauss: identical coverage counts to q67's twin
+    // (the kernel VALUES are pinned by StencilSpec tiled==whole-array)
+    "q48_stencil_gauss"  -> EngineOracle.removeIslandsSql,
+    "q65_dem_family"     -> EngineOracle.demFamilySql,
   )
 }

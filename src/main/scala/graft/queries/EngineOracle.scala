@@ -836,4 +836,53 @@ object EngineOracle {
        |  any_value(m.dist_along) AS dist_along
        |FROM win w JOIN med m ON w.pt_id = m.pt_id AND w.image_id = m.image_id
        |GROUP BY w.pt_id, w.image_id""".stripMargin
+
+  /** DuckDB twin of q65: Horn 3×3 shading requires the full neighborhood,
+    * so on single-rectangle warped masks the shaded region is the INNER
+    * rectangle — counts are coverage arithmetic (the shading VALUES are
+    * pinned by StencilSpec closed forms on the affine surface). */
+  val demFamilySql: String =
+    """WITH im AS (
+      |  SELECT i,
+      |    printf('img_%08d_%s_%02d00', i,
+      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+      |      i % 24) AS image_id,
+      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+      |  FROM generate_series(0, 799) t(i)),
+      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
+      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
+      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
+      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
+      |  FROM im, tgt),
+      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+      |src AS (
+      |  SELECT i, image_id, marg, w, h, x, y,
+      |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
+      |         ELSE floor(((tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sx,
+      |    CASE WHEN i % 3 = 0 THEN y + round((uly - tuly) / tres)::INT
+      |         ELSE floor(((uly - (tuly - (y + 0.5::DOUBLE) * tres)) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sy
+      |  FROM bxy),
+      |v AS (SELECT i, image_id, min(x) AS vx0, max(x) AS vx1, min(y) AS vy0, max(y) AS vy1
+      |      FROM src
+      |      WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg
+      |      GROUP BY i, image_id),
+      |tx AS (SELECT v.*, unnest(generate_series((vx0 + 1) // 64, (vx1 - 1) // 64)) AS tx FROM v),
+      |txy AS (SELECT tx.*, unnest(generate_series((vy0 + 1) // 64, (vy1 - 1) // 64)) AS ty FROM tx)
+      |SELECT image_id,
+      |  count(*)::BIGINT AS n_tiles,
+      |  (min((vx1 - vx0 - 1)) * min((vy1 - vy0 - 1)))::BIGINT AS n_shaded_px
+      |FROM txy GROUP BY image_id
+      |""".stripMargin
+
 }
