@@ -184,5 +184,6 @@ object SparkEntry {
     // (the kernel VALUES are pinned by StencilSpec tiled==whole-array)
     "q48_stencil_gauss"  -> EngineOracle.removeIslandsSql,
     "q65_dem_family"     -> EngineOracle.demFamilySql,
+    "q45_clip_tiles"     -> EngineOracle.clipTilesSql,
   )
 }

@@ -885,4 +885,84 @@ object EngineOracle {
       |FROM txy GROUP BY image_id
       |""".stripMargin
 
+
+  /** DuckDB twin of q45 (raster clip by polygon layer, ALL kinds): valid
+    * warp cells → map-space centers → 64 m covering-cell equi-join against
+    * the polygon layer (the same prefilter shape the engine uses) →
+    * crossing-parity PIP → per-(image, tile) counts. Zero-valid tiles drop,
+    * matching clipTiles' nValid > 0 emission. */
+  val clipTilesSql: String =
+    """WITH im AS (
+      |  SELECT i,
+      |    printf('img_%08d_%s_%02d00', i,
+      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+      |      i % 24) AS image_id,
+      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+      |  FROM generate_series(0, 799) t(i)),
+      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
+      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
+      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
+      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
+      |  FROM im, tgt),
+      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+      |src AS (
+      |  SELECT i AS img, image_id, ns, tulx, tuly, tres, marg, w, h, x, y,
+      |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
+      |         ELSE floor(((tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sx,
+      |    CASE WHEN i % 3 = 0 THEN y + round((uly - tuly) / tres)::INT
+      |         ELSE floor(((uly - (tuly - (y + 0.5::DOUBLE) * tres)) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sy
+      |  FROM bxy),
+      |cells AS (
+      |  SELECT img, image_id, ns, x, y,
+      |    tulx + (x + 0.5::DOUBLE) * tres AS mx,
+      |    tuly - (y + 0.5::DOUBLE) * tres AS my
+      |  FROM src WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg),
+      |c AS (SELECT i, 500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy
+      |      FROM generate_series(0, 119) t(i)),
+      |e AS (
+      |  SELECT i, cx AS xe, cy - 60 AS ylo, cy AS yhi FROM c WHERE i % 4 = 0
+      |  UNION ALL SELECT i, cx + 80, cy - 60, cy FROM c WHERE i % 4 = 0
+      |  UNION ALL SELECT i, cx, cy - 100, cy FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, cx + 40, cy - 70, cy - 30 FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, cx + 100, cy - 100, cy - 70 FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, cx + 100, cy - 30, cy FROM c WHERE i % 4 = 1
+      |  UNION ALL SELECT i, cx, cy - 90, cy FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, cx + 90, cy - 90, cy FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, cx + 25, cy - 65, cy - 25 FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, cx + 65, cy - 65, cy - 25 FROM c WHERE i % 4 = 2
+      |  UNION ALL SELECT i, 499950, 5298000, 5300050 FROM c WHERE i = 3
+      |  UNION ALL SELECT i, 508242, 5298000, 5300050 FROM c WHERE i = 3
+      |  UNION ALL SELECT i, cx, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, cx + 40, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, cx + 70, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3
+      |  UNION ALL SELECT i, cx + 110, cy - 40, cy FROM c WHERE i % 4 = 3 AND i <> 3),
+      |bb AS (SELECT i, min(xe) AS x1, max(xe) AS x2, min(ylo) AS y1, max(yhi) AS y2 FROM e GROUP BY i),
+      |pgx AS (SELECT bb.*, unnest(generate_series(x1 // 64, x2 // 64)) AS gx FROM bb),
+      |pgxy AS (SELECT pgx.*, unnest(generate_series(y1 // 64, y2 // 64)) AS gy FROM pgx),
+      |pcell AS (SELECT DISTINCT i AS poly_i, gx, gy FROM pgxy),
+      |cand AS (SELECT cl.img, cl.image_id, cl.ns, cl.x, cl.y, cl.mx, cl.my, pcell.poly_i
+      |         FROM cells cl JOIN pcell ON floor(cl.mx / 64)::BIGINT = pcell.gx
+      |                                 AND floor(cl.my / 64)::BIGINT = pcell.gy),
+      |par AS (SELECT img, image_id, ns, x, y, poly_i
+      |        FROM cand JOIN e ON e.i = cand.poly_i
+      |             AND cand.my >= e.ylo AND cand.my < e.yhi AND cand.mx < e.xe
+      |        GROUP BY img, image_id, ns, x, y, poly_i
+      |        HAVING count(*) % 2 = 1),
+      |keep AS (SELECT DISTINCT img, image_id, ns, x, y FROM par)
+      |SELECT image_id, ((y // 64) * ((ns + 63) // 64) + (x // 64))::BIGINT AS tile_id,
+      |       count(*)::INT AS n_valid
+      |FROM keep GROUP BY image_id, ns, x // 64, y // 64
+      |""".stripMargin
+
 }
