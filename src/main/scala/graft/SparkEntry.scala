@@ -185,5 +185,6 @@ object SparkEntry {
     "q48_stencil_gauss"  -> EngineOracle.removeIslandsSql,
     "q65_dem_family"     -> EngineOracle.demFamilySql,
     "q45_clip_tiles"     -> EngineOracle.clipTilesSql,
+    "q66_fill_interp"    -> EngineOracle.fillInterpSql,
   )
 }

@@ -965,4 +965,69 @@ object EngineOracle {
       |FROM keep GROUP BY image_id, ns, x // 64, y // 64
       |""".stripMargin
 
+
+  /** DuckDB twin of q66 (map_interp-grade gap fill): the interp gate is
+    * support >= 2x coefficient count AND a nonsingular fit, which on
+    * rectangular valid regions reduces to window-overlap arithmetic
+    * (ox*oy >= 20 with ox,oy >= 4 distinct coordinates for the degree-3
+    * Vandermonde rank) — the fill ring is exactly 1 px with corners
+    * excluded (4x4 = 16 < 20), clipped at the global tile grid; the
+    * grow-into-neighbor strip-only tiles fall out of the same arithmetic.
+    * Fill VALUES (cubic-exact) stay under FillSpec. */
+  val fillInterpSql: String =
+    """WITH im AS (
+      |  SELECT i,
+      |    printf('img_%08d_%s_%02d00', i,
+      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+      |      i % 24) AS image_id,
+      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
+      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
+      |  FROM generate_series(0, 799) t(i)),
+      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
+      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
+      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
+      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
+      |  FROM im, tgt),
+      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+      |src AS (
+      |  SELECT i, image_id, ns, nl, marg, w, h, x, y,
+      |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
+      |         ELSE floor(((tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sx,
+      |    CASE WHEN i % 3 = 0 THEN y + round((uly - tuly) / tres)::INT
+      |         ELSE floor(((uly - (tuly - (y + 0.5::DOUBLE) * tres)) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+      |    END AS sy
+      |  FROM bxy),
+      |v AS (SELECT i, image_id, min(ns) AS ns, min(nl) AS nl,
+      |        min(x) AS vx0, max(x) AS vx1, min(y) AS vy0, max(y) AS vy1
+      |      FROM src
+      |      WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg
+      |      GROUP BY i, image_id),
+      |ex AS (SELECT v.*, ((ns + 63) // 64) AS ntx, ((nl + 63) // 64) AS nty,
+      |        unnest(generate_series(greatest(0, vx0 - 1),
+      |          least(vx1 + 1, ((ns + 63) // 64) * 64 - 1))) AS x FROM v),
+      |exy AS (SELECT ex.*,
+      |        unnest(generate_series(greatest(0, vy0 - 1),
+      |          least(vy1 + 1, ((nl + 63) // 64) * 64 - 1))) AS y FROM ex),
+      |o AS (SELECT image_id, ntx, x, y,
+      |        (x BETWEEN vx0 AND vx1) AND (y BETWEEN vy0 AND vy1) AS valid,
+      |        least(x + 4, vx1) - greatest(x - 4, vx0) + 1 AS ox,
+      |        least(y + 4, vy1) - greatest(y - 4, vy0) + 1 AS oy
+      |      FROM exy),
+      |keep AS (SELECT image_id, ntx, x, y FROM o
+      |         WHERE valid OR (ox >= 4 AND oy >= 4 AND ox * oy >= 20))
+      |SELECT image_id,
+      |  count(DISTINCT (x // 64, y // 64))::BIGINT AS n_tiles,
+      |  count(*)::BIGINT AS n_valid_px
+      |FROM keep GROUP BY image_id
+      |""".stripMargin
+
 }
