@@ -43,7 +43,8 @@ object Engine {
     val target = Warp.analyze(imgs, "min", "union")
     Warp.warpToTiles(s, imgs, target, "bilinear").toDF()
       .select(col("image_id"), col("tile_id"), col("tx"), col("ty"),
-              col("n_valid"), col("elided"))
+              // int not boolean: the oracle hash gate has no bool precedent
+              col("n_valid"), col("elided").cast("int").as("elided"))
   }
 
   /** make_stack.py trace (SURVEY.md §3.2): per-pixel stack stats via the

@@ -704,7 +704,7 @@ object EngineOracle {
       |  ((y // 64) * ((ns + 63) // 64) + (x // 64))::BIGINT AS tile_id,
       |  (x // 64)::INT AS tx, (y // 64)::INT AS ty,
       |  count(*)::INT AS n_valid,
-      |  (min(i) % 3 = 0) AS elided
+      |  (min(i) % 3 = 0)::INT AS elided
       |FROM v WHERE ok
       |GROUP BY image_id, ns, x // 64, y // 64
       |""".stripMargin
