@@ -69,6 +69,16 @@ object GeomBool {
 
     val nG = groups.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Polygon]
+    // open trapezoids carried across slab boundaries: an interval bounded by
+    // the SAME (lo, hi) edge pair in consecutive slabs EXTENDS instead of
+    // emitting one trapezoid per slab — so the dissolved representation's
+    // size tracks the region's true boundary complexity, not the event
+    // count (10k overlapping footprints whose union is one blob dissolve to
+    // ~blob-boundary trapezoids, which is what keeps GeomUnionAgg's
+    // map-side buffer bounded). A pair that pinches to zero height at a
+    // boundary (edges crossing there) closes and reopens — no bowtie rings.
+    val open = scala.collection.mutable.LinkedHashMap.empty[(Edge, Edge), Double]
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Edge, Edge)]
     var k = 0
     while (k < xs.length - 1) {
       val x1 = xs(k); val x2 = xs(k + 1)
@@ -79,6 +89,7 @@ object GeomBool {
         val parity = new Array[Boolean](nG)
         var covered = 0
         var lower: Edge = null
+        pairs.clear()
         var a = 0
         while (a < active.length) {
           val e = active(a)
@@ -87,14 +98,23 @@ object GeomBool {
           val inside = keep(covered)
           if (inside && lower == null) lower = e
           else if (!inside && lower != null) {
-            emitTrap(out, lower, e, x1, x2)
+            pairs += ((lower, e))
             lower = null
           }
           a += 1
         }
+        val pairSet = pairs.toSet
+        val toClose = open.keysIterator.filter { case p @ (lo, hi) =>
+          !pairSet.contains(p) || !(hi.yAt(x1) > lo.yAt(x1))
+        }.toList
+        toClose.foreach { case p @ (lo, hi) =>
+          emitTrap(out, lo, hi, open(p), x1); open.remove(p)
+        }
+        pairs.foreach { p => if (!open.contains(p)) open(p) = x1 }
       }
       k += 1
     }
+    open.foreach { case ((lo, hi), xStart) => emitTrap(out, lo, hi, xStart, xs.last) }
     MultiPolygon(out.toSeq)
   }
 

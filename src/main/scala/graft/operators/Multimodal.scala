@@ -27,8 +27,9 @@ object Multimodal {
         val std = if (n > 1)
           math.sqrt(valid.map(v => (v - mean) * (v - mean)).sum / n) else 0.0
         val (mn, mx) = if (n > 0) (valid.min.toDouble, valid.max.toDouble) else (0.0, 0.0)
-        // double-precision binning: on integer-quantized payloads every op
-        // is correctly rounded from exact operands → engine-portable
+        // binning is double arithmetic (mn/mx are Double, so v promotes):
+        // on integer-quantized payloads every op is correctly rounded from
+        // exact operands → engine-portable (q78's oracle relies on this)
         val hist = new Array[Long](4)
         if (mx > mn) valid.foreach { v =>
           hist(math.min(3, ((v.toDouble - mn) / (mx - mn) * 4).toInt)) += 1

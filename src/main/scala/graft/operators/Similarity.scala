@@ -73,6 +73,11 @@ object Similarity {
     // deterministic init: the nLists lowest-id candidates
     var centroids: Array[Array[Double]] = candCached.orderBy(col("c_id")).limit(nLists)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    if (centroids.isEmpty) { // no candidates: empty result, not empty.max
+      candCached.unpersist()
+      return queries.select(col("q_id"), col("q_id").as("c_id"),
+        lit(0.0).as("cos"), lit(0).as("rnk")).limit(0)
+    }
     val dims = centroids.map(_.length).max
 
     def nearest(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
@@ -96,29 +101,30 @@ object Similarity {
     // pass per iteration; no per-row UDF, no posexplode row blow-up.
     for (_ <- 0 until iters) {
       val cs = centroids
+      // per-(list, dim) counts: ragged vectors contribute only to the dims
+      // they carry (a whole-row count would shrink tail dims toward zero)
       val (sums, cnts) = candCached.select(col("cv")).rdd.mapPartitions { it =>
         val s = Array.fill(cs.length)(new Array[Double](dims))
-        val n = new Array[Long](cs.length)
+        val n = Array.fill(cs.length)(new Array[Long](dims))
         it.foreach { row =>
           val v = row.getSeq[Float](0)
           val l = nearest(cs)(v)
           var i = 0
-          while (i < dims && i < v.length) { s(l)(i) += v(i); i += 1 }
-          n(l) += 1
+          while (i < dims && i < v.length) { s(l)(i) += v(i); n(l)(i) += 1; i += 1 }
         }
         Iterator.single((s, n))
       }.reduce { case ((s1, n1), (s2, n2)) =>
         var l = 0
         while (l < s1.length) {
           var i = 0
-          while (i < dims) { s1(l)(i) += s2(l)(i); i += 1 }
-          n1(l) += n2(l); l += 1
+          while (i < dims) { s1(l)(i) += s2(l)(i); n1(l)(i) += n2(l)(i); i += 1 }
+          l += 1
         }
         (s1, n1)
       }
       centroids = centroids.indices.map { l =>
-        if (cnts(l) == 0) centroids(l) // empty lists keep their centroid
-        else sums(l).map(_ / cnts(l))
+        if (cnts(l).forall(_ == 0L)) centroids(l) // empty lists keep their centroid
+        else Array.tabulate(dims)(i => if (cnts(l)(i) == 0) 0.0 else sums(l)(i) / cnts(l)(i))
       }.toArray
     }
     candCached.unpersist()

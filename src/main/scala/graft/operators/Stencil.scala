@@ -510,8 +510,20 @@ object Stencil {
     * exchange per round — verdict r2 "What's wrong" #3). */
   def fillGapsDilate(tiles: Dataset[TileRow], ntx: Int, nty: Int, rounds: Int,
                      tileSize: Int = Warp.TileSize,
-                     ndv: Float = graft.sources.ImageTable.Ndv): Dataset[TileRow] =
-    Stencil(tiles, ntx, nty, halo = rounds, tileSize, ndv)(iteratedDilateKernel(rounds))
+                     ndv: Float = graft.sources.ImageTable.Ndv): Dataset[TileRow] = {
+    // one exchange carries at most tileSize of halo (strip extraction needs
+    // h <= T); larger round counts chunk into ceil(rounds/T) exchanges, each
+    // composing up to T local dilations — still ~rounds/T payload shuffles
+    // instead of the old one-per-round
+    var cur = tiles
+    var left = rounds
+    while (left > 0) {
+      val step = math.min(left, tileSize)
+      cur = Stencil(cur, ntx, nty, halo = step, tileSize, ndv)(iteratedDilateKernel(step))
+      left -= step
+    }
+    cur
+  }
 
   /** Generic rolling-window reducer — `rolling_fltr` `filtlib.py:315-339`:
     * any reducer `f(values, n)` over the window's valid values, computed for

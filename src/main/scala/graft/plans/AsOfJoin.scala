@@ -112,7 +112,9 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val project = UnsafeProjection.create(outAttrs, leftSchema ++ rightSchema)
       val rit = rit0.buffered
       // streaming per-key state: previous and next equal-time RUN HEADS
-      var curKey = Long.MinValue; var keyPresent = false
+      // (explicit init flag: Long.MinValue is a legal key, not a sentinel)
+      var curKeyInit = false
+      var curKey = 0L; var keyPresent = false
       var hasPrev = false; var prevT = 0L; var prevTie = 0L; var prevRow: UnsafeRow = null
       var hasNext_ = false; var nextT = 0L; var nextTie = 0L; var nextRow: UnsafeRow = null
       def loadNextRun(): Unit = {
@@ -125,8 +127,9 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         } else hasNext_ = false
       }
       lit.flatMap { case ((k, t, _), lrow) =>
-        if (k != curKey) {
+        if (!curKeyInit || k != curKey) {
           while (rit.hasNext && rit.head._1._1 < k) rit.next() // drop unmatched right keys
+          curKeyInit = true
           curKey = k; hasPrev = false; hasNext_ = false
           keyPresent = rit.hasNext && rit.head._1._1 == k
           if (keyPresent) loadNextRun()

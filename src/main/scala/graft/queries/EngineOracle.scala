@@ -567,25 +567,7 @@ object EngineOracle {
     * margin test. (Resume SEMANTICS stay under CheckpointSpec; the twin
     * pins the stage outputs.) */
   val resumableJobSql: String =
-    """WITH im AS (
-      |  SELECT i,
-      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
-      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
-      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
-      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
-      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-      |  FROM generate_series(0, 399) t(i)),
-      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
-      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
-      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
-      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
-      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
-      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
-      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
-      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
-      |  FROM im, tgt),
-      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
-      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+    warpGridSql(399) + """,
       |src AS (
       |  SELECT i, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -651,15 +633,12 @@ object EngineOracle {
        |FROM g JOIN b USING (image_id)
        |GROUP BY g.image_id, g.w, g.h, g.n, g.sv""".stripMargin
 
-  /** DuckDB twin of q40 (the warp operator's own output, bilinear kernel):
-    * per-(image, tile) valid-pixel counts + the no-op-elision flag.
-    * Bilinear validity (Warp.bilinear: wsum > 0) is SEPARABLE on these
-    * rectangular source masks — a target pixel is valid iff some
-    * positive-weight neighbor column AND row are in the valid range —
-    * and elided images (res == tres on the lattice) use the direct copy
-    * mapping. Matched 3280/3280 against the executed operator. */
-  val warpTilesSql: String =
-    """WITH im AS (
+  /** Shared warp-grid CTE prefix (im → tgt → b → bx → bxy): the sf0.01
+    * image closed forms, the q63-proven pixel-bounds arithmetic, and the
+    * per-image target-pixel enumeration — used by six engine twins (fix
+    * the arithmetic here, once). `hi` bounds the image series. */
+  private def warpGridSql(hi: Int): String =
+    s"""WITH im AS (
       |  SELECT i,
       |    printf('img_%08d_%s_%02d00', i,
       |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
@@ -669,7 +648,7 @@ object EngineOracle {
       |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
       |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
       |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-      |  FROM generate_series(0, 799) t(i)),
+      |  FROM generate_series(0, $hi) t(i)),
       |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
       |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
       |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
@@ -680,7 +659,17 @@ object EngineOracle {
       |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
       |  FROM im, tgt),
       |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
-      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx)""".stripMargin
+
+  /** DuckDB twin of q40 (the warp operator's own output, bilinear kernel):
+    * per-(image, tile) valid-pixel counts + the no-op-elision flag.
+    * Bilinear validity (Warp.bilinear: wsum > 0) is SEPARABLE on these
+    * rectangular source masks — a target pixel is valid iff some
+    * positive-weight neighbor column AND row are in the valid range —
+    * and elided images (res == tres on the lattice) use the direct copy
+    * mapping. Matched 3280/3280 against the executed operator. */
+  val warpTilesSql: String =
+    warpGridSql(799) + """,
       |f AS (
       |  SELECT i, image_id, marg, w, h, ns, x, y,
       |    (tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE AS pxf,
@@ -715,28 +704,7 @@ object EngineOracle {
     * twin pins exactly that (the morphology itself is exercised on
     * island-bearing fixtures in StencilSpec, set-exact vs whole-array). */
   val removeIslandsSql: String =
-    """WITH im AS (
-      |  SELECT i,
-      |    printf('img_%08d_%s_%02d00', i,
-      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
-      |      i % 24) AS image_id,
-      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
-      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
-      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
-      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
-      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-      |  FROM generate_series(0, 799) t(i)),
-      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
-      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
-      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
-      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
-      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
-      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
-      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
-      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
-      |  FROM im, tgt),
-      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
-      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+    warpGridSql(799) + """,
       |src AS (
       |  SELECT i, image_id, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -842,28 +810,7 @@ object EngineOracle {
     * rectangle — counts are coverage arithmetic (the shading VALUES are
     * pinned by StencilSpec closed forms on the affine surface). */
   val demFamilySql: String =
-    """WITH im AS (
-      |  SELECT i,
-      |    printf('img_%08d_%s_%02d00', i,
-      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
-      |      i % 24) AS image_id,
-      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
-      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
-      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
-      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
-      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-      |  FROM generate_series(0, 799) t(i)),
-      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
-      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
-      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
-      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
-      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
-      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
-      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
-      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
-      |  FROM im, tgt),
-      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
-      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+    warpGridSql(799) + """,
       |src AS (
       |  SELECT i, image_id, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -892,28 +839,7 @@ object EngineOracle {
     * crossing-parity PIP → per-(image, tile) counts. Zero-valid tiles drop,
     * matching clipTiles' nValid > 0 emission. */
   val clipTilesSql: String =
-    """WITH im AS (
-      |  SELECT i,
-      |    printf('img_%08d_%s_%02d00', i,
-      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
-      |      i % 24) AS image_id,
-      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
-      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
-      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
-      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
-      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-      |  FROM generate_series(0, 799) t(i)),
-      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
-      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
-      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
-      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
-      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
-      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
-      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
-      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
-      |  FROM im, tgt),
-      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
-      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+    warpGridSql(799) + """,
       |src AS (
       |  SELECT i AS img, image_id, ns, tulx, tuly, tres, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -975,28 +901,7 @@ object EngineOracle {
     * grow-into-neighbor strip-only tiles fall out of the same arithmetic.
     * Fill VALUES (cubic-exact) stay under FillSpec. */
   val fillInterpSql: String =
-    """WITH im AS (
-      |  SELECT i,
-      |    printf('img_%08d_%s_%02d00', i,
-      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
-      |      i % 24) AS image_id,
-      |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
-      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
-      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
-      |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
-      |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-      |  FROM generate_series(0, 799) t(i)),
-      |tgt AS (SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
-      |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
-      |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl FROM im),
-      |b AS (SELECT im.*, tulx, tuly, tres, ns, nl,
-      |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
-      |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
-      |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
-      |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
-      |  FROM im, tgt),
-      |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
-      |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+    warpGridSql(799) + """,
       |src AS (
       |  SELECT i, image_id, ns, nl, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT

@@ -29,6 +29,22 @@ object Stream {
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID.toString.take(8)}"
 
+  /** Materialize the memory-sink result as a local-relation DataFrame, then
+    * drop the global sink view and delete the fixture dir — repeated
+    * Verify/Bench invocations would otherwise accumulate /tmp parquet
+    * copies and driver-resident sink tables for the session's lifetime. */
+  private def detach(s: SparkSession, sink: DataFrame, sinkTable: String,
+                     dir: String): DataFrame = {
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(sinkTable)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+    out
+  }
+
   /** q74: streaming exact dedup — the training-pipeline ingest pattern
     * (batch twin: q20 / `Text.dedupExact`). The documents table becomes a
     * 3-micro-batch stream of (doc_id, dup_key, event-time); duplicates of a
@@ -56,7 +72,7 @@ object Stream {
     q.processAllAvailable(); q.stop()
     // which doc survives per key is batch/partition-order dependent; the
     // surviving KEY SET is the deterministic (and the meaningful) output
-    s.table(name).select(col("fp")).distinct()
+    detach(s, s.table(name).select(col("fp")).distinct(), name, dir)
   }
 
   val streamDedupSql: String =
@@ -92,12 +108,12 @@ object Stream {
       q.processAllAvailable()
     }
     q.stop()
-    s.table(name).filter(col("user_id") >= 0)
+    detach(s, s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"),
         unix_micros(col("t_start")).as("t_start_us"),
         unix_micros(col("t_end")).as("t_end_us"),
         col("n_events"),
-        round(col("v_sum"), 6).as("v_sum"))
+        round(col("v_sum"), 6).as("v_sum")), name, dir)
   }
 
   val streamSessionsSql: String =

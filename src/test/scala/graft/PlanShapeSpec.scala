@@ -15,7 +15,9 @@ class PlanShapeSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.count() // materialize so AQE re-optimization has happened
+    // collect() runs THIS Dataset's QueryExecution (count() would spawn a
+    // separate one and leave df's AQE plan un-finalized)
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 

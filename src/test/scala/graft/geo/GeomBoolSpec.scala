@@ -119,4 +119,51 @@ class GeomBoolSpec extends AnyFunSuite {
     }
     assert(math.abs(a1 - approx) / approx < 0.02, s"exact $a1 vs mc $approx")
   }
+
+  test("dissolve converges: overlapping blob stays boundary-sized, not event-sized") {
+    // 300 heavily-overlapping boxes whose union is one blob: without
+    // cross-slab trapezoid merging the dissolved output carries ~2 slabs
+    // per distinct x (≥600 trapezoids) and GeomUnionAgg re-dissolves on
+    // every append forever (review finding r3)
+    val boxes = (0 until 300).map { i =>
+      box(i * 0.25, (i % 7) * 0.125, i * 0.25 + 30, (i % 7) * 0.125 + 30)
+    }
+    val u = GeomBool.unionAll(boxes)
+    assert(u.polys.length < 100,
+      s"dissolved to ${u.polys.length} trapezoids — slab merging broken")
+    // exact area cross-check by center-sampling on a fine grid
+    var expected = 0.0
+    val e = u.bbox; val step = 0.125
+    var x = e.xmin + step / 2
+    while (x < e.xmax) {
+      var y = e.ymin + step / 2
+      while (y < e.ymax) {
+        if (boxes.exists(_.contains(x, y))) expected += step * step
+        y += step
+      }
+      x += step
+    }
+    assert(math.abs(area(u) - expected) / expected < 0.01,
+      s"area ${area(u)} vs sampled $expected")
+  }
+
+  test("union aggregate over a hot group is amortized (adaptive dissolve threshold)") {
+    // 2000 rows of near-identical footprints into one group: bounded buffer
+    // + a handful of dissolves, not one O(E²) sweep per row past the cap
+    val spark = graft.operators.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 2000).map { i =>
+      Wkb.writeMultiPolygon(box(i % 13, i % 11, i % 13 + 50, i % 11 + 50))
+    }
+    val t0 = System.nanoTime()
+    val wkb = spark.createDataset(rows).toDF("wkb")
+      .agg(graft.functions.GeomFunctions.geomUnion(col("wkb")))
+      .head().getAs[Array[Byte]](0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val u = Wkb.read(wkb)
+    assert(u.polys.length < 200, s"${u.polys.length} trapezoids")
+    assert(math.abs(Geom.area(u) - (62.0 * 60.0)) < 1e-6) // 13+50-1+... exact blob
+    assert(sec < 60.0, s"hot-group union took $sec s — dissolve not amortized")
+  }
 }

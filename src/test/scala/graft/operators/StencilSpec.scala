@@ -180,6 +180,28 @@ class StencilSpec extends AnyFunSuite {
     tiles.unpersist()
   }
 
+  test("fillGapsDilate rounds > tileSize chunks into multiple exchanges (review r3)") {
+    import spark.implicits._
+    // tileSize 8 keeps the fixture small: rounds = 11 > 8 forces two
+    // exchanges (halo 8 then 3); the old halo=rounds form crashed on
+    // negative strip offsets
+    val T = 8
+    val base = Seq(graft.operators.TileRow("img", 0L, 0L, 0, 0,
+      Array.tabulate(T * T)(i => if (i == 0) 5.0f else ndv), 1, elided = false)).toDS()
+    val out = Stencil.fillGapsDilate(base, ntx = 2, nty = 2, rounds = 11, tileSize = T)
+      .collect()
+    // 11 dilations from one seed reach Chebyshev distance 11: the whole
+    // home tile plus neighbors' cells within range are valid
+    val home = out.find(t => t.tx == 0 && t.ty == 0).get
+    assert(home.n_valid == T * T, s"home tile ${home.n_valid}")
+    val right = out.find(t => t.tx == 1 && t.ty == 0).get
+    // columns 8..11 of the global grid are reachable (seed at 0,0)
+    assert((0 until T).forall { c =>
+      val reachable = (T + c) <= 11
+      (right.payload(c) != ndv) == reachable
+    }, right.payload.take(8).toSeq.toString)
+  }
+
   test("rolling reducer: circular half-pixel disc per filtlib.py:303-312; fills gaps") {
     // direct check on one padded frame: size-5 circular window max
     val p = 11; val h = 2

@@ -26,6 +26,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("Long.MinValue is a legal key, not a sentinel (review r3)") {
+    import spark.implicits._
+    AsOf.install(spark)
+    val l = Seq((Long.MinValue, 100L, 1L)).toDF("k", "lt", "l_id")
+      .select(col("l_id"), col("k"), col("lt"))
+    val r = Seq((Long.MinValue, 90L, 5L)).toDF("rk", "rt", "r_id")
+      .select(col("r_id"), col("rk"), col("rt"))
+    val out = AsOf.join(l, r, "k", "lt", "rk", "rt", "r_id")
+      .select(col("l_id"), col("r_id")).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 5L)
+  }
+
   test("tie-breaks: equal |Δt| on both sides picks the smaller right id") {
     import spark.implicits._
     AsOf.install(spark)
