@@ -336,6 +336,10 @@ object Stencil {
       val out = Array.fill(t * t)(ndv)
       def v(px: Int, py: Int): Float = padded(py * p + px)
       val azR = math.toRadians(lightAz); val altR = math.toRadians(lightAlt)
+      // hillshade constants hoisted: the per-pixel form below is gdaldem's
+      // algebraic identity with NO trig in the loop
+      val sinAlt = math.sin(altR); val cosAlt = math.cos(altR)
+      val sinAz = math.sin(azR); val cosAz = math.cos(azR)
       var y = 0
       while (y < t) {
         var x = 0
@@ -365,10 +369,13 @@ object Stencil {
                     out(y * t + x) = az.toFloat
                   }
                 } else {
-                  val slope = math.atan(math.sqrt(dzdx * dzdx + dzdyS * dzdyS))
-                  val asp = math.atan2(-dzdx, dzdyS) // radians, from north CW
-                  val shade = math.sin(altR) * math.cos(slope) +
-                    math.cos(altR) * math.sin(slope) * math.cos(azR - asp)
+                  // ≡ sinAlt·cos(slope) + cosAlt·sin(slope)·cos(azR − asp)
+                  // with cos(slope) = 1/√(1+p²+q²), sin(slope)·cos(asp) =
+                  // qS/√(1+p²+q²), sin(slope)·sin(asp) = −p/√(1+p²+q²):
+                  // one sqrt + one division per pixel, no trig (the
+                  // standard gdaldem inner-loop form)
+                  val shade = (sinAlt + cosAlt * (cosAz * dzdyS - sinAz * dzdx)) /
+                    math.sqrt(1.0 + dzdx * dzdx + dzdyS * dzdyS)
                   out(y * t + x) = (255.0 * math.max(0.0, shade)).toFloat
                 }
               case "tri" =>
