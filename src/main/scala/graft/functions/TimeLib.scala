@@ -12,6 +12,13 @@ object TimeLib {
   /** Matlab datenum − Python ordinal offset (`timelib.py:527-539`). */
   val MatlabOffset: Double = 366.0
 
+  /** Local mean time at a longitude — `ul_time` `timelib.py:45-50`:
+    * UTC + lon·(24/360) hours (the 15°-per-hour offset; the reference's
+    * timezone-API and ephem solar variants are out of scope: network /
+    * external ephemeris). */
+  def ulTimeUs(utcUs: Long, lon: Double): Long =
+    utcUs + math.round(lon * (24.0 / 360.0) * 3600.0 * 1e6)
+
   /** `gps2dt` `timelib.py:519-525`. */
   def gps2us(gpsWeek: Long, gpsMs: Double): Long =
     GpsEpochUs + gpsWeek * 604800L * 1000000L + math.round(gpsMs * 1000.0)

@@ -61,6 +61,19 @@ object Srs {
     sign * (math.abs(d).toInt + m / 60.0 + s / 3600.0)
   }
 
+  /** "D M S" string → decimal degrees — `dms2dd_str` `geolib.py:264-279`:
+    * sign from any s/S/w/W in the string (applied to the degree term, as
+    * the reference does), consecutive delimiters collapsed. */
+  def dms2ddStr(dms: String, delim: String = " "): Double = {
+    val sign = if (dms.exists(c => "swSW".indexOf(c) >= 0)) -1 else 1
+    val parts = dms.split(java.util.regex.Pattern.quote(delim))
+      .filter(_.nonEmpty).map(_.filter(c => c.isDigit || c == '.' || c == '-'))
+    dms2dd(parts(0).toDouble.toInt * sign, parts(1).toDouble.toInt, parts(2).toDouble)
+  }
+
+  /** (degrees, decimal minutes) → decimal degrees — `dm2dd` `geolib.py:280-284`. */
+  def dm2dd(d: Double, m: Double): Double = dms2dd(d, m, 0.0)
+
   /** UTM zone number+hemisphere for a lon/lat point — `getUTMzone`
     * `geolib.py:1917-1944` including Norway (32V) and Svalbard exceptions. */
   def utmZone(lon: Double, lat: Double): (Int, Char) = {

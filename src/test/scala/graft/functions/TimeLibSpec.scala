@@ -47,4 +47,12 @@ class TimeLibSpec extends AnyFunSuite {
     assert(math.abs(s - 45.0) < 1e-9)
     assert(math.abs(m - (30.0 + 45.0 / 3600.0)) < 1e-9) // sic: reference uses s/3600
   }
+
+  test("ul_time: 15 degrees of longitude = one hour (timelib.py:45-50)") {
+    val noon = 1704110400000000L // 2024-01-01T12:00:00Z
+    assert(TimeLib.ulTimeUs(noon, 0.0) == noon)
+    assert(TimeLib.ulTimeUs(noon, 15.0) == noon + 3600L * 1000000L)
+    assert(TimeLib.ulTimeUs(noon, -122.42) ==
+      noon + math.round(-122.42 * (24.0 / 360.0) * 3600.0 * 1e6))
+  }
 }

@@ -103,6 +103,14 @@ class GeoCoreSpec extends AnyFunSuite {
     assert(math.abs(Srs.dms2dd(-122, 20, 44.412) - (-122.34567)) < 1e-9)
   }
 
+  test("dms2dd_str / dm2dd (geolib.py:264-284)") {
+    assert(math.abs(Srs.dms2ddStr("122 20 44.412 W") - (-122.34567)) < 1e-9)
+    assert(math.abs(Srs.dms2ddStr("47 36 28.8") - 47.608) < 1e-9)
+    // consecutive delimiters collapse like the reference's empty-string filter
+    assert(math.abs(Srs.dms2ddStr("47  36  28.8 N") - 47.608) < 1e-9)
+    assert(math.abs(Srs.dm2dd(47, 36.48) - 47.608) < 1e-9)
+  }
+
   test("scale_ps: area scale = 1 at 70N (true-scale lat), matches constants (geolib.py:168-214)") {
     // at the reference latitude k=1 so scale=1 (up to the reference's stored
     // 8-digit m70_t70 constant)
