@@ -101,7 +101,17 @@ object Stencil {
 
   /** Gaussian smooth — `gauss_fltr_astropy` `filtlib.py:101-170`: truncate=3,
     * size = 2·int(truncate·sigma)+1, weights renormalized over valid pixels. */
-  def gaussKernel(sigma: Double): (Array[Float], Int, Int, Float) => Array[Float] = {
+  def gaussKernel(sigma: Double): (Array[Float], Int, Int, Float) => Array[Float] =
+    gaussLike(sigma, fill = false)
+
+  /** Gaussian fill — `gaussfill` `filtlib.py:240-247`: gap pixels take the
+    * NaN-aware smoothed value (renormalized over the valid support), while
+    * valid pixels keep their ORIGINAL value (the reference restores
+    * `smooth[~mask] = dem[~mask]`). */
+  def gaussFillKernel(sigma: Double): (Array[Float], Int, Int, Float) => Array[Float] =
+    gaussLike(sigma, fill = true)
+
+  private def gaussLike(sigma: Double, fill: Boolean): (Array[Float], Int, Int, Float) => Array[Float] = {
     val r = (3.0 * sigma).toInt
     val wts = Array.tabulate(2 * r + 1, 2 * r + 1) { (dy, dx) =>
       val ddx = dx - r; val ddy = dy - r
@@ -115,7 +125,9 @@ object Stencil {
       while (y < t) {
         var x = 0
         while (x < t) {
-          if (padded((y + h) * p + (x + h)) != ndv) {   // mask preserved, filtlib.py:160
+          val center = padded((y + h) * p + (x + h))
+          if (fill && center != ndv) out(y * t + x) = center // originals kept
+          else if (fill || center != ndv) {   // mask preserved, filtlib.py:160
             var s = 0.0; var ws = 0.0
             var dy = -r
             while (dy <= r) {

@@ -202,6 +202,20 @@ class StencilSpec extends AnyFunSuite {
     }, right.payload.take(8).toSeq.toString)
   }
 
+  test("gaussfill: gaps take the smoothed value, valid pixels keep originals (filtlib.py:240-247)") {
+    val p = 13; val h = 3
+    val padded = Array.fill(p * p)(10.0f)
+    padded(6 * p + 6) = ndv // one gap in a constant field
+    val out = Stencil.gaussFillKernel(1.0)(padded, p, h, ndv)
+    val t = p - 2 * h
+    assert(out((t / 2) * t + t / 2) == 10.0f)          // gap filled exactly
+    assert(out.forall(_ == 10.0f))                     // originals untouched
+    // isolated gap with NO valid support stays masked
+    val empty = Array.fill(p * p)(ndv)
+    val out2 = Stencil.gaussFillKernel(1.0)(empty, p, h, ndv)
+    assert(out2.forall(_ == ndv))
+  }
+
   test("rolling reducer: circular half-pixel disc per filtlib.py:303-312; fills gaps") {
     // direct check on one padded frame: size-5 circular window max
     val p = 11; val h = 2
