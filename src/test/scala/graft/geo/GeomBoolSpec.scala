@@ -120,6 +120,38 @@ class GeomBoolSpec extends AnyFunSuite {
     assert(math.abs(a1 - approx) / approx < 0.02, s"exact $a1 vs mc $approx")
   }
 
+  test("property: union area == independent slab-scanline union (100 seeded sets)") {
+    // guards the cross-slab trapezoid merge: area must stay EXACT while the
+    // representation compresses. Independent oracle: x-slab sweep + 1-D
+    // interval union per slab (the q73 DuckDB twin's algorithm, in Scala).
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 100) {
+      val n = 2 + rnd.nextInt(25)
+      val rects = (0 until n).map { _ =>
+        val x0 = rnd.nextInt(200); val y0 = rnd.nextInt(200)
+        (x0.toDouble, y0.toDouble, (x0 + 1 + rnd.nextInt(60)).toDouble,
+         (y0 + 1 + rnd.nextInt(60)).toDouble)
+      }
+      val u = GeomBool.unionAll(rects.map { case (a, b, c, d) => box(a, b, c, d) })
+      // scanline oracle
+      val xs = rects.flatMap(r => Seq(r._1, r._3)).distinct.sorted
+      var want = 0.0
+      for (Seq(x1, x2) <- xs.sliding(2) if x2 > x1) {
+        val ivs = rects.filter(r => r._1 <= x1 && r._3 >= x2)
+          .map(r => (r._2, r._4)).sortBy(_._1)
+        var covered = 0.0; var curLo = 0.0; var curHi = -1.0
+        ivs.foreach { case (lo, hi) =>
+          if (curHi < lo) { covered += math.max(0, curHi - curLo); curLo = lo; curHi = hi }
+          else if (hi > curHi) curHi = hi
+        }
+        covered += math.max(0, curHi - curLo)
+        want += covered * (x2 - x1)
+      }
+      assert(math.abs(area(u) - want) < 1e-9,
+        s"trial $trial: ${area(u)} vs $want (${u.polys.length} traps, $n rects)")
+    }
+  }
+
   test("dissolve converges: overlapping blob stays boundary-sized, not event-sized") {
     // 300 heavily-overlapping boxes whose union is one blob: without
     // cross-slab trapezoid merging the dissolved output carries ~2 slabs
