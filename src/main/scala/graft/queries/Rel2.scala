@@ -152,7 +152,7 @@ object Rel2 {
 
   /** The nearest-time as-of join (q11's semantics) routed through the
     * CUSTOM CATALYST PLAN — AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec
-    * (graft.plans): one cogroup + per-key binary search instead of the
+    * (graft.plans): one external-sorted merge with O(1) heap per key instead of the
     * window form's |L_k|·|R_k| pair materialization. Oracle = the identical
     * DuckDB window query, so the physical operator itself is hash-checked. */
   def asofPlan(s: SparkSession, d: String): DataFrame = {
