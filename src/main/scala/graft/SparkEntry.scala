@@ -103,6 +103,9 @@ object SparkEntry {
     "q77_heatmap_rects"    -> (EngineOracle.heatmapRects _),
     "q78_img_feature_stats"-> (EngineOracle.imgFeatureStats _),
     "q79_profile_cells"    -> (EngineOracle.profileCells _),
+    // zero-phase Butterworth low-pass (butter_low filtlib.py:483-507) —
+    // the IIR recursion replays bit-exactly in a DuckDB recursive CTE
+    "q80_butter_low"       -> (Time.butterLow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +189,6 @@ object SparkEntry {
     "q65_dem_family"     -> EngineOracle.demFamilySql,
     "q45_clip_tiles"     -> EngineOracle.clipTilesSql,
     "q66_fill_interp"    -> EngineOracle.fillInterpSql,
+    "q80_butter_low"     -> Time.butterLowSql,
   )
 }

@@ -174,4 +174,109 @@ object Time {
       |SELECT any_value(c.a) AS a, any_value(c.b) AS b, any_value(c.c) AS c,
       |  round(sqrt(avg(pow(z - (c.a*x + c.b*y + c.c), 2))), 4) AS resid_rmse
       |FROM pts, c""".stripMargin
+
+  /** q80 — `butter_low` (`filtlib.py:483-507`): order-3 zero-phase
+    * Butterworth low-pass over each user's event-value time series. The
+    * driver-visible form fixes `wn = 0.1` (the known-cadence call; the
+    * reference's auto-median-dt path is `Butterworth.butterLow`, covered by
+    * ButterworthSpec) so the oracle can replay the identical IEEE-double
+    * recursion from the same coefficient literals.
+    *
+    * Scale shape: one `flatMapGroups` fold per user — task state is a
+    * single user's series, the same bounded-group contract as the
+    * reference's 1-D API and the stack trend folds. No shuffle beyond the
+    * groupBy on user_id. */
+  def butterLow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = graft.functions.Butterworth.lowpass(3, 0.1)
+    ev(s, d).select(col("user_id"), col("event_id"), tUs(col("ts")).as("t_us"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val rows = it.toArray.sortBy(r => (r._3, r._2))
+        val y = graft.functions.Butterworth.filtfilt(c, rows.map(_._4))
+        rows.indices.iterator.map(i => (uid, rows(i)._3, y(i)))
+      }
+      .toDF("user_id", "t_us", "v_filt")
+  }
+
+  /** DuckDB twin of q80: the direct-form-II-transposed recursion is a fixed
+    * chain of IEEE double ops, so a recursive CTE stepping one sample per
+    * level (all users advance in lockstep; depth = longest padded series)
+    * reproduces filtfilt bit-for-bit: odd-extend 12 samples each side,
+    * forward pass with zi*x[0] init, reverse, second pass with zi*y[0] init,
+    * reverse and strip. Coefficients are interpolated from the SAME runtime
+    * design the Spark plan uses, so the two sides cannot drift. */
+  val butterLowSql: String = {
+    val c = graft.functions.Butterworth.lowpass(3, 0.1)
+    val zi = graft.functions.Butterworth.lfilterZi(c)
+    // CAST('…' AS DOUBLE), NOT a bare literal: DuckDB types a long decimal
+    // literal as DECIMAL, and its DECIMAL→DOUBLE conversion can land 1 ulp
+    // off the correctly-rounded parse (measured), which compounds through
+    // the recursion; the string cast is a correctly-rounded IEEE parse.
+    def f(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+    val b0 = f(c.b(0)); val b1 = f(c.b(1)); val b2 = f(c.b(2)); val b3 = f(c.b(3))
+    val a1 = f(c.a(1)); val a2 = f(c.a(2)); val a3 = f(c.a(3))
+    val z1 = f(zi(0)); val z2 = f(zi(1)); val z3 = f(zi(2))
+    s"""WITH RECURSIVE
+       |base AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(ts) AS t_us,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS n,
+       |         count(*) OVER (PARTITION BY user_id) AS cnt,
+       |         value AS x
+       |  FROM events
+       |),
+       |fl AS (
+       |  SELECT user_id, max(cnt) AS cnt,
+       |         max(CASE WHEN n = 0 THEN x END) AS x0,
+       |         max(CASE WHEN n = cnt - 1 THEN x END) AS xl
+       |  FROM base GROUP BY user_id
+       |),
+       |ext AS MATERIALIZED (
+       |  SELECT b.user_id, 12 - b.n AS p, 2.0*f.x0 - b.x AS x
+       |    FROM base b JOIN fl f USING (user_id) WHERE b.n BETWEEN 1 AND 12
+       |  UNION ALL
+       |  SELECT user_id, n + 12 AS p, x FROM base
+       |  UNION ALL
+       |  SELECT b.user_id, 2*f.cnt + 10 - b.n AS p, 2.0*f.xl - b.x AS x
+       |    FROM base b JOIN fl f USING (user_id) WHERE b.n BETWEEN f.cnt - 13 AND f.cnt - 2
+       |),
+       |fwd AS (
+       |  SELECT user_id, p,
+       |         $b0*x + $z1*x AS y,
+       |         $b1*x - $a1*($b0*x + $z1*x) + $z2*x AS s1,
+       |         $b2*x - $a2*($b0*x + $z1*x) + $z3*x AS s2,
+       |         $b3*x - $a3*($b0*x + $z1*x) AS s3
+       |  FROM ext WHERE p = 0
+       |  UNION ALL
+       |  SELECT e.user_id, e.p,
+       |         $b0*e.x + w.s1,
+       |         $b1*e.x - $a1*($b0*e.x + w.s1) + w.s2,
+       |         $b2*e.x - $a2*($b0*e.x + w.s1) + w.s3,
+       |         $b3*e.x - $a3*($b0*e.x + w.s1)
+       |  FROM fwd w JOIN ext e ON e.user_id = w.user_id AND e.p = w.p + 1
+       |),
+       |mx AS (SELECT user_id, max(p) AS pmax FROM fwd GROUP BY user_id),
+       |rev AS MATERIALIZED (SELECT w.user_id, m.pmax - w.p AS q, w.y AS x
+       |        FROM fwd w JOIN mx m USING (user_id)),
+       |bwd AS (
+       |  SELECT user_id, q,
+       |         $b0*x + $z1*x AS y,
+       |         $b1*x - $a1*($b0*x + $z1*x) + $z2*x AS s1,
+       |         $b2*x - $a2*($b0*x + $z1*x) + $z3*x AS s2,
+       |         $b3*x - $a3*($b0*x + $z1*x) AS s3
+       |  FROM rev WHERE q = 0
+       |  UNION ALL
+       |  SELECT r.user_id, r.q,
+       |         $b0*r.x + w.s1,
+       |         $b1*r.x - $a1*($b0*r.x + w.s1) + w.s2,
+       |         $b2*r.x - $a2*($b0*r.x + w.s1) + w.s3,
+       |         $b3*r.x - $a3*($b0*r.x + w.s1)
+       |  FROM bwd w JOIN rev r ON r.user_id = w.user_id AND r.q = w.q + 1
+       |)
+       |SELECT b.user_id, b.t_us, w.y AS v_filt
+       |FROM base b
+       |JOIN mx m USING (user_id)
+       |JOIN bwd w ON w.user_id = b.user_id AND w.q = m.pmax - 12 - b.n""".stripMargin
+  }
 }
