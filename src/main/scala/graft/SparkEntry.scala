@@ -106,6 +106,8 @@ object SparkEntry {
     // zero-phase Butterworth low-pass (butter_low filtlib.py:483-507) —
     // the IIR recursion replays bit-exactly in a DuckDB recursive CTE
     "q80_butter_low"       -> (Time.butterLow _),
+    // full feature row (std + aHash included) on the integer-exact subset
+    "q81_img_features_exact" -> (EngineOracle.imgFeaturesExact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,5 +192,8 @@ object SparkEntry {
     "q45_clip_tiles"     -> EngineOracle.clipTilesSql,
     "q66_fill_interp"    -> EngineOracle.fillInterpSql,
     "q80_butter_low"     -> Time.butterLowSql,
+    "q55_frame_sample"   -> EngineOracle.frameSampleSql,
+    "q46_knn_ring"       -> EngineOracle.knnRingSql,
+    "q81_img_features_exact" -> EngineOracle.imgFeaturesExactSql,
   )
 }

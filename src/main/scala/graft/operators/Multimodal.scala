@@ -23,9 +23,16 @@ object Multimodal {
         val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
         val valid = px.filter(_ != img.ndv.toFloat)
         val n = valid.length
-        val mean = if (n > 0) valid.map(_.toDouble).sum / n else Double.NaN
+        // moment accumulators, not a two-pass residual sum: on integer-
+        // quantized payloads Σv and Σv² are EXACT (v ≤ 255, v² ≤ 2¹⁶, well
+        // inside double's 53 bits), so mean/std become fixed chains of
+        // correctly-rounded ops on exact operands — cross-engine
+        // reproducible (q81's DuckDB twin replays them bit-for-bit)
+        var sv = 0.0; var svv = 0.0
+        valid.foreach { v => sv += v; svv += v.toDouble * v }
+        val mean = if (n > 0) sv / n else Double.NaN
         val std = if (n > 1)
-          math.sqrt(valid.map(v => (v - mean) * (v - mean)).sum / n) else 0.0
+          math.sqrt(math.max(0.0, svv / n - (sv / n) * (sv / n))) else 0.0
         val (mn, mx) = if (n > 0) (valid.min.toDouble, valid.max.toDouble) else (0.0, 0.0)
         // binning is double arithmetic (mn/mx are Double, so v promotes):
         // on integer-quantized payloads every op is correctly rounded from
@@ -84,10 +91,15 @@ object Multimodal {
     videos.as[ImageRow].flatMap { img =>
       // STUB DECODER: deterministically fabricate ceil(16/everyK) "frames"
       val nFrames = 16
+      val idx = img.image_id.slice(4, 12).toLong // img_%08d id prefix
       (0 until nFrames by everyK).map { k =>
         val frameId = s"${img.image_id}#f$k"
-        // fake per-frame content hash: stable function of (id, k)
-        val h = java.util.Arrays.hashCode(img.bytes) * 31L + k
+        // fake per-frame hash, seeded by (id index, k) — NOT by payload
+        // bytes: a content hash of a stub decode would only pretend codec
+        // fidelity, and the id-seeded form replays exactly in the DuckDB
+        // twin (q55), keeping the real contract — one binary in, N frame
+        // rows out, stable indexes — oracle-checked
+        val h = (idx * 2654435761L) ^ (k * 40503L)
         (img.image_id, frameId, k, img.w, img.h, h)
       }
     }.toDF("image_id", "frame_id", "frame_idx", "w", "h", "frame_hash")

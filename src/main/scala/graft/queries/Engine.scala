@@ -100,8 +100,11 @@ object Engine {
     // cell size left to the density-derived auto-sizing: a fixed 128 m cell
     // held ~640 points here, dragging ~16k candidates per query into the
     // top-k window (measured 200+ s vs ~5 s with auto cells)
+    // dist emitted unrounded (q62 precedent): both engines compute the
+    // identical IEEE sqrt/pow chain, so the DuckDB brute-force twin must
+    // match bit-for-bit — the ring expansion is checked SET-EXACT
     Knn.knn(s, queries, pts, k = 5)
-      .select(col("q_id"), col("c_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+      .select(col("q_id"), col("c_id"), col("dist"), col("rnk"))
   }
 
   /** README flagship: warp two layer sets to a common grid, reduce each to a

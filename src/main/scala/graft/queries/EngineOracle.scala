@@ -633,6 +633,104 @@ object EngineOracle {
        |FROM g JOIN b USING (image_id)
        |GROUP BY g.image_id, g.w, g.h, g.n, g.sv""".stripMargin
 
+  /** q81 oracle form: the FULL multimodal feature row (q53's columns —
+    * valid_frac, mean, std, 4-bin histogram AND the 64-bit aHash) on the
+    * quantized no-ripple subset, where every emitted value is a fixed chain
+    * of correctly-rounded IEEE ops on exact integer operands: Σv and Σv²
+    * are exact (moment-form std, Multimodal.imageFeatures), block sums in
+    * the aHash are exact ints, the block-mean-of-means is a fixed-order
+    * 64-term fold the twin replays with an ordered list_reduce, and the
+    * threshold bits are exact comparisons. q53 (full set, ripple + float
+    * payloads) stays golden-verified. */
+  def imgFeaturesExact(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.imageFeatures(s, quantNoRipple(Engine.images(s, d)))
+
+  /** DuckDB twin of q81: pixel closed form (the q78-proven v CTE) +
+    * moment-form mean/std + histogram + full aHash replay — 8×8 block
+    * means, ordered-fold global mean (list_reduce = the engine's i-ascending
+    * fold from 0.0), bit i set iff blockmean_i >= mean; bit 63 is added as
+    * the BIGINT min to dodge the 1<<63 overflow check. */
+  val imgFeaturesExactSql: String =
+    s"""${imSql("i % 3 <> 2 AND (i // 3) % 3 <> 0")},
+       |px AS (SELECT im.*,
+       |    CASE ((i // 3) % 3) WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
+       |    unnest(generate_series(marg, w - marg - 1)) AS sx FROM im),
+       |pxy AS (SELECT px.*, unnest(generate_series(marg, h - marg - 1)) AS sy FROM px),
+       |v AS (
+       |  SELECT image_id, fmt, w, h, sx, sy,
+       |    greatest(1, least(255, round_even(
+       |      (120.0::DOUBLE + 0.05::DOUBLE * day
+       |        + 0.01::DOUBLE * ((ulx + (sx + 0.5::DOUBLE) * res) - 500000.0::DOUBLE))
+       |        - 0.005::DOUBLE * (5300000.0::DOUBLE - (uly - (sy + 0.5::DOUBLE) * res)), 0)))::INT AS v
+       |  FROM pxy),
+       |g AS (SELECT image_id, any_value(fmt) AS fmt, min(w) AS w, min(h) AS h,
+       |        count(*) AS n, sum(v)::BIGINT AS sv, sum(v::BIGINT * v)::BIGINT AS svv,
+       |        min(v) AS mn, max(v) AS mx
+       |      FROM v GROUP BY image_id),
+       |b AS (SELECT v.image_id,
+       |        CASE WHEN g.mx > g.mn
+       |             THEN least(3, floor(CAST(v.v - g.mn AS DOUBLE)
+       |                                 / (g.mx - g.mn) * 4)::INT)
+       |             ELSE -1 END AS bin
+       |      FROM v JOIN g USING (image_id)),
+       |hist AS (SELECT image_id,
+       |        coalesce(sum(CASE WHEN bin = 0 THEN 1 END), 0)::BIGINT AS h0,
+       |        coalesce(sum(CASE WHEN bin = 1 THEN 1 END), 0)::BIGINT AS h1,
+       |        coalesce(sum(CASE WHEN bin = 2 THEN 1 END), 0)::BIGINT AS h2,
+       |        coalesce(sum(CASE WHEN bin = 3 THEN 1 END), 0)::BIGINT AS h3
+       |      FROM b GROUP BY image_id),
+       |bm AS (SELECT image_id, (least(7, sy * 8 // h) * 8 + least(7, sx * 8 // w)) AS bi,
+       |        CAST(sum(v)::BIGINT AS DOUBLE) / count(*) AS m
+       |      FROM v GROUP BY image_id, least(7, sy * 8 // h) * 8 + least(7, sx * 8 // w)),
+       |am AS (SELECT image_id,
+       |        list_reduce(list(m ORDER BY bi), (a, b) -> a + b) / count(*) AS bmean
+       |      FROM bm GROUP BY image_id),
+       |ah AS (SELECT bm.image_id,
+       |        coalesce(sum(CASE WHEN bm.m >= am.bmean AND bm.bi < 63
+       |                          THEN (1::BIGINT << bm.bi::INT) END), 0)
+       |        + coalesce(max(CASE WHEN bm.m >= am.bmean AND bm.bi = 63
+       |                           THEN (-9223372036854775807 - 1) END), 0) AS ahash
+       |      FROM bm JOIN am USING (image_id) GROUP BY bm.image_id)
+       |SELECT g.image_id, g.fmt, g.w::INT AS w, g.h::INT AS h,
+       |  CAST(g.n AS DOUBLE) / (g.w * g.h) AS valid_frac,
+       |  CAST(g.sv AS DOUBLE) / g.n AS px_mean,
+       |  sqrt(greatest(0.0::DOUBLE,
+       |       CAST(g.svv AS DOUBLE) / g.n
+       |       - (CAST(g.sv AS DOUBLE) / g.n) * (CAST(g.sv AS DOUBLE) / g.n))) AS px_std,
+       |  hist.h0, hist.h1, hist.h2, hist.h3, ah.ahash::BIGINT AS ahash
+       |FROM g JOIN hist USING (image_id) JOIN ah USING (image_id)""".stripMargin
+
+  /** DuckDB twin of q46: brute-force kNN over the PolygonTable.points
+    * closed form (integer-lattice scatter → exact doubles), k = 5, ties on
+    * (dist, c_id) — the production ring-expansion operator (auto cell
+    * sizing, 3 bounded passes) must be SET-EXACT against an independent
+    * engine's full cross-product window. sf0.01 sizes: 40,000 candidates,
+    * 1,000 query points (Engine.nPoints / knnRing's nq rule). */
+  val knnRingSql: String =
+    """WITH pts AS (SELECT i, printf('pt_%07d', i) AS pt_id,
+      |    (499900 + (i * 131) % 8592)::DOUBLE AS x,
+      |    (5300100 - (i * 71) % 2400)::DOUBLE AS y
+      |  FROM generate_series(0, 39999) t(i)),
+      |j AS (SELECT q.pt_id AS q_id, c.pt_id AS c_id,
+      |        sqrt(pow(c.x - q.x, 2) + pow(c.y - q.y, 2)) AS dist
+      |      FROM pts q CROSS JOIN pts c WHERE q.i < 1000),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY dist ASC, c_id ASC) AS rnk FROM j)
+      |SELECT q_id, c_id, dist, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  /** DuckDB twin of q55: the stubbed frame sampler's REAL contract — one
+    * binary row in, ceil(16/everyK) frame rows out (everyK = 4 → frames
+    * 0,4,8,12) with stable frame ids/indexes and the id-seeded fake hash —
+    * replayed from the image-id closed form. The hash is deliberately
+    * id-seeded, not payload-seeded (Multimodal.frameSample): the decode is
+    * a stub, so only the plumbing contract is oracle-checkable. */
+  val frameSampleSql: String =
+    s"""${imSql()}
+       |SELECT image_id, image_id || '#f' || k AS frame_id, k::INT AS frame_idx,
+       |  w::INT AS w, h::INT AS h,
+       |  xor(i * 2654435761, CAST(k * 40503 AS BIGINT))::BIGINT AS frame_hash
+       |FROM im, unnest([0, 4, 8, 12]) t2(k)""".stripMargin
+
   /** Shared warp-grid CTE prefix (im → tgt → b → bx → bxy): the sf0.01
     * image closed forms, the q63-proven pixel-bounds arithmetic, and the
     * per-image target-pixel enumeration — used by six engine twins (fix
