@@ -108,6 +108,8 @@ object SparkEntry {
     "q80_butter_low"       -> (Time.butterLow _),
     // full feature row (std + aHash included) on the integer-exact subset
     "q81_img_features_exact" -> (EngineOracle.imgFeaturesExact _),
+    // banded-LSH phash dedup on the replayable-aHash subset
+    "q82_phash_dedup_exact"  -> (EngineOracle.phashDedupExact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,5 +197,6 @@ object SparkEntry {
     "q55_frame_sample"   -> EngineOracle.frameSampleSql,
     "q46_knn_ring"       -> EngineOracle.knnRingSql,
     "q81_img_features_exact" -> EngineOracle.imgFeaturesExactSql,
+    "q82_phash_dedup_exact"  -> EngineOracle.phashDedupExactSql,
   )
 }

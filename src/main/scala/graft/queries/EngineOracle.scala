@@ -650,7 +650,10 @@ object EngineOracle {
     * means, ordered-fold global mean (list_reduce = the engine's i-ascending
     * fold from 0.0), bit i set iff blockmean_i >= mean; bit 63 is added as
     * the BIGINT min to dodge the 1<<63 overflow check. */
-  val imgFeaturesExactSql: String =
+  /** Shared CTE prefix for the multimodal exact twins (q81/q82): quantized
+    * no-ripple images → per-pixel closed-form values v (the q78-proven
+    * chain, with fmt carried). */
+  private val featurePxSql: String =
     s"""${imSql("i % 3 <> 2 AND (i // 3) % 3 <> 0")},
        |px AS (SELECT im.*,
        |    CASE ((i // 3) % 3) WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
@@ -662,7 +665,32 @@ object EngineOracle {
        |      (120.0::DOUBLE + 0.05::DOUBLE * day
        |        + 0.01::DOUBLE * ((ulx + (sx + 0.5::DOUBLE) * res) - 500000.0::DOUBLE))
        |        - 0.005::DOUBLE * (5300000.0::DOUBLE - (uly - (sy + 0.5::DOUBLE) * res)), 0)))::INT AS v
-       |  FROM pxy),
+       |  FROM pxy)""".stripMargin
+
+  /** aHash replay CTEs appended after `v` (bm → am → ah): 8×8 block means,
+    * ordered-fold global mean (list_reduce = the engine's i-ascending fold
+    * from 0.0), bit i set iff blockmean_i >= mean; bit 63 is added as the
+    * BIGINT min to dodge DuckDB's 1<<63 overflow check. NOTE: `ahash` comes
+    * out of sum() as HUGEINT — consumers doing bitwise work MUST cast
+    * ::BIGINT first, or xor on mixed-sign int128 pairs adds 64 phantom
+    * sign-extension bits to bit_count (measured: silently dropped 1,115 of
+    * 14,206 q82 pairs). */
+  private val ahashCteSql: String =
+    """bm AS (SELECT image_id, (least(7, sy * 8 // h) * 8 + least(7, sx * 8 // w)) AS bi,
+      |        CAST(sum(v)::BIGINT AS DOUBLE) / count(*) AS m
+      |      FROM v GROUP BY image_id, least(7, sy * 8 // h) * 8 + least(7, sx * 8 // w)),
+      |am AS (SELECT image_id,
+      |        list_reduce(list(m ORDER BY bi), (a, b) -> a + b) / count(*) AS bmean
+      |      FROM bm GROUP BY image_id),
+      |ah AS (SELECT bm.image_id,
+      |        coalesce(sum(CASE WHEN bm.m >= am.bmean AND bm.bi < 63
+      |                          THEN (1::BIGINT << bm.bi::INT) END), 0)
+      |        + coalesce(max(CASE WHEN bm.m >= am.bmean AND bm.bi = 63
+      |                           THEN (-9223372036854775807 - 1) END), 0) AS ahash
+      |      FROM bm JOIN am USING (image_id) GROUP BY bm.image_id)""".stripMargin
+
+  val imgFeaturesExactSql: String =
+    s"""$featurePxSql,
        |g AS (SELECT image_id, any_value(fmt) AS fmt, min(w) AS w, min(h) AS h,
        |        count(*) AS n, sum(v)::BIGINT AS sv, sum(v::BIGINT * v)::BIGINT AS svv,
        |        min(v) AS mn, max(v) AS mx
@@ -679,18 +707,7 @@ object EngineOracle {
        |        coalesce(sum(CASE WHEN bin = 2 THEN 1 END), 0)::BIGINT AS h2,
        |        coalesce(sum(CASE WHEN bin = 3 THEN 1 END), 0)::BIGINT AS h3
        |      FROM b GROUP BY image_id),
-       |bm AS (SELECT image_id, (least(7, sy * 8 // h) * 8 + least(7, sx * 8 // w)) AS bi,
-       |        CAST(sum(v)::BIGINT AS DOUBLE) / count(*) AS m
-       |      FROM v GROUP BY image_id, least(7, sy * 8 // h) * 8 + least(7, sx * 8 // w)),
-       |am AS (SELECT image_id,
-       |        list_reduce(list(m ORDER BY bi), (a, b) -> a + b) / count(*) AS bmean
-       |      FROM bm GROUP BY image_id),
-       |ah AS (SELECT bm.image_id,
-       |        coalesce(sum(CASE WHEN bm.m >= am.bmean AND bm.bi < 63
-       |                          THEN (1::BIGINT << bm.bi::INT) END), 0)
-       |        + coalesce(max(CASE WHEN bm.m >= am.bmean AND bm.bi = 63
-       |                           THEN (-9223372036854775807 - 1) END), 0) AS ahash
-       |      FROM bm JOIN am USING (image_id) GROUP BY bm.image_id)
+       |$ahashCteSql
        |SELECT g.image_id, g.fmt, g.w::INT AS w, g.h::INT AS h,
        |  CAST(g.n AS DOUBLE) / (g.w * g.h) AS valid_frac,
        |  CAST(g.sv AS DOUBLE) / g.n AS px_mean,
@@ -699,6 +716,35 @@ object EngineOracle {
        |       - (CAST(g.sv AS DOUBLE) / g.n) * (CAST(g.sv AS DOUBLE) / g.n))) AS px_std,
        |  hist.h0, hist.h1, hist.h2, hist.h3, ah.ahash::BIGINT AS ahash
        |FROM g JOIN hist USING (image_id) JOIN ah USING (image_id)""".stripMargin
+
+  /** q82 oracle form: the banded-LSH perceptual-hash dedup
+    * (Multimodal.phashDedup — exact-dup collapse, (band_idx, band_val)
+    * equi-join over distinct hashes, first-match-band emission, Hamming ≤ 8
+    * refine) on the quantized subset, where the stored phash column is the
+    * SQL-replayable aHash (q81). The engine's three-stage join
+    * decomposition must reproduce the DECLARATIVE pair semantics — every
+    * unordered pair sharing a 16-bit band with Hamming ≤ 8, plus
+    * equal-hash pairs — exactly once each. */
+  def phashDedupExact(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.phashDedup(s, quantNoRipple(Engine.images(s, d)), maxDist = 8)
+
+  /** DuckDB twin of q82: aHash replay (q81's CTEs) → declarative pair
+    * predicate. Band equality masks with & 65535 after the shift, so
+    * arithmetic-vs-logical shift on negative hashes cannot diverge. */
+  val phashDedupExactSql: String =
+    s"""$featurePxSql,
+       |$ahashCteSql,
+       |ids AS (SELECT image_id, ahash::BIGINT AS ph FROM ah)
+       |SELECT a.image_id AS id1, b.image_id AS id2,
+       |  CASE WHEN a.ph = b.ph THEN 0
+       |       ELSE bit_count(xor(a.ph, b.ph)) END::INT AS hamming
+       |FROM ids a JOIN ids b ON a.image_id < b.image_id
+       |WHERE a.ph = b.ph
+       |   OR (bit_count(xor(a.ph, b.ph)) <= 8 AND (
+       |        ((a.ph >> 0)  & 65535) = ((b.ph >> 0)  & 65535) OR
+       |        ((a.ph >> 16) & 65535) = ((b.ph >> 16) & 65535) OR
+       |        ((a.ph >> 32) & 65535) = ((b.ph >> 32) & 65535) OR
+       |        ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535)))""".stripMargin
 
   /** DuckDB twin of q46: brute-force kNN over the PolygonTable.points
     * closed form (integer-lattice scatter → exact doubles), k = 5, ties on
