@@ -110,6 +110,10 @@ object SparkEntry {
     "q81_img_features_exact" -> (EngineOracle.imgFeaturesExact _),
     // banded-LSH phash dedup on the replayable-aHash subset
     "q82_phash_dedup_exact"  -> (EngineOracle.phashDedupExact _),
+    // audio modality (PCM16 binary columns; real decode, integer closed forms)
+    "q83_audio_features"     -> (Aud.features _),
+    "q84_goertzel"           -> (Aud.goertzel _),
+    "q85_fft_dominant"       -> (Aud.fftDominant _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,5 +202,8 @@ object SparkEntry {
     "q46_knn_ring"       -> EngineOracle.knnRingSql,
     "q81_img_features_exact" -> EngineOracle.imgFeaturesExactSql,
     "q82_phash_dedup_exact"  -> EngineOracle.phashDedupExactSql,
+    "q83_audio_features"     -> Aud.featuresSql,
+    "q84_goertzel"           -> Aud.goertzelSql,
+    "q85_fft_dominant"       -> Aud.fftDominantSql,
   )
 }
