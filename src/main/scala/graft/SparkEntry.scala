@@ -114,6 +114,8 @@ object SparkEntry {
     "q83_audio_features"     -> (Aud.features _),
     "q84_goertzel"           -> (Aud.goertzel _),
     "q85_fft_dominant"       -> (Aud.fftDominant _),
+    // snapshot-log catalog: commits, time travel, overwrite, rollback
+    "q86_snapshot_travel"    -> (Snap.snapshotTravel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,5 +207,6 @@ object SparkEntry {
     "q83_audio_features"     -> Aud.featuresSql,
     "q84_goertzel"           -> Aud.goertzelSql,
     "q85_fft_dominant"       -> Aud.fftDominantSql,
+    "q86_snapshot_travel"    -> Snap.snapshotTravelSql,
   )
 }

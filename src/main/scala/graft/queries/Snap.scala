@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** q86 — snapshot-log catalog semantics (the Iceberg-shaped leg of the north
+  * rule: snapshots, time travel, overwrite, rollback) exercised END-TO-END:
+  * five commits against a fresh table root, then one time-travel read per
+  * snapshot. The DuckDB twin recomputes each snapshot's visible row set from
+  * the same modular slices of `events`, so a bug anywhere in commit/publish/
+  * manifest/time-travel breaks exact integer counts and sums. */
+object Snap {
+  def snapshotTravel(s: SparkSession, d: String): DataFrame = {
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val root = s"/tmp/graft_snap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    SnapshotTable.deleteRecursively(root) // deterministic across reruns
+    val slice = (m: Int, r: Int) => ev.filter(pmod(col("event_id"), lit(m)) === r)
+    SnapshotTable.commit(s, root, slice(3, 0))
+    SnapshotTable.commit(s, root, slice(3, 1))
+    SnapshotTable.commit(s, root, slice(3, 2), op = "overwrite")
+    SnapshotTable.rollback(s, root, toV = 2)
+    SnapshotTable.commit(s, root, slice(5, 0))
+    import s.implicits._
+    (1 to 5).map { v =>
+      val snap = SnapshotTable.snapshot(root, v)
+      val agg = SnapshotTable.read(s, root, asOf = v)
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      (v, snap.op, agg.getLong(0), agg.getLong(1))
+    }.toDF("version", "op", "n_rows", "sum_event_id")
+  }
+
+  val snapshotTravelSql: String =
+    """WITH s AS (SELECT
+      |    count(*) FILTER (WHERE event_id % 3 = 0) AS c0,
+      |    sum(event_id) FILTER (WHERE event_id % 3 = 0) AS s0,
+      |    count(*) FILTER (WHERE event_id % 3 = 1) AS c1,
+      |    sum(event_id) FILTER (WHERE event_id % 3 = 1) AS s1,
+      |    count(*) FILTER (WHERE event_id % 3 = 2) AS c2,
+      |    sum(event_id) FILTER (WHERE event_id % 3 = 2) AS s2,
+      |    count(*) FILTER (WHERE event_id % 5 = 0) AS c5,
+      |    sum(event_id) FILTER (WHERE event_id % 5 = 0) AS s5
+      |  FROM events)
+      |SELECT 1 AS version, 'append' AS op, c0::BIGINT AS n_rows, s0::BIGINT AS sum_event_id FROM s
+      |UNION ALL SELECT 2, 'append', (c0 + c1)::BIGINT, (s0 + s1)::BIGINT FROM s
+      |UNION ALL SELECT 3, 'overwrite', c2::BIGINT, s2::BIGINT FROM s
+      |UNION ALL SELECT 4, 'rollback', (c0 + c1)::BIGINT, (s0 + s1)::BIGINT FROM s
+      |UNION ALL SELECT 5, 'append', (c0 + c1 + c5)::BIGINT, (s0 + s1 + s5)::BIGINT FROM s""".stripMargin
+}

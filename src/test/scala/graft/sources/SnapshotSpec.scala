@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TestSpark
+
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import SnapshotTable._
+
+  private def freshRoot(tag: String): String = {
+    val r = s"/tmp/graft_snap_test_$tag"
+    deleteRecursively(r); r
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+  }
+
+  test("append commits accumulate; time travel reads exact history") {
+    val root = freshRoot("append")
+    assert(commit(spark, root, df(0 until 10)) == 1)
+    assert(commit(spark, root, df(10 until 15)) == 2)
+    assert(commit(spark, root, df(15 until 30)) == 3)
+    assert(currentVersion(root) == 3)
+    assert(read(spark, root).count() == 30)
+    assert(read(spark, root, asOf = 1).count() == 10)
+    assert(read(spark, root, asOf = 2).count() == 15)
+    // historical snapshot is the exact row set, not just the count
+    val v2 = read(spark, root, asOf = 2).select("id").collect().map(_.getLong(0)).sorted
+    assert(v2.toSeq == (0L until 15L).toSeq)
+    assert(snapshot(root, 3).rows == 30 && snapshot(root, 3).parent == 2)
+  }
+
+  test("overwrite replaces visible data; history stays readable") {
+    val root = freshRoot("overwrite")
+    commit(spark, root, df(0 until 10))
+    commit(spark, root, df(100 until 104), op = "overwrite")
+    assert(read(spark, root).count() == 4)
+    assert(read(spark, root, asOf = 1).count() == 10)
+    assert(snapshot(root, 2).op == "overwrite")
+  }
+
+  test("incremental changes() returns exactly the appended rows") {
+    val root = freshRoot("changes")
+    commit(spark, root, df(0 until 10))
+    commit(spark, root, df(10 until 15))
+    commit(spark, root, df(15 until 18))
+    val c = changes(spark, root, fromV = 1, toV = 3)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(c.toSeq == (10L until 18L).toSeq)
+  }
+
+  test("rollback publishes the old file list as a new snapshot") {
+    val root = freshRoot("rollback")
+    commit(spark, root, df(0 until 10))
+    commit(spark, root, df(10 until 20))
+    val v = rollback(spark, root, toV = 1)
+    assert(v == 3)
+    assert(read(spark, root).count() == 10)
+    // lineage continues on top of the rollback
+    commit(spark, root, df(50 until 55))
+    assert(read(spark, root).count() == 15)
+    assert(read(spark, root, asOf = 2).count() == 20)
+  }
+
+  test("concurrent commit of the same version loses with a clean exception") {
+    val root = freshRoot("cas")
+    commit(spark, root, df(0 until 5))
+    commit(spark, root, df(5 until 8)) // the "winner" publishes v2
+    // the loser read base=1 before the winner's publish and now tries to
+    // publish its own v2 — the create-exclusive move must reject it
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.publish(root, 2, """{"version": 2, "parent": 1}""")
+    }
+    // the winner's state is untouched and no tmp debris remains
+    assert(read(spark, root).count() == 8)
+    assert(snapshot(root, 2).rows == 8)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "meta", ".v2.json.tmp")))
+  }
+}
