@@ -113,37 +113,58 @@ object Stencil {
 
   private def gaussLike(sigma: Double, fill: Boolean): (Array[Float], Int, Int, Float) => Array[Float] = {
     val r = (3.0 * sigma).toInt
-    val wts = Array.tabulate(2 * r + 1, 2 * r + 1) { (dy, dx) =>
-      val ddx = dx - r; val ddy = dy - r
-      math.exp(-(ddx * ddx + ddy * ddy) / (2 * sigma * sigma))
+    val w1 = Array.tabulate(2 * r + 1) { d =>
+      val dd = d - r
+      math.exp(-(dd * dd) / (2 * sigma * sigma))
     }
     (padded, p, h, ndv) => {
       require(h >= r, s"halo $h < kernel radius $r")
       val t = p - 2 * h
-      val out = Array.fill(t * t)(ndv)
+      // SEPARABLE form: the renormalized masked gaussian is
+      // (G ∗ v·m) / (G ∗ m), and both numerator and denominator factor into
+      // 1-D row/column convolutions (w2d = w1[dy]·w1[dx]). Two O(r) passes
+      // replace the O(r²) window — ~3× fewer flops at σ=1.5, more at the
+      // pyramid's σ, with a branchless vertical pass. Horizontal pass runs
+      // over ALL p rows (the vertical pass needs halo rows) × core columns.
+      val ns = new Array[Double](p * t)
+      val ms = new Array[Double](p * t)
       var y = 0
-      while (y < t) {
+      while (y < p) {
         var x = 0
         while (x < t) {
-          val center = padded((y + h) * p + (x + h))
-          if (fill && center != ndv) out(y * t + x) = center // originals kept
+          var s = 0.0; var m = 0.0
+          var dx = -r
+          while (dx <= r) {
+            val v = padded(y * p + (x + h + dx))
+            if (v != ndv) { val w = w1(dx + r); s += v * w; m += w }
+            dx += 1
+          }
+          ns(y * t + x) = s; ms(y * t + x) = m
+          x += 1
+        }
+        y += 1
+      }
+      val out = Array.fill(t * t)(ndv)
+      var yy = 0
+      while (yy < t) {
+        var x = 0
+        while (x < t) {
+          val center = padded((yy + h) * p + (x + h))
+          if (fill && center != ndv) out(yy * t + x) = center // originals kept
           else if (fill || center != ndv) {   // mask preserved, filtlib.py:160
             var s = 0.0; var ws = 0.0
             var dy = -r
             while (dy <= r) {
-              var dx = -r
-              while (dx <= r) {
-                val v = padded((y + h + dy) * p + (x + h + dx))
-                if (v != ndv) { val w = wts(dy + r)(dx + r); s += v * w; ws += w }
-                dx += 1
-              }
+              val w = w1(dy + r)
+              s += ns((yy + h + dy) * t + x) * w
+              ws += ms((yy + h + dy) * t + x) * w
               dy += 1
             }
-            if (ws > 0) out(y * t + x) = (s / ws).toFloat
+            if (ws > 0) out(yy * t + x) = (s / ws).toFloat
           }
           x += 1
         }
-        y += 1
+        yy += 1
       }
       out
     }
