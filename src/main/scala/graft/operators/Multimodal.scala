@@ -91,7 +91,12 @@ object Multimodal {
     videos.as[ImageRow].flatMap { img =>
       // STUB DECODER: deterministically fabricate ceil(16/everyK) "frames"
       val nFrames = 16
-      val idx = img.image_id.slice(4, 12).toLong // img_%08d id prefix
+      // numeric index from the id's first digit run (img_%08d layout);
+      // non-numeric ids fall back to a deterministic string hash so the
+      // operator keeps the old any-id contract
+      val digits = img.image_id.dropWhile(!_.isDigit).takeWhile(_.isDigit).take(15)
+      val idx = if (digits.isEmpty) (img.image_id.hashCode & 0x7fffffffL)
+                else digits.toLong
       (0 until nFrames by everyK).map { k =>
         val frameId = s"${img.image_id}#f$k"
         // fake per-frame hash, seeded by (id index, k) — NOT by payload

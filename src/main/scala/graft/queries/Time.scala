@@ -194,8 +194,16 @@ object Time {
       .groupByKey(_._1)
       .flatMapGroups { (uid, it) =>
         val rows = it.toArray.sortBy(r => (r._3, r._2))
-        val y = graft.functions.Butterworth.filtfilt(c, rows.map(_._4))
-        rows.indices.iterator.map(i => (uid, rows(i)._3, y(i)))
+        // domain restriction, mirrored by `cnt >= 13` in the twin: series
+        // shorter than padlen+1 = 13 use scipy-style clamped padding, whose
+        // variable pad length the fixed-depth SQL recursion cannot replay —
+        // they are SKIPPED here (not crashed into: filtfilt itself handles
+        // them, see ButterworthSpec's short-series cases)
+        if (rows.length < 13) Iterator.empty
+        else {
+          val y = graft.functions.Butterworth.filtfilt(c, rows.map(_._4))
+          rows.indices.iterator.map(i => (uid, rows(i)._3, y(i)))
+        }
       }
       .toDF("user_id", "t_us", "v_filt")
   }
@@ -225,6 +233,7 @@ object Time {
        |         count(*) OVER (PARTITION BY user_id) AS cnt,
        |         value AS x
        |  FROM events
+       |  QUALIFY cnt >= 13
        |),
        |fl AS (
        |  SELECT user_id, max(cnt) AS cnt,

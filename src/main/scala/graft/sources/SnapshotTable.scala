@@ -12,8 +12,11 @@ import scala.jdk.CollectionConverters._
   * runtime jar. Layout:
   *
   * {{{
-  *   <root>/data/s<N>/part-*.parquet   immutable data files of commit N
-  *   <root>/meta/v<N>.json             snapshot N: live file list + lineage
+  *   <root>/data/s<N>-<uuid>/part-*.parquet   immutable files of ONE commit
+  *                                            attempt (unique per attempt so
+  *                                            racing committers never share
+  *                                            a directory)
+  *   <root>/meta/v<N>.json                    snapshot N: live file list
   * }}}
   *
   * A snapshot manifest lists EVERY live file (not a delta), so a read plans
@@ -33,12 +36,17 @@ object SnapshotTable {
 
   private def metaDir(root: String): Path = Paths.get(root, "meta")
 
+  private def listNames(dir: Path): Seq[String] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.map(_.getFileName.toString).toList
+    finally st.close() // Files.list leaks a DirectoryStream fd unless closed
+  }
+
   /** Latest committed version, 0 if the table is empty/uninitialized. */
   def currentVersion(root: String): Int = {
     val md = metaDir(root)
     if (!Files.isDirectory(md)) 0
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
+    else listNames(md)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
       .foldLeft(0)(math.max)
@@ -59,15 +67,27 @@ object SnapshotTable {
 
   /** Append or overwrite `df` as a new snapshot; returns the new version. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             op: String = "append"): Int = {
+             op: String = "append"): Int =
+    commitFrom(spark, root, currentVersion(root), df, op)
+
+  /** Commit on top of an explicitly-read base version — the body of
+    * `commit`, split out so tests can replay the stale-base race a real
+    * concurrent committer hits between its metadata read and its publish. */
+  private[sources] def commitFrom(spark: SparkSession, root: String, base: Int,
+                                  df: DataFrame, op: String): Int = {
     require(op == "append" || op == "overwrite", s"bad op $op")
-    val base = currentVersion(root)
     val v = base + 1
-    val dataDir = Paths.get(root, "data", s"s$v")
+    // data dir is unique PER ATTEMPT, not per version: two racers of the
+    // same v must not clobber each other's files before the manifest CAS
+    // resolves — the loser's orphaned directory is unreferenced garbage
+    // (cleaned by maintenance), never a dangling reference in the winner's
+    // manifest (Iceberg's uuid-named data files, same reasoning)
+    val attempt = s"s$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = Paths.get(root, "data", attempt)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .toSeq.sorted.map(f => s"data/s$v/$f")
+    val newFiles = listNames(dataDir)
+      .filter(_.endsWith(".parquet"))
+      .sorted.map(f => s"data/$attempt/$f")
     val prev = if (op == "overwrite" || base == 0) None else Some(snapshot(root, base))
     val live = prev.map(_.files).getOrElse(Nil) ++ newFiles
     // count ONLY the new files (parquet footer metadata), carry the parent's
@@ -128,7 +148,10 @@ object SnapshotTable {
 
   def deleteRecursively(root: String): Unit = {
     val p = Paths.get(root)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally st.close()
+    }
   }
 }

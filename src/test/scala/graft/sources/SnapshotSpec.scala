@@ -64,6 +64,23 @@ class SnapshotSpec extends AnyFunSuite {
     assert(read(spark, root, asOf = 2).count() == 20)
   }
 
+  test("racing FULL commits: loser's data files never clobber the winner's") {
+    val root = freshRoot("race")
+    commit(spark, root, df(0 until 5))
+    val staleBase = currentVersion(root) // both racers read base = 1
+    // winner commits v2 fully
+    SnapshotTable.commitFrom(spark, root, staleBase, df(5 until 9), "append")
+    // loser wrote its own (attempt-unique) data files, loses only at publish
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.commitFrom(spark, root, staleBase, df(100 until 120), "append")
+    }
+    // winner's snapshot reads intact — every manifest file still exists
+    assert(read(spark, root).count() == 9)
+    val s2 = snapshot(root, 2)
+    assert(s2.files.forall(f => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, f))), s"dangling files in ${s2.files}")
+  }
+
   test("concurrent commit of the same version loses with a clean exception") {
     val root = freshRoot("cas")
     commit(spark, root, df(0 until 5))
