@@ -116,6 +116,8 @@ object SparkEntry {
     "q85_fft_dominant"       -> (Aud.fftDominant _),
     // snapshot-log catalog: commits, time travel, overwrite, rollback
     "q86_snapshot_travel"    -> (Snap.snapshotTravel _),
+    // butter band-split (filtlib.py:509): hp tide / complement / lp denoise
+    "q87_butter_band"        -> (Time.butterBand _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,5 +210,6 @@ object SparkEntry {
     "q84_goertzel"           -> Aud.goertzelSql,
     "q85_fft_dominant"       -> Aud.fftDominantSql,
     "q86_snapshot_travel"    -> Snap.snapshotTravelSql,
+    "q87_butter_band"        -> Time.butterBandSql,
   )
 }

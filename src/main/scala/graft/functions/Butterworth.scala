@@ -31,7 +31,18 @@ object Butterworth {
   final case class Coeffs(b: Array[Double], a: Array[Double]) extends Serializable
 
   /** Digital Butterworth lowpass. `wn` = cutoff / Nyquist, in (0, 1). */
-  def lowpass(order: Int, wn: Double): Coeffs = {
+  def lowpass(order: Int, wn: Double): Coeffs = design(order, wn, hp = false)
+
+  /** Digital Butterworth HIGHpass (`butter(..., btype='highpass')`, the
+    * tide-separation filter of `butter` filtlib.py:540-544). The lp2hp
+    * transform `s -> warped/s` maps the unit-circle prototype poles to the
+    * SAME pole set as the lowpass (conjugate reflection of a unit-modulus
+    * set), moves the N zeros from z = -1 to z = +1 (so DC is annihilated
+    * exactly: alternating binomial sums to 0), and changes the bilinear
+    * gain from warped^N to fs2^N. */
+  def highpass(order: Int, wn: Double): Coeffs = design(order, wn, hp = true)
+
+  private def design(order: Int, wn: Double, hp: Boolean): Coeffs = {
     require(order >= 1, s"order must be >= 1, got $order")
     require(wn > 0.0 && wn < 1.0, s"wn must be in (0,1), got $wn")
     val fs2 = 4.0 // 2 * fs with the normalized design rate fs = 2
@@ -43,7 +54,7 @@ object Butterworth {
       val th = math.Pi * (2.0 * (k + 1) + order - 1.0) / (2.0 * order)
       pr(k) = warped * math.cos(th); pim(k) = warped * math.sin(th); k += 1
     }
-    val gain = math.pow(warped, order)
+    val gain = if (hp) math.pow(fs2, order) else math.pow(warped, order)
     // bilinear: digital pole z_k = (fs2 + p)/(fs2 - p); with no analog
     // zeros the digital gain is gain * Re(1 / prod(fs2 - p_k)), and the N
     // analog zeros at infinity land at z = -1.
@@ -62,13 +73,17 @@ object Butterworth {
       k += 1
     }
     val kz = gain * (prodR / (prodR * prodR + prodI * prodI))
-    // b = kz * (z+1)^N (binomial), a = monic poly from the digital poles
+    // b = kz * (z+1)^N lowpass / kz * (z-1)^N highpass (binomial, the hp
+    // signs alternate), a = monic poly from the digital poles
     val b = new Array[Double](order + 1)
     b(0) = 1.0
     var i = 1
     while (i <= order) { b(i) = b(i - 1) * (order - i + 1).toDouble / i.toDouble; i += 1 }
     i = 0
-    while (i <= order) { b(i) *= kz; i += 1 }
+    while (i <= order) {
+      b(i) *= (if (hp && i % 2 == 1) -kz else kz)
+      i += 1
+    }
     Coeffs(b, polyFromComplexRoots(zr, zim))
   }
 

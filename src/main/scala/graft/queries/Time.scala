@@ -208,6 +208,122 @@ object Time {
       .toDF("user_id", "t_us", "v_filt")
   }
 
+  /** q87 — `butter` (filtlib.py:509-563), the band-split framework the
+    * reference left as an untested scratch: tide = zero-phase HIGHpass
+    * (the fast band), notide = x − tide (the slow band, the reference's
+    * `val_f_notide`), denoised tide = zero-phase lowpass of tide
+    * (`val_f_tide_denoise`). Same per-user fold and ≥13-sample domain as
+    * q80; the twin chains TWO generated filtfilt recursions. */
+  def butterBand(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hp = graft.functions.Butterworth.highpass(3, 0.2)
+    val lp = graft.functions.Butterworth.lowpass(3, 0.5)
+    ev(s, d).select(col("user_id"), col("event_id"), tUs(col("ts")).as("t_us"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val rows = it.toArray.sortBy(r => (r._3, r._2))
+        if (rows.length < 13) Iterator.empty
+        else {
+          val x = rows.map(_._4)
+          val tide = graft.functions.Butterworth.filtfilt(hp, x)
+          val dn = graft.functions.Butterworth.filtfilt(lp, tide)
+          rows.indices.iterator.map(i =>
+            (uid, rows(i)._3, tide(i), x(i) - tide(i), dn(i)))
+        }
+      }
+      .toDF("user_id", "t_us", "v_tide", "v_notide", "v_dn")
+  }
+
+  private def dlit(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+
+  /** Odd-extension CTEs (pad 12 each side): `src`(user_id, n, cnt, x) →
+    * `ext_tag`(user_id, p, x), p = 0..cnt+23. Requires cnt >= 13. */
+  private def extCte(tag: String, src: String): String =
+    s"""fl_$tag AS (SELECT user_id, max(cnt) AS cnt,
+       |    max(CASE WHEN n = 0 THEN x END) AS x0,
+       |    max(CASE WHEN n = cnt - 1 THEN x END) AS xl
+       |  FROM $src GROUP BY user_id),
+       |ext_$tag AS MATERIALIZED (
+       |  SELECT b.user_id, 12 - b.n AS p, 2.0*f.x0 - b.x AS x
+       |    FROM $src b JOIN fl_$tag f USING (user_id) WHERE b.n BETWEEN 1 AND 12
+       |  UNION ALL
+       |  SELECT user_id, n + 12 AS p, x FROM $src
+       |  UNION ALL
+       |  SELECT b.user_id, 2*f.cnt + 10 - b.n AS p, 2.0*f.xl - b.x AS x
+       |    FROM $src b JOIN fl_$tag f USING (user_id)
+       |    WHERE b.n BETWEEN f.cnt - 13 AND f.cnt - 2)""".stripMargin
+
+  /** One zero-phase (forward + backward) order-3 DF2T pass over `ext_tag`,
+    * generated from the SAME runtime coefficients the Spark plan uses:
+    * `y_tag`(user_id, n, cnt, y) on the original sample index. The q80
+    * recursion shape, parameterized — what makes chained-filter oracles
+    * (q87) mechanical. */
+  private def passCte(tag: String, c: graft.functions.Butterworth.Coeffs): String = {
+    val zi = graft.functions.Butterworth.lfilterZi(c)
+    val b0 = dlit(c.b(0)); val b1 = dlit(c.b(1)); val b2 = dlit(c.b(2)); val b3 = dlit(c.b(3))
+    val a1 = dlit(c.a(1)); val a2 = dlit(c.a(2)); val a3 = dlit(c.a(3))
+    val z1 = dlit(zi(0)); val z2 = dlit(zi(1)); val z3 = dlit(zi(2))
+    s"""fwd_$tag AS (
+       |  SELECT user_id, p,
+       |         $b0*x + $z1*x AS y,
+       |         $b1*x - $a1*($b0*x + $z1*x) + $z2*x AS s1,
+       |         $b2*x - $a2*($b0*x + $z1*x) + $z3*x AS s2,
+       |         $b3*x - $a3*($b0*x + $z1*x) AS s3
+       |  FROM ext_$tag WHERE p = 0
+       |  UNION ALL
+       |  SELECT e.user_id, e.p,
+       |         $b0*e.x + w.s1,
+       |         $b1*e.x - $a1*($b0*e.x + w.s1) + w.s2,
+       |         $b2*e.x - $a2*($b0*e.x + w.s1) + w.s3,
+       |         $b3*e.x - $a3*($b0*e.x + w.s1)
+       |  FROM fwd_$tag w JOIN ext_$tag e ON e.user_id = w.user_id AND e.p = w.p + 1),
+       |mx_$tag AS (SELECT user_id, max(p) AS pmax FROM fwd_$tag GROUP BY user_id),
+       |rev_$tag AS MATERIALIZED (SELECT w.user_id, m.pmax - w.p AS q, w.y AS x
+       |        FROM fwd_$tag w JOIN mx_$tag m USING (user_id)),
+       |bwd_$tag AS (
+       |  SELECT user_id, q,
+       |         $b0*x + $z1*x AS y,
+       |         $b1*x - $a1*($b0*x + $z1*x) + $z2*x AS s1,
+       |         $b2*x - $a2*($b0*x + $z1*x) + $z3*x AS s2,
+       |         $b3*x - $a3*($b0*x + $z1*x) AS s3
+       |  FROM rev_$tag WHERE q = 0
+       |  UNION ALL
+       |  SELECT r.user_id, r.q,
+       |         $b0*r.x + w.s1,
+       |         $b1*r.x - $a1*($b0*r.x + w.s1) + w.s2,
+       |         $b2*r.x - $a2*($b0*r.x + w.s1) + w.s3,
+       |         $b3*r.x - $a3*($b0*r.x + w.s1)
+       |  FROM bwd_$tag w JOIN rev_$tag r ON r.user_id = w.user_id AND r.q = w.q + 1),
+       |y_$tag AS (SELECT w.user_id, m.pmax - 12 - w.q AS n, m.pmax - 23 AS cnt, w.y
+       |  FROM bwd_$tag w JOIN mx_$tag m USING (user_id)
+       |  WHERE w.q BETWEEN 12 AND m.pmax - 12)""".stripMargin
+  }
+
+  val butterBandSql: String = {
+    val hp = graft.functions.Butterworth.highpass(3, 0.2)
+    val lp = graft.functions.Butterworth.lowpass(3, 0.5)
+    s"""WITH RECURSIVE
+       |base AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(ts) AS t_us,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS n,
+       |         count(*) OVER (PARTITION BY user_id) AS cnt,
+       |         value AS x
+       |  FROM events
+       |  QUALIFY cnt >= 13
+       |),
+       |${extCte("1", "base")},
+       |${passCte("1", hp)},
+       |src2 AS (SELECT user_id, n, cnt, y AS x FROM y_1),
+       |${extCte("2", "src2")},
+       |${passCte("2", lp)}
+       |SELECT b.user_id, b.t_us, y1.y AS v_tide, b.x - y1.y AS v_notide,
+       |       y2.y AS v_dn
+       |FROM base b
+       |JOIN y_1 y1 ON y1.user_id = b.user_id AND y1.n = b.n
+       |JOIN y_2 y2 ON y2.user_id = b.user_id AND y2.n = b.n""".stripMargin
+  }
+
   /** DuckDB twin of q80: the direct-form-II-transposed recursion is a fixed
     * chain of IEEE double ops, so a recursive CTE stepping one sample per
     * level (all users advance in lockstep; depth = longest padded series)

@@ -143,4 +143,46 @@ class ButterworthSpec extends AnyFunSuite {
     val y = filtfilt(c, x)
     assert(y.length == 5 && y.forall(v => !v.isNaN))
   }
+
+  test("highpass: DC annihilated exactly, unit Nyquist gain, half-power at cutoff") {
+    for (order <- Seq(1, 2, 3, 6); wn <- Seq(0.1, 0.3, 0.5, 0.8)) {
+      val c = Butterworth.highpass(order, wn)
+      // Σb = kz·(1-1)^N analytically; each kz·C(N,i) rounds separately, so
+      // the cancellation leaves only ulp residue
+      assert(math.abs(c.b.sum) < 1e-14 * c.b.map(math.abs).max,
+        s"order=$order wn=$wn: b must sum to ~0 (zeros at z=1)")
+      assert(math.abs(Butterworth.gainSq(c, math.Pi) - 1.0) < 1e-9,
+        s"order=$order wn=$wn Nyquist gain")
+      assert(math.abs(Butterworth.gainSq(c, math.Pi * wn) - 0.5) < 1e-9,
+        s"order=$order wn=$wn half-power (prewarp pins the digital cutoff)")
+      // maximally-flat magnitude is monotone for a highpass too
+      var prev = 0.0
+      for (k <- 1 to 50) {
+        val g = Butterworth.gainSq(c, math.Pi * k / 50.0)
+        assert(g >= prev - 1e-12); prev = g
+      }
+    }
+  }
+
+  test("highpass order 1 wn=0.5 has the closed-form coefficients [0.5,-0.5]/[1,0]") {
+    val c = Butterworth.highpass(1, 0.5) // warped cutoff = fs2: z-pole at 0
+    assert(math.abs(c.b(0) - 0.5) < 1e-15 && math.abs(c.b(1) + 0.5) < 1e-15)
+    assert(c.a(0) == 1.0 && math.abs(c.a(1)) < 1e-15)
+  }
+
+  test("band split (butter filtlib.py:509-563): hp keeps the fast line, notide keeps the slow") {
+    val n = 400
+    val slow = Array.tabulate(n)(i => math.sin(2 * math.Pi * i / 200.0))
+    val fast = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * i / 8.0))
+    val x = Array.tabulate(n)(i => slow(i) + fast(i))
+    val tide = filtfilt(Butterworth.highpass(3, 0.1), x)   // passes 1/8 cycles
+    val notide = Array.tabulate(n)(i => x(i) - tide(i))    // the reference's val_f_notide
+    val denoised = filtfilt(lowpass(3, 0.5), tide)         // val_f_tide_denoise
+    // compare away from the pad-influenced edges
+    for (i <- 50 until n - 50) {
+      assert(math.abs(tide(i) - fast(i)) < 0.05, s"tide[$i]")
+      assert(math.abs(notide(i) - slow(i)) < 0.05, s"notide[$i]")
+      assert(math.abs(denoised(i) - fast(i)) < 0.06, s"denoised[$i]")
+    }
+  }
 }
