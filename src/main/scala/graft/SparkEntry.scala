@@ -118,6 +118,10 @@ object SparkEntry {
     "q86_snapshot_travel"    -> (Snap.snapshotTravel _),
     // butter band-split (filtlib.py:509): hp tide / complement / lp denoise
     "q87_butter_band"        -> (Time.butterBand _),
+    // percentile-spread robust filter + symmetric clim (malib.py:835-877)
+    "q88_robust_spread"      -> (Rel2.robustSpreadFltr _),
+    // edge-envelope mask (get_edgemask/apply_edgemask malib.py:752-831)
+    "q89_edge_envelope"      -> (EngineOracle.edgeEnvelopeCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,5 +215,7 @@ object SparkEntry {
     "q85_fft_dominant"       -> Aud.fftDominantSql,
     "q86_snapshot_travel"    -> Snap.snapshotTravelSql,
     "q87_butter_band"        -> Time.butterBandSql,
+    "q88_robust_spread"      -> Rel2.robustSpreadFltrSql,
+    "q89_edge_envelope"      -> EngineOracle.edgeEnvelopeCountsSql,
   )
 }

@@ -89,6 +89,51 @@ object RasterOps {
       ulx = img.ulx + x0 * img.res, uly = img.uly - y0 * img.res))
   }
 
+  /** Edge-envelope mask — `get_edges`/`get_edgemask`/`apply_edgemask`
+    * (`malib.py:752-831`): a pixel belongs to the envelope iff it lies
+    * between the first and last valid pixel of its COLUMN and of its ROW
+    * (`newmask = colmask OR rowmask` — masked when outside either span).
+    * `apply_edgemask` semantics: interior holes inside both spans are
+    * re-included (the reference unmasks them; with a sentinel payload their
+    * data is gone, so here they carry `fillValue`, default ndv — callers
+    * that want filled holes chain `Stencil.fillGaps`). Returns
+    * (payload with envelope applied, n_envelope). */
+  def edgeEnvelope(img: ImageRow, fillValue: Option[Float] = None): (Array[Float], Int) = {
+    val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+    val ndv = img.ndv.toFloat
+    val w = img.w; val h = img.h
+    val rFirst = Array.fill(h)(w); val rLast = Array.fill(h)(-1)
+    val cFirst = Array.fill(w)(h); val cLast = Array.fill(w)(-1)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (px(y * w + x) != ndv) {
+          if (x < rFirst(y)) rFirst(y) = x; if (x > rLast(y)) rLast(y) = x
+          if (y < cFirst(x)) cFirst(x) = y; if (y > cLast(x)) cLast(x) = y
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = Array.fill(w * h)(ndv)
+    var n = 0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (x >= rFirst(y) && x <= rLast(y) && y >= cFirst(x) && y <= cLast(x)) {
+          val v = px(y * w + x)
+          out(y * w + x) = if (v != ndv) v else fillValue.getOrElse(ndv)
+          n += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (out, n)
+  }
+
   /** Valid-data outline (raster → vector) — `get_outline` `geolib.py:828-894`
     * via the notmasked-edges-along-axis-0 construction (`geolib.py:862-873`):
     * per column, first and last valid row; top edge walked left→right at the

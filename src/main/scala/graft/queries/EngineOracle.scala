@@ -717,6 +717,29 @@ object EngineOracle {
        |  hist.h0, hist.h1, hist.h2, hist.h3, ah.ahash::BIGINT AS ahash
        |FROM g JOIN hist USING (image_id) JOIN ah USING (image_id)""".stripMargin
 
+  /** q89 oracle form: edge-envelope mask (`get_edgemask`/`apply_edgemask`
+    * malib.py:752-831) over the image table — on the synthetic margin-ring
+    * masks the envelope is EXACTLY the valid rectangle, so n_env == n_valid
+    * == (w−2m)(h−2m) closed-form; any over- or under-masking of row/col
+    * spans breaks the hash. (Undercut + interior-hole behavior is pinned by
+    * EdgeMaskSpec's C-notch fixture.) */
+  def edgeEnvelopeCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Engine.images(s, d).as[graft.sources.ImageRow].map { img =>
+      val px = graft.sources.Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+      val nValid = px.count(_ != img.ndv.toFloat)
+      val (_, nEnv) = graft.operators.RasterOps.edgeEnvelope(img)
+      (img.image_id, nValid, nEnv)
+    }.toDF("image_id", "n_valid", "n_env")
+  }
+
+  val edgeEnvelopeCountsSql: String =
+    s"""${imSql()}
+       |SELECT image_id,
+       |  ((w - 2 * marg) * (h - 2 * marg))::INT AS n_valid,
+       |  ((w - 2 * marg) * (h - 2 * marg))::INT AS n_env
+       |FROM im""".stripMargin
+
   /** q82 oracle form: the banded-LSH perceptual-hash dedup
     * (Multimodal.phashDedup — exact-dup collapse, (band_idx, band_val)
     * equi-join over distinct hashes, first-match-band emission, Hamming ≤ 8

@@ -200,4 +200,47 @@ object Rel2 {
       |SELECT b.zbin, b.cnt, round(b.xmean,6) AS xmean, round(b.xstd,6) AS xstd,
       |       round(b.xmed0,6) AS xmed, round(nm.xnmad,6) AS xnmad
       |FROM base b JOIN nm USING (zbin)""".stripMargin
+
+  /** q88 — the percentile-spread robust filter family (`robust_spread`
+    * `malib.py:835-838`: spread = (p84−p16)/2; `robust_spread_idx/_fltr`
+    * 840-852: keep STRICTLY inside med ± n·spread) plus the symmetric clim
+    * (`calcperc_sym` malib.py:871-877: ±max|p0.1, p99.9| — the
+    * difference-map color-range helper). One global row; every value the
+    * same interpolating-percentile + fixed-op chain in both engines. */
+  def robustSpreadFltr(s: SparkSession, d: String): DataFrame = {
+    val t = li(s, d)
+    val p = t.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("med"),
+      expr("percentile(l_extendedprice, 0.16)").as("p16"),
+      expr("percentile(l_extendedprice, 0.84)").as("p84"),
+      expr("percentile(l_extendedprice, 0.001)").as("q_lo"),
+      expr("percentile(l_extendedprice, 0.999)").as("q_hi"))
+      .withColumn("spread", abs((col("p84") - col("p16")) / 2))
+      .withColumn("sym", greatest(abs(col("q_lo")), abs(col("q_hi"))))
+    t.crossJoin(p)
+      .filter(col("l_extendedprice") > col("med") - lit(3) * col("spread") &&
+              col("l_extendedprice") < col("med") + lit(3) * col("spread"))
+      .agg(count(lit(1)).as("n_kept"),
+           round(avg(col("l_extendedprice")), 6).as("kept_mean"),
+           first(col("med")).as("med"), first(col("spread")).as("spread"),
+           round(-first(col("sym")), 6).as("sym_lo"),
+           round(first(col("sym")), 6).as("sym_hi"))
+  }
+
+  val robustSpreadFltrSql: String =
+    """WITH p AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med,
+      |    quantile_cont(l_extendedprice, 0.16) AS p16,
+      |    quantile_cont(l_extendedprice, 0.84) AS p84,
+      |    quantile_cont(l_extendedprice, 0.001) AS q_lo,
+      |    quantile_cont(l_extendedprice, 0.999) AS q_hi
+      |  FROM lineitem),
+      |s AS (SELECT med, abs((p84 - p16) / 2) AS spread,
+      |             greatest(abs(q_lo), abs(q_hi)) AS sym FROM p)
+      |SELECT count(*)::BIGINT AS n_kept,
+      |       round(avg(l_extendedprice), 6) AS kept_mean,
+      |       any_value(med) AS med, any_value(spread) AS spread,
+      |       round(-any_value(sym), 6) AS sym_lo, round(any_value(sym), 6) AS sym_hi
+      |FROM lineitem, s
+      |WHERE l_extendedprice > med - 3 * spread
+      |  AND l_extendedprice < med + 3 * spread""".stripMargin
 }
