@@ -122,6 +122,8 @@ object SparkEntry {
     "q88_robust_spread"      -> (Rel2.robustSpreadFltr _),
     // edge-envelope mask (get_edgemask/apply_edgemask malib.py:752-831)
     "q89_edge_envelope"      -> (EngineOracle.edgeEnvelopeCounts _),
+    // 2-D dominant spatial frequency (freq_filt filtlib.py:565, finished)
+    "q90_freq_dominant"      -> (EngineOracle.freqDominantQ _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,5 +219,6 @@ object SparkEntry {
     "q87_butter_band"        -> Time.butterBandSql,
     "q88_robust_spread"      -> Rel2.robustSpreadFltrSql,
     "q89_edge_envelope"      -> EngineOracle.edgeEnvelopeCountsSql,
+    "q90_freq_dominant"      -> EngineOracle.freqDominantSql,
   )
 }

@@ -740,6 +740,83 @@ object EngineOracle {
        |  ((w - 2 * marg) * (h - 2 * marg))::INT AS n_env
        |FROM im""".stripMargin
 
+  /** q90 oracle form: 2-D dominant spatial frequency (`freq_filt`
+    * filtlib.py:565-614 — the reference's unfinished FFT framework,
+    * finished as RasterOps.fft2/freqFilter/freqDominant) on the 32×32
+    * top-left window of margin-free quantized images. Integer (kx, ky)
+    * output in the canonical half-plane (conjugate-symmetry mirrors
+    * excluded) is robust to 1-ulp transcendental differences; the twin
+    * computes the same spectrum with a separable naive DFT and the same
+    * (mag DESC, ky, kx) tie order the engine's scan implements.
+    *
+    * A deterministic square-wave probe (amplitude 8, period 8 or 16 px,
+    * orientation by image index) is ADDED to the window in both engines:
+    * the raw quantized-staircase windows are spectrally DEGENERATE (1-2
+    * steps → an impulse comb whose bins tie at identical magnitudes —
+    * measured: img 33 had |X|² = 4.0 at (1,0), (4,0) and (12,0), so the
+    * argmax sat on FP noise and flipped between engines). The probe makes
+    * the fundamental isolated by ~10⁶× while the image content still rides
+    * along; the chain under test — decode → window → FFT → half-plane
+    * argmax vs naive DFT — is unchanged (fixture-oracle precedent q63). */
+  def freqDominantQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Engine.images(s, d).as[graft.sources.ImageRow]
+      .filter { img =>
+        val i = img.image_id.slice(4, 12).toInt
+        i < 40 && i % 3 != 2 && (i / 3) % 3 != 0 && i % 5 != 0
+      }
+      .map { img =>
+        val i = img.image_id.slice(4, 12).toInt
+        val px = graft.sources.Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+        val halfp = 4 << (i % 2)               // probe half-period: 4 or 8
+        val alongX = (i / 2) % 2 == 0          // orientation
+        val win = new Array[Float](32 * 32)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val c = if (alongX) x else y
+            val probe = if ((c / halfp) % 2 == 0) 8.0f else -8.0f
+            win(y * 32 + x) = px(y * img.w + x) + probe
+            x += 1
+          }
+          y += 1
+        }
+        val (kx, ky) = graft.operators.RasterOps.freqDominant(win, 32, 32, img.ndv.toFloat)
+        (img.image_id, kx, ky)
+      }.toDF("image_id", "kx", "ky")
+  }
+
+  val freqDominantSql: String =
+    s"""${imSql("i < 40 AND i % 3 <> 2 AND (i // 3) % 3 <> 0 AND i % 5 <> 0")},
+       |px AS (SELECT im.*, unnest(generate_series(0, 31)) AS sx FROM im),
+       |pxy AS (SELECT px.*, unnest(generate_series(0, 31)) AS sy FROM px),
+       |v AS (
+       |  SELECT image_id, sx, sy,
+       |    greatest(1, least(255, round_even(
+       |      (120.0::DOUBLE + 0.05::DOUBLE * day
+       |        + 0.01::DOUBLE * ((ulx + (sx + 0.5::DOUBLE) * res) - 500000.0::DOUBLE))
+       |        - 0.005::DOUBLE * (5300000.0::DOUBLE - (uly - (sy + 0.5::DOUBLE) * res)), 0)))::INT
+       |    + CASE WHEN ((CASE WHEN (i // 2) % 2 = 0 THEN sx ELSE sy END)
+       |                 // (4 * (1 + i % 2))) % 2 = 0 THEN 8 ELSE -8 END AS v
+       |  FROM pxy),
+       |s1 AS (SELECT image_id, sy, kk.k AS kx,
+       |    sum(v * cos(-2 * pi() * kk.k * sx / 32.0)) AS r1,
+       |    sum(v * sin(-2 * pi() * kk.k * sx / 32.0)) AS i1
+       |  FROM v, generate_series(0, 31) kk(k) GROUP BY image_id, sy, kk.k),
+       |s2 AS (SELECT image_id, kx, kk.k AS ky,
+       |    sum(r1 * cos(-2 * pi() * kk.k * sy / 32.0)
+       |        - i1 * sin(-2 * pi() * kk.k * sy / 32.0)) AS re,
+       |    sum(r1 * sin(-2 * pi() * kk.k * sy / 32.0)
+       |        + i1 * cos(-2 * pi() * kk.k * sy / 32.0)) AS im_
+       |  FROM s1, generate_series(0, 31) kk(k) GROUP BY image_id, kx, kk.k),
+       |mag AS (SELECT image_id, kx, ky, re * re + im_ * im_ AS m FROM s2
+       |  WHERE (ky = 0 AND kx BETWEEN 1 AND 15) OR ky BETWEEN 1 AND 15)
+       |SELECT image_id, kx::INT AS kx, ky::INT AS ky
+       |FROM (SELECT *, row_number() OVER (PARTITION BY image_id
+       |        ORDER BY m DESC, ky, kx) AS rn FROM mag)
+       |WHERE rn = 1""".stripMargin
+
   /** q82 oracle form: the banded-LSH perceptual-hash dedup
     * (Multimodal.phashDedup — exact-dup collapse, (band_idx, band_val)
     * equi-join over distinct hashes, first-match-band emission, Hamming ≤ 8
