@@ -24,8 +24,9 @@ object Rel2 {
     * the [p5, p95] band; per-flag survivor stats. */
   def percFltr(s: SparkSession, d: String): DataFrame = {
     val t = li(s, d)
-    val p = t.agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
-                  expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    // one array-percentile sort, not two full-column buffers (q88 pattern)
+    val p = t.agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("ps"))
+      .select(element_at(col("ps"), 1).as("lo"), element_at(col("ps"), 2).as("hi"))
     t.crossJoin(p)
       .filter(col("l_extendedprice").between(col("lo"), col("hi")))
       .groupBy(col("l_returnflag"))
@@ -61,9 +62,12 @@ object Rel2 {
   def hist2dClipped(s: SparkSession, d: String): DataFrame = {
     val t = li(s, d).select(col("l_quantity").cast("double").as("x"),
                             col("l_extendedprice").cast("double").as("y"))
+    // one array-percentile buffer per column, not four (q88 pattern)
     val lims = t.agg(
-      expr("percentile(x, 0.001)").as("xlo"), expr("percentile(x, 0.999)").as("xhi"),
-      expr("percentile(y, 0.001)").as("ylo"), expr("percentile(y, 0.999)").as("yhi"))
+        expr("percentile(x, array(0.001D, 0.999D))").as("px"),
+        expr("percentile(y, array(0.001D, 0.999D))").as("py"))
+      .select(element_at(col("px"), 1).as("xlo"), element_at(col("px"), 2).as("xhi"),
+              element_at(col("py"), 1).as("ylo"), element_at(col("py"), 2).as("yhi"))
     t.crossJoin(lims)
       .filter(col("x").between(col("xlo"), col("xhi")) &&
               col("y").between(col("ylo"), col("yhi")))
