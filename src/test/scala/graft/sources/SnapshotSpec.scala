@@ -96,4 +96,39 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "meta", ".v2.json.tmp")))
   }
+
+  test("property: random op sequences match an in-memory model, incl. all history") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val root = freshRoot(s"model$trial")
+      // model: visible row-id set after each committed version (index = v)
+      var history = Vector.empty[Set[Long]]
+      var nextId = 0L
+      def freshIds(n: Int): Set[Long] = { val s = (nextId until nextId + n).toSet; nextId += n; s }
+      for (_ <- 0 until 8) {
+        rnd.nextInt(3) match {
+          case 0 => // append
+            val ids = freshIds(1 + rnd.nextInt(5))
+            commit(spark, root, df(ids.min.toInt to ids.max.toInt))
+            history :+= history.lastOption.getOrElse(Set.empty) ++ ids
+          case 1 => // overwrite
+            val ids = freshIds(1 + rnd.nextInt(4))
+            commit(spark, root, df(ids.min.toInt to ids.max.toInt), op = "overwrite")
+            history :+= ids
+          case 2 if history.nonEmpty => // rollback to a random older version
+            val to = 1 + rnd.nextInt(history.length)
+            rollback(spark, root, to)
+            history :+= history(to - 1)
+          case _ => // rollback on empty table: skip (nothing to roll to)
+        }
+      }
+      // EVERY version must still read back exactly its model state
+      for (v <- 1 to history.length) {
+        val got = read(spark, root, asOf = v).select("id").collect()
+          .map(_.getLong(0)).toSet
+        assert(got == history(v - 1), s"trial $trial v$v: $got != ${history(v - 1)}")
+        assert(snapshot(root, v).rows == history(v - 1).size.toLong)
+      }
+    }
+  }
 }
