@@ -124,6 +124,8 @@ object SparkEntry {
     "q89_edge_envelope"      -> (EngineOracle.edgeEnvelopeCounts _),
     // 2-D dominant spatial frequency (freq_filt filtlib.py:565, finished)
     "q90_freq_dominant"      -> (EngineOracle.freqDominantQ _),
+    // near-dup clustering: pointer-doubling connected components over pairs
+    "q91_neardup_clusters"   -> (EngineOracle.neardupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,5 +222,6 @@ object SparkEntry {
     "q88_robust_spread"      -> Rel2.robustSpreadFltrSql,
     "q89_edge_envelope"      -> EngineOracle.edgeEnvelopeCountsSql,
     "q90_freq_dominant"      -> EngineOracle.freqDominantSql,
+    "q91_neardup_clusters"   -> EngineOracle.neardupClustersSql,
   )
 }

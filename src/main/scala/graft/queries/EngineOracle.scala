@@ -846,6 +846,72 @@ object EngineOracle {
        |        ((a.ph >> 32) & 65535) = ((b.ph >> 32) & 65535) OR
        |        ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535)))""".stripMargin
 
+  /** q91 oracle form: near-dup CLUSTERING — the step every dedup pipeline
+    * runs after the pair join: connected components over the q82 phash pair
+    * graph (pointer-doubling min-label propagation) plus the exact-dup
+    * grouping. The quant-subset graph is ONE deep component (dist-to-min
+    * 21 — a real stress of the doubling, which converges in ~6 rounds where
+    * plain propagation needs 21), while the hamming-0 sub-graph splits into
+    * 138 equal-hash cliques — together they pin both the deep-chain and the
+    * many-components behavior. */
+  def neardupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = phashDedupExact(s, d)
+    val imgs = quantNoRipple(Engine.images(s, d))
+    val nodes = imgs.select(col("image_id").as("id"))
+    val ccAll = graft.operators.Similarity.connectedComponents(s, nodes,
+        pairs.select(col("id1").as("a"), col("id2").as("b")))
+      .withColumnRenamed("component", "comp_all")
+    val ccExact = graft.operators.Similarity.connectedComponents(s, nodes,
+        pairs.filter(col("hamming") === 0)
+          .select(col("id1").as("a"), col("id2").as("b")))
+      .withColumnRenamed("component", "comp_exact")
+    val sizes = ccExact.groupBy(col("comp_exact")).agg(count(lit(1)).as("csize_exact"))
+    ccAll.join(ccExact, Seq("id")).join(sizes, Seq("comp_exact"))
+      .select(col("id").as("image_id"), col("comp_all"),
+              col("comp_exact"), col("csize_exact"))
+  }
+
+  /** DuckDB twin of q91: the q82 pair predicate feeds 8 unrolled
+    * pointer-doubling rounds (propagate-min then shortcut — identical
+    * FIXPOINT to the engine's loop; intermediate states need not match,
+    * only the converged labels, and 8 doubling rounds cover distance ≫ 21);
+    * the exact groups are just min(image_id) per hash value. */
+  val neardupClustersSql: String = {
+    // every CTE MATERIALIZED: DuckDB inlines CTEs by default, and both the
+    // propagate and shortcut steps reference their predecessor twice — an
+    // inlined chain re-evaluates the pair predicate 2^rounds times
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+         |  SELECT id, lbl FROM l${r - 1}
+         |  UNION ALL
+         |  SELECT e.b AS id, l${r - 1}.lbl FROM sym e JOIN l${r - 1} ON e.a = l${r - 1}.id)
+         |  GROUP BY id),
+         |l$r AS MATERIALIZED (SELECT a.id, least(a.lbl, b.lbl) AS lbl
+         |  FROM p$r a JOIN p$r b ON a.lbl = b.id)""".stripMargin
+    s"""$featurePxSql,
+       |$ahashCteSql,
+       |ids AS (SELECT image_id, ahash::BIGINT AS ph FROM ah),
+       |pr AS MATERIALIZED (
+       |  SELECT a.image_id AS id1, b.image_id AS id2
+       |  FROM ids a JOIN ids b ON a.image_id < b.image_id
+       |  WHERE a.ph = b.ph
+       |     OR (bit_count(xor(a.ph, b.ph)) <= 8 AND (
+       |          ((a.ph >> 0)  & 65535) = ((b.ph >> 0)  & 65535) OR
+       |          ((a.ph >> 16) & 65535) = ((b.ph >> 16) & 65535) OR
+       |          ((a.ph >> 32) & 65535) = ((b.ph >> 32) & 65535) OR
+       |          ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535)))),
+       |sym AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pr
+       |        UNION ALL SELECT id2, id1 FROM pr),
+       |l0 AS MATERIALIZED (SELECT image_id AS id, image_id AS lbl FROM ids),
+       |${(1 to 8).map(round).mkString(",\n")},
+       |ex AS (SELECT image_id, min(image_id) OVER (PARTITION BY ph) AS comp_exact,
+       |              count(*) OVER (PARTITION BY ph) AS csize_exact
+       |       FROM ids)
+       |SELECT ex.image_id, l8.lbl AS comp_all, ex.comp_exact,
+       |       ex.csize_exact::BIGINT AS csize_exact
+       |FROM ex JOIN l8 ON l8.id = ex.image_id""".stripMargin
+  }
+
   /** DuckDB twin of q46: brute-force kNN over the PolygonTable.points
     * closed form (integer-lattice scatter → exact doubles), k = 5, ties on
     * (dist, c_id) — the production ring-expansion operator (auto cell

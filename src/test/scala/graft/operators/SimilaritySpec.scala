@@ -78,4 +78,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(k1.sameElements(k2))
     assert(k1.map(_ >> 32).toSet.size == 4)   // distinct table ids
   }
+
+  test("connected components: chain + triangle + isolate, in O(log d) rounds") {
+    import spark.implicits._
+    // a 16-node chain (diameter 15), a triangle, and an isolated node
+    val chain = (0 until 15).map(i => (f"c$i%02d", f"c${i + 1}%02d"))
+    val tri = Seq(("t0", "t1"), ("t1", "t2"), ("t0", "t2"))
+    val edges = (chain ++ tri).toDF("a", "b")
+    val nodes = ((0 to 15).map(i => f"c$i%02d") ++ Seq("t0", "t1", "t2", "lonely"))
+      .toDF("id")
+    val cc = Similarity.connectedComponents(spark, nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 to 15).foreach(i => assert(cc(f"c$i%02d") == "c00"))
+    Seq("t0", "t1", "t2").foreach(n => assert(cc(n) == "t0"))
+    assert(cc("lonely") == "lonely")
+    // doubling bound: a diameter-15 chain must converge well under 15 rounds
+    val few = Similarity.connectedComponents(spark, nodes, edges, maxRounds = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(few == cc, "pointer doubling should close a 15-chain within 6 rounds")
+  }
 }
