@@ -67,7 +67,12 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // failures must be LOUD: a swallowed exception would report a normal-
+      // looking (small) timing for a query that never ran (observed with a
+      // q91 analysis bug — 2.8 s "timing" for a failure)
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -127,23 +127,31 @@ object Multimodal {
     * 3. **First-match-band emission**: a hash pair sharing several bands is
     *    emitted only from its lowest shared band (a predicate on the carried
     *    hashes), so no wide `distinct` shuffle is needed afterwards. */
-  def phashDedup(spark: SparkSession, images: DataFrame, maxDist: Int = 8): DataFrame = {
+  /** DISTINCT-hash near-dup pairs (p1 < p2, hamming ≤ maxDist, sharing a
+    * 16-bit band) — the contracted graph phashDedup expands back to images,
+    * and the right granularity for clustering (q91: run connected
+    * components here, where equal-payload cliques are already one node). */
+  def phashHashPairs(images: DataFrame, maxDist: Int): DataFrame = {
     def band(c: org.apache.spark.sql.Column, j: Int) =
       shiftright(c, 16 * j).bitwiseAND(0xffffL)
-    val ids = images.select(col("image_id"), col("phash"))
-    val hashes = ids.select(col("phash")).distinct()
+    val hashes = images.select(col("phash")).distinct()
     val bands = hashes.select(col("phash"), posexplode(array(
         band(col("phash"), 0), band(col("phash"), 1),
         band(col("phash"), 2), band(col("phash"), 3))).as(Seq("bi", "bv")))
     val noEarlierSharedBand = (0 until 3).map { j =>
       when(col("bi") > j, band(col("p1"), j) =!= band(col("p2"), j)).otherwise(lit(true))
     }.reduce(_ && _)
-    val hashPairs = bands.select(col("phash").as("p1"), col("bi"), col("bv"))
+    bands.select(col("phash").as("p1"), col("bi"), col("bv"))
       .join(bands.select(col("phash").as("p2"), col("bi"), col("bv")), Seq("bi", "bv"))
       .filter(col("p1") < col("p2") && noEarlierSharedBand)
       .withColumn("hamming", bit_count(col("p1").bitwiseXOR(col("p2"))))
       .filter(col("hamming") <= maxDist)
       .select(col("p1"), col("p2"), col("hamming"))
+  }
+
+  def phashDedup(spark: SparkSession, images: DataFrame, maxDist: Int = 8): DataFrame = {
+    val ids = images.select(col("image_id"), col("phash"))
+    val hashPairs = phashHashPairs(images, maxDist)
     // expand qualifying hash pairs back to image-id pairs...
     val cross = hashPairs
       .join(ids.select(col("image_id").as("ida"), col("phash").as("p1")), Seq("p1"))

@@ -219,17 +219,29 @@ object Similarity {
     var round = 0
     var changed = 1L
     while (round < maxRounds && changed > 0) {
-      val viaEdges = sym.join(labels, sym("a") === labels("id"))
+      // fresh exprIds for the union's second branch: both branches deriving
+      // from the SAME checkpointed plan trip Catalyst's Union constraint
+      // rewrite ("key not found: id#N") — createDataFrame over the already-
+      // materialized RDD renumbers attributes without recomputing anything
+      val labelsFresh = spark.createDataFrame(labels.rdd, labels.schema)
+      val viaEdges = sym.join(labelsFresh, sym("a") === labelsFresh("id"))
         .select(col("b").as("id"), col("component"))
+      // prop is checkpointed BEFORE the self-join: self-joining a plan that
+      // contains this union trips the same constraint rewrite (observed at
+      // Union.rewriteConstraints: the deduplicated branch attributes fall
+      // out of the child→output map), and leaves on both join sides also
+      // stop the plan from doubling
       val prop = labels.select(col("id"), col("component")).unionByName(viaEdges)
         .groupBy(col("id"))
         .agg(fmin(col("component")).as("component"))
+        .localCheckpoint(true)
       // shortcut: component := min(component, component(component)) —
       // labels are node ids, so the self-join always finds the row
-      val next = prop.as("a")
-        .join(prop.as("b"), col("a.component") === col("b.id"))
-        .select(col("a.id").as("id"),
-                least(col("a.component"), col("b.component")).as("component"))
+      val propB = spark.createDataFrame(prop.rdd, prop.schema)
+        .withColumnRenamed("id", "bid").withColumnRenamed("component", "bcomp")
+      val next = prop
+        .join(propB, col("component") === col("bid"))
+        .select(col("id"), least(col("component"), col("bcomp")).as("component"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()

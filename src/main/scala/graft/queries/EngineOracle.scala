@@ -847,28 +847,38 @@ object EngineOracle {
        |        ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535)))""".stripMargin
 
   /** q91 oracle form: near-dup CLUSTERING — the step every dedup pipeline
-    * runs after the pair join: connected components over the q82 phash pair
-    * graph (pointer-doubling min-label propagation) plus the exact-dup
-    * grouping. The quant-subset graph is ONE deep component (dist-to-min
-    * 21 — a real stress of the doubling, which converges in ~6 rounds where
-    * plain propagation needs 21), while the hamming-0 sub-graph splits into
-    * 138 equal-hash cliques — together they pin both the deep-chain and the
-    * many-components behavior. */
+    * runs after the pair join: connected components (pointer-doubling
+    * min-label propagation) over the CONTRACTED distinct-hash graph of the
+    * q82 pair predicate, plus the exact-dup grouping (= the hash partitions
+    * themselves, no propagation needed). The quant-subset graph is ONE deep
+    * component (image-level dist-to-min 21 — a real stress of the doubling)
+    * over 138 hash nodes, while the exact groups split into 138 cliques —
+    * together they pin both the deep-chain and many-components behavior. */
   def neardupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = phashDedupExact(s, d)
     val imgs = quantNoRipple(Engine.images(s, d))
-    val nodes = imgs.select(col("image_id").as("id"))
-    val ccAll = graft.operators.Similarity.connectedComponents(s, nodes,
-        pairs.select(col("id1").as("a"), col("id2").as("b")))
-      .withColumnRenamed("component", "comp_all")
-    val ccExact = graft.operators.Similarity.connectedComponents(s, nodes,
-        pairs.filter(col("hamming") === 0)
-          .select(col("id1").as("a"), col("id2").as("b")))
-      .withColumnRenamed("component", "comp_exact")
-    val sizes = ccExact.groupBy(col("comp_exact")).agg(count(lit(1)).as("csize_exact"))
-    ccAll.join(ccExact, Seq("id")).join(sizes, Seq("comp_exact"))
-      .select(col("id").as("image_id"), col("comp_all"),
-              col("comp_exact"), col("csize_exact"))
+    // CONTRACTED graph: components run over distinct hashes, not images —
+    // equal-payload cliques are already one node (the q56/q82 dedup-collapse
+    // principle applied to the graph step; first image-level CC attempt
+    // measured 43.7 s at sf0.1, the hash-level form ~4× fewer rounds-jobs
+    // and edge rows). Exact groups need no propagation at all: they ARE the
+    // hash partitions.
+    val ids = imgs.select(col("image_id"), col("phash"))
+    val exact = ids.groupBy(col("phash")).agg(
+      min(col("image_id")).as("comp_exact"), count(lit(1)).as("csize_exact"))
+    val hp = graft.operators.Multimodal.phashHashPairs(imgs, maxDist = 8)
+    // name-based joins only: the CC result is localCheckpoint'ed, so
+    // DataFrame(col) references from pre-checkpoint instances don't resolve
+    val cc = graft.operators.Similarity.connectedComponents(s,
+        ids.select(col("phash").as("id")).distinct(),
+        hp.select(col("p1").as("a"), col("p2").as("b")))
+      .withColumnRenamed("id", "phash")
+    // component label exposed as the min image id across the component
+    val compLabel = cc.join(exact, Seq("phash"))
+      .groupBy(col("component")).agg(min(col("comp_exact")).as("comp_all"))
+    ids.join(exact, Seq("phash"))
+      .join(cc, Seq("phash"))
+      .join(compLabel, Seq("component"))
+      .select(col("image_id"), col("comp_all"), col("comp_exact"), col("csize_exact"))
   }
 
   /** DuckDB twin of q91: the q82 pair predicate feeds 8 unrolled
@@ -890,26 +900,30 @@ object EngineOracle {
          |  FROM p$r a JOIN p$r b ON a.lbl = b.id)""".stripMargin
     s"""$featurePxSql,
        |$ahashCteSql,
-       |ids AS (SELECT image_id, ahash::BIGINT AS ph FROM ah),
+       |ids AS MATERIALIZED (SELECT image_id, ahash::BIGINT AS ph FROM ah),
+       |hs AS (SELECT DISTINCT ph FROM ids),
        |pr AS MATERIALIZED (
-       |  SELECT a.image_id AS id1, b.image_id AS id2
-       |  FROM ids a JOIN ids b ON a.image_id < b.image_id
-       |  WHERE a.ph = b.ph
-       |     OR (bit_count(xor(a.ph, b.ph)) <= 8 AND (
+       |  SELECT a.ph AS p1, b.ph AS p2
+       |  FROM hs a JOIN hs b ON a.ph < b.ph
+       |  WHERE bit_count(xor(a.ph, b.ph)) <= 8 AND (
        |          ((a.ph >> 0)  & 65535) = ((b.ph >> 0)  & 65535) OR
        |          ((a.ph >> 16) & 65535) = ((b.ph >> 16) & 65535) OR
        |          ((a.ph >> 32) & 65535) = ((b.ph >> 32) & 65535) OR
-       |          ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535)))),
-       |sym AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pr
-       |        UNION ALL SELECT id2, id1 FROM pr),
-       |l0 AS MATERIALIZED (SELECT image_id AS id, image_id AS lbl FROM ids),
+       |          ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535))),
+       |sym AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM pr
+       |        UNION ALL SELECT p2, p1 FROM pr),
+       |l0 AS MATERIALIZED (SELECT ph AS id, ph AS lbl FROM hs),
        |${(1 to 8).map(round).mkString(",\n")},
-       |ex AS (SELECT image_id, min(image_id) OVER (PARTITION BY ph) AS comp_exact,
-       |              count(*) OVER (PARTITION BY ph) AS csize_exact
-       |       FROM ids)
-       |SELECT ex.image_id, l8.lbl AS comp_all, ex.comp_exact,
+       |ex AS MATERIALIZED (SELECT ph, min(image_id) AS comp_exact,
+       |        count(*) AS csize_exact FROM ids GROUP BY ph),
+       |cl AS (SELECT l8.lbl AS component, min(ex.comp_exact) AS comp_all
+       |       FROM l8 JOIN ex ON ex.ph = l8.id GROUP BY l8.lbl)
+       |SELECT i.image_id, cl.comp_all, ex.comp_exact,
        |       ex.csize_exact::BIGINT AS csize_exact
-       |FROM ex JOIN l8 ON l8.id = ex.image_id""".stripMargin
+       |FROM ids i
+       |JOIN ex USING (ph)
+       |JOIN l8 ON l8.id = i.ph
+       |JOIN cl ON cl.component = l8.lbl""".stripMargin
   }
 
   /** DuckDB twin of q46: brute-force kNN over the PolygonTable.points
