@@ -126,6 +126,8 @@ object SparkEntry {
     "q90_freq_dominant"      -> (EngineOracle.freqDominantQ _),
     // near-dup clustering: pointer-doubling connected components over pairs
     "q91_neardup_clusters"   -> (EngineOracle.neardupClusters _),
+    // text dedup end-to-end: minhash-LSH pairs -> components -> keepers
+    "q92_doc_clusters"       -> (Text.neardupDocClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -223,5 +225,6 @@ object SparkEntry {
     "q89_edge_envelope"      -> EngineOracle.edgeEnvelopeCountsSql,
     "q90_freq_dominant"      -> EngineOracle.freqDominantSql,
     "q91_neardup_clusters"   -> EngineOracle.neardupClustersSql,
+    "q92_doc_clusters"       -> Text.neardupDocClustersSql,
   )
 }

@@ -267,4 +267,55 @@ object Text {
       |          GROUP BY 1, 2)
       |SELECT d1, d2, ni, round(ni / (c1.n + c2.n - ni)::DOUBLE, 6) AS jaccard
       |FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2""".stripMargin
+
+  /** q92 — text dedup END-TO-END: connected components over the q24
+    * MinHash-LSH pair graph (shingle → minhash → band → bucket join →
+    * cluster), canonical keeper = min doc_id per component. The documents
+    * graph complements q91's shape: 475 components (451 singletons, 23
+    * pairs, 1 triple) instead of one deep chain. */
+  def neardupDocClusters(s: SparkSession, d: String): DataFrame = {
+    val nodes = docs(s, d).select(col("doc_id").as("id"))
+    val edges = minhashPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))
+    val cc = graft.operators.Similarity.connectedComponents(s, nodes, edges)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "comp_near")
+    val sizes = cc.groupBy(col("comp_near")).agg(count(lit(1)).as("csize"))
+    cc.join(sizes, Seq("comp_near"))
+      .select(col("doc_id"), col("comp_near"), col("csize"),
+        when(col("doc_id") === col("comp_near"), 1).otherwise(0).as("is_keeper"))
+  }
+
+  /** DuckDB twin of q92: the q24 pair SQL + 4 unrolled MATERIALIZED
+    * pointer-doubling rounds (the graph's dist-to-min is 1; the fixpoint,
+    * not intermediate states, is compared). */
+  val neardupDocClustersSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+         |  SELECT id, lbl FROM l${r - 1}
+         |  UNION ALL
+         |  SELECT e.b AS id, l${r - 1}.lbl FROM sym e JOIN l${r - 1} ON e.a = l${r - 1}.id)
+         |  GROUP BY id),
+         |l$r AS MATERIALIZED (SELECT a.id, least(a.lbl, b.lbl) AS lbl
+         |  FROM p$r a JOIN p$r b ON a.lbl = b.id)""".stripMargin
+    s"""WITH $shinglesSqlBase,
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    md5(min(('0x'||substr(md5('0:'||sh),1,8))::BIGINT)::VARCHAR || ':' ||
+       |        min(('0x'||substr(md5('1:'||sh),1,8))::BIGINT)::VARCHAR) AS band0,
+       |    md5(min(('0x'||substr(md5('2:'||sh),1,8))::BIGINT)::VARCHAR || ':' ||
+       |        min(('0x'||substr(md5('3:'||sh),1,8))::BIGINT)::VARCHAR) AS band1
+       |  FROM sh GROUP BY doc_id),
+       |pr AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sig a JOIN sig b
+       |    ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id),
+       |sym AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pr
+       |        UNION ALL SELECT d2, d1 FROM pr),
+       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |sz AS (SELECT lbl, count(*)::BIGINT AS csize FROM l4 GROUP BY lbl)
+       |SELECT l4.id AS doc_id, l4.lbl AS comp_near, sz.csize,
+       |  (l4.id = l4.lbl)::INT AS is_keeper
+       |FROM l4 JOIN sz USING (lbl)""".stripMargin
+  }
 }
