@@ -249,6 +249,13 @@ object Similarity {
       round += 1
     }
     sym.unpersist()
+    // non-convergence must be LOUD: returning partial labels silently
+    // corrupts every downstream dedup decision. With the doubling shortcut
+    // the default 25 rounds covers diameter ~2^24 — this only fires on a
+    // caller-supplied maxRounds that is genuinely too small.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds ($changed labels still moving)")
     labels
   }
 }

@@ -96,5 +96,9 @@ class SimilaritySpec extends AnyFunSuite {
     val few = Similarity.connectedComponents(spark, nodes, edges, maxRounds = 6)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(few == cc, "pointer doubling should close a 15-chain within 6 rounds")
+    // and an impossible round budget fails LOUDLY, never silently partial
+    intercept[IllegalStateException] {
+      Similarity.connectedComponents(spark, nodes, edges, maxRounds = 1)
+    }
   }
 }
