@@ -70,16 +70,22 @@ object Bench {
       // failures must be LOUD: a swallowed exception would report a normal-
       // looking (small) timing for a query that never ran (observed with a
       // q91 analysis bug — 2.8 s "timing" for a failure)
-      try { fn(spark, sfDir).count() }
+      val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // failed queries are ALSO marked in the JSON itself (negative timing +
+    // a "failed" array): a driver that parses only the JSON line must still
+    // see the failure, not a normal-looking timing
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else f"${-v}%.3f") }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum + pipelineSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_sec":$pipelineSec%.3f,"images_per_sec":$imagesPerSec%.1f,"pipeline_counts":{"tiles":$nTiles,"stats":$nStats,"trend":$nTrend,"pip":$nPip,"heat":$nHeat,"knn":$nKnn}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"pipeline_sec":$pipelineSec%.3f,"images_per_sec":$imagesPerSec%.1f,"pipeline_counts":{"tiles":$nTiles,"stats":$nStats,"trend":$nTrend,"pip":$nPip,"heat":$nHeat,"knn":$nKnn}}""")
     Engine.clearImageCache()
     spark.stop()
   }

@@ -49,6 +49,15 @@ object Knn {
           k: Int, cellSize: Double = 0.0, r0: Int = 2,
           maxRounds: Int = 3): DataFrame = {
     import graft.functions.GraftFunctions.planarCell
+    // materialize the output (lineage-truncated, ContextCleaner-managed
+    // blocks) so the pass-local caches can be released immediately —
+    // repeated knn calls in a long-lived session must not accumulate
+    // CacheManager entries nobody holds a handle to
+    def finish(out: DataFrame, scoped: Seq[DataFrame]): DataFrame = {
+      val res = out.localCheckpoint(true)
+      scoped.foreach(_.unpersist(false))
+      res
+    }
     val cs = if (cellSize > 0) cellSize else {
       val m = candidates.agg(count(lit(1)), min(col("x")), max(col("x")),
                              min(col("y")), max(col("y"))).head()
@@ -76,7 +85,7 @@ object Knn {
       .select(col("q_id"), col("c_id"), col("dist"), col("rnk"))
     val pend1 = q0.join(res1, Seq("q_id"), "left_anti").cache()
 
-    if (pend1.isEmpty) return out1
+    if (pend1.isEmpty) return finish(out1, Seq(top1, res1, pend1))
 
     // pass 2: stragglers at a much wider ring
     val (top2raw, res2raw) = ringPass(pend1, cand, k, cs, r0 * 8)
@@ -86,7 +95,8 @@ object Knn {
     val pend2 = pend1.join(res2, Seq("q_id"), "left_anti").cache()
 
     val out12 = out1.unionByName(out2)
-    if (pend2.isEmpty) return out12
+    val scoped = Seq(top1, res1, pend1, top2, res2, pend2)
+    if (pend2.isEmpty) return finish(out12, scoped)
 
     // pass 3: exact fallback for the (tiny) remainder
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("c_id").asc)
@@ -95,7 +105,7 @@ object Knn {
       .select(col("q_id"), col("c_id"),
         sqrt(pow(col("cx") - col("qx"), 2) + pow(col("cy") - col("qy"), 2)).as("dist"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-    out12.unionByName(out3)
+    finish(out12.unionByName(out3), scoped)
   }
 
   /** Brute-force reference implementation (cross join + window) — the test

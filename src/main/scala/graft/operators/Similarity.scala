@@ -225,26 +225,40 @@ object Similarity {
       // materialized RDD renumbers attributes without recomputing anything
       val labelsFresh = spark.createDataFrame(labels.rdd, labels.schema)
       val viaEdges = sym.join(labelsFresh, sym("a") === labelsFresh("id"))
-        .select(col("b").as("id"), col("component"))
+        .select(col("b").as("id"), col("component"), lit(false).as("self"))
       // prop is checkpointed BEFORE the self-join: self-joining a plan that
       // contains this union trips the same constraint rewrite (observed at
       // Union.rewriteConstraints: the deduplicated branch attributes fall
       // out of the child→output map), and leaves on both join sides also
-      // stop the plan from doubling
-      val prop = labels.select(col("id"), col("component")).unionByName(viaEdges)
+      // stop the plan from doubling. The round's PREVIOUS label rides along
+      // (min over the self-tagged branch) so convergence is detected inside
+      // the same materialization instead of a separate join+count job.
+      val prop = labels.select(col("id"), col("component"), lit(true).as("self"))
+        .unionByName(viaEdges)
         .groupBy(col("id"))
-        .agg(fmin(col("component")).as("component"))
+        .agg(fmin(col("component")).as("component"),
+             fmin(when(col("self"), col("component"))).as("old"))
         .localCheckpoint(true)
       // shortcut: component := min(component, component(component)) —
       // labels are node ids, so the self-join always finds the row
       val propB = spark.createDataFrame(prop.rdd, prop.schema)
-        .withColumnRenamed("id", "bid").withColumnRenamed("component", "bcomp")
-      val next = prop
+        .select(col("id").as("bid"), col("component").as("bcomp"))
+      val nextWide = prop
         .join(propB, col("component") === col("bid"))
-        .select(col("id"), least(col("component"), col("bcomp")).as("component"))
+        .select(col("id"), least(col("component"), col("bcomp")).as("component"),
+                col("old"))
+      // change detection folded into the materializing pass: a task retry can
+      // only OVER-count (harmless — `changed` gates on >0 and at the fixpoint
+      // every task adds exactly 0), never under-count
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_r$round")
+      val nextRdd = nextWide.rdd.map { r =>
+        if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1L)
+        org.apache.spark.sql.Row(r.get(0), r.get(1))
+      }
+      val next = spark.createDataFrame(nextRdd,
+        org.apache.spark.sql.types.StructType(nextWide.schema.fields.take(2)))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
+      changed = acc.value
       labels = next
       round += 1
     }

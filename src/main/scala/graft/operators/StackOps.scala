@@ -422,12 +422,17 @@ object StackOps {
       cells = filtered
       it += 1
     }
-    // refit on the final survivor set (the reference refits after removal);
-    // the final cache stays live — it backs the returned plan
-    fitOls(cells)
+    // refit on the final survivor set (the reference refits after removal),
+    // then materialize (lineage-truncated, ContextCleaner-managed blocks) so
+    // the round-local cache can be released — long-lived sessions must not
+    // accumulate one orphaned CacheManager entry per invocation
+    val out = fitOls(cells)
       .filter(col("n") >= nThresh && col("slope").isNotNull)
       .select(col("cell_id"), col("n"), (col("slope") * 365.25).as("slope_yr"),
               col("icpt").as("intercept"))
+      .localCheckpoint(true)
+    if (prevCached != null) prevCached.unpersist(false)
+    out
   }
 
   /** Robust per-cell Theil–Sen trend from long form — the `ma_linreg`

@@ -10,8 +10,11 @@ import graft.operators.Audio
   * synthetic waveforms are integer closed forms (AudioTable), so the DuckDB
   * twins replay the decode→feature chains exactly. */
 object Aud {
-  def nClips(d: String): Int =
-    if (d.contains("sf0.1")) 2000 else if (d.contains("sf0.01")) 200 else 40
+  /** Oracle contract: featuresSql/goertzelSql are generated over clipSql(199)
+    * = 200 clips, so every dir except the sf0.1 bench path uses exactly 200 —
+    * the twins agree at sf0.01 (the driver's gate) AND any ad-hoc small dir
+    * (e.g. the verify recipe's sf0.001). Only the bench scales up. */
+  def nClips(d: String): Int = if (d.contains("sf0.1")) 2000 else 200
 
   /** q83 — time-domain features over PCM16 payloads; every value a fixed
     * chain of correctly-rounded ops on exact integer sums. */

@@ -13,21 +13,27 @@ import graft.sources.SnapshotTable
 object Snap {
   def snapshotTravel(s: SparkSession, d: String): DataFrame = {
     val ev = s.read.parquet(s"$d/events.parquet")
-    val root = s"/tmp/graft_snap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    SnapshotTable.deleteRecursively(root) // deterministic across reruns
-    val slice = (m: Int, r: Int) => ev.filter(pmod(col("event_id"), lit(m)) === r)
-    SnapshotTable.commit(s, root, slice(3, 0))
-    SnapshotTable.commit(s, root, slice(3, 1))
-    SnapshotTable.commit(s, root, slice(3, 2), op = "overwrite")
-    SnapshotTable.rollback(s, root, toV = 2)
-    SnapshotTable.commit(s, root, slice(5, 0))
-    import s.implicits._
-    (1 to 5).map { v =>
-      val snap = SnapshotTable.snapshot(root, v)
-      val agg = SnapshotTable.read(s, root, asOf = v)
-        .agg(count(lit(1)), sum(col("event_id"))).head()
-      (v, snap.op, agg.getLong(0), agg.getLong(1))
-    }.toDF("version", "op", "n_rows", "sum_event_id")
+    // per-invocation root (the Stream.fixtureDir precedent): a fixed path
+    // races two concurrent sessions verifying the same sf dir — one deletes
+    // the other's live snapshot log mid-commit
+    val root = s"/tmp/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val slice = (m: Int, r: Int) => ev.filter(pmod(col("event_id"), lit(m)) === r)
+      SnapshotTable.commit(s, root, slice(3, 0))
+      SnapshotTable.commit(s, root, slice(3, 1))
+      SnapshotTable.commit(s, root, slice(3, 2), op = "overwrite")
+      SnapshotTable.rollback(s, root, toV = 2)
+      SnapshotTable.commit(s, root, slice(5, 0))
+      import s.implicits._
+      // the per-version aggregates are collected HERE (head() per version),
+      // so the snapshot tree can be deleted before returning the local DF
+      (1 to 5).map { v =>
+        val snap = SnapshotTable.snapshot(root, v)
+        val agg = SnapshotTable.read(s, root, asOf = v)
+          .agg(count(lit(1)), sum(col("event_id"))).head()
+        (v, snap.op, agg.getLong(0), agg.getLong(1))
+      }.toDF("version", "op", "n_rows", "sum_event_id")
+    } finally SnapshotTable.deleteRecursively(root)
   }
 
   val snapshotTravelSql: String =

@@ -107,12 +107,25 @@ object SnapshotTable {
     * so the atomic claim is a hard link, which fails with
     * FileAlreadyExistsException when the version is taken. */
   private[sources] def publish(root: String, v: Int, json: String): Unit = {
+    val target = metaDir(root).resolve(s"v$v.json")
     val tmp = metaDir(root).resolve(s".v$v.json.tmp")
     Files.createDirectories(metaDir(root))
     Files.writeString(tmp, json)
-    try Files.createLink(metaDir(root).resolve(s"v$v.json"), tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new ConcurrentCommitException(v) }
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(v)
+      case _: UnsupportedOperationException =>
+        // filesystems without hard links (some network/object-store mounts):
+        // degrade to CREATE_NEW write — still create-exclusive (the claim is
+        // the open, not a rename), just not freshness-atomic with the tmp
+        // file's content, which is fine because the content is local
+        try Files.write(target, json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(v) }
+    }
     finally Files.deleteIfExists(tmp)
   }
 

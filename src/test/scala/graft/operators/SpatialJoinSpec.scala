@@ -122,6 +122,15 @@ class KnnSpec extends AnyFunSuite {
     assert(got.length == 2)
   }
 
+  test("kNN leaves no cached blocks behind (repeat-call hygiene)") {
+    val pts = PolygonTable.points(spark, 500)
+    val q = pts.filter(col("pt_id") < "pt_0000020")
+    spark.catalog.clearCache()
+    (1 to 3).foreach { _ => Knn.knn(spark, q, pts, k = 3).count() }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "knn must unpersist its pass-local caches")
+  }
+
   test("kNN is deterministic across parallelism") {
     val pts8 = PolygonTable.points(spark, 500, partitions = 8)
     val pts2 = PolygonTable.points(spark, 500, partitions = 2)
