@@ -128,6 +128,11 @@ object SparkEntry {
     "q91_neardup_clusters"   -> (EngineOracle.neardupClusters _),
     // text dedup end-to-end: minhash-LSH pairs -> components -> keepers
     "q92_doc_clusters"       -> (Text.neardupDocClusters _),
+    // round-4: oracle-exact forms of the two ANN scale paths — the full
+    // annCosine (embedded hyperplane literals) and ivfCosine (quantized
+    // integer embeddings, five unrolled Lloyd iterations) pipelines
+    "q93_ann_lsh_exact"      -> (EngineOracle.annLshExact _),
+    "q94_ann_ivf_exact"      -> (EngineOracle.annIvfExact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,5 +231,7 @@ object SparkEntry {
     "q90_freq_dominant"      -> EngineOracle.freqDominantSql,
     "q91_neardup_clusters"   -> EngineOracle.neardupClustersSql,
     "q92_doc_clusters"       -> Text.neardupDocClustersSql,
+    "q93_ann_lsh_exact"      -> EngineOracle.annLshExactSql,
+    "q94_ann_ivf_exact"      -> EngineOracle.annIvfExactSql,
   )
 }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.expressions.Window
   * (cost: T equi-joins instead of one O(|Q|·|C|) cross join). */
 object Similarity {
   /** Deterministic hyperplane component ~ N(0,1) via Box–Muller on a
-    * splitmix-style hash of (table, plane, dim). */
-  private def gauss(table: Int, plane: Int, dim: Int): Double = {
+    * splitmix-style hash of (table, plane, dim). `private[graft]` so the
+    * q93 oracle twin can embed the SAME components as string-cast DuckDB
+    * literals (the q84 Goertzel-coefficient technique). */
+  private[graft] def gauss(table: Int, plane: Int, dim: Int): Double = {
     def mix(z0: Long): Double = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
