@@ -133,6 +133,9 @@ object SparkEntry {
     // integer embeddings, five unrolled Lloyd iterations) pipelines
     "q93_ann_lsh_exact"      -> (EngineOracle.annLshExact _),
     "q94_ann_ivf_exact"      -> (EngineOracle.annIvfExact _),
+    // value-level hillshade + gauss: VALUES per pixel, not coverage counts
+    "q95_hillshade_cells"    -> (EngineOracle.hillshadeCells _),
+    "q96_gauss_cells"        -> (EngineOracle.gaussCells _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,5 +236,7 @@ object SparkEntry {
     "q92_doc_clusters"       -> Text.neardupDocClustersSql,
     "q93_ann_lsh_exact"      -> EngineOracle.annLshExactSql,
     "q94_ann_ivf_exact"      -> EngineOracle.annIvfExactSql,
+    "q95_hillshade_cells"    -> EngineOracle.hillshadeCellsSql,
+    "q96_gauss_cells"        -> EngineOracle.gaussCellsSql,
   )
 }

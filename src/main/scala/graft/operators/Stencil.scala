@@ -111,12 +111,20 @@ object Stencil {
   def gaussFillKernel(sigma: Double): (Array[Float], Int, Int, Float) => Array[Float] =
     gaussLike(sigma, fill = true)
 
-  private def gaussLike(sigma: Double, fill: Boolean): (Array[Float], Int, Int, Float) => Array[Float] = {
+  /** The 1-D gaussian taps (truncate=3, indices 0..2r ↔ offsets −r..r) —
+    * public so the q96 oracle twin can embed the SAME runtime doubles as
+    * string-cast DuckDB literals (the q84 coefficient technique). */
+  def gaussWeights(sigma: Double): Array[Double] = {
     val r = (3.0 * sigma).toInt
-    val w1 = Array.tabulate(2 * r + 1) { d =>
+    Array.tabulate(2 * r + 1) { d =>
       val dd = d - r
       math.exp(-(dd * dd) / (2 * sigma * sigma))
     }
+  }
+
+  private def gaussLike(sigma: Double, fill: Boolean): (Array[Float], Int, Int, Float) => Array[Float] = {
+    val r = (3.0 * sigma).toInt
+    val w1 = gaussWeights(sigma)
     (padded, p, h, ndv) => {
       require(h >= r, s"halo $h < kernel radius $r")
       val t = p - 2 * h
