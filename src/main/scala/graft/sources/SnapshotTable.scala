@@ -31,8 +31,21 @@ object SnapshotTable {
   final class ConcurrentCommitException(v: Int)
     extends RuntimeException(s"snapshot v$v was committed concurrently")
 
+  /** Per-file pruning stats recorded at commit: row count + [min, max] per
+    * numeric/timestamp column (Iceberg's manifest column stats — the
+    * split-planning half of the spec; the reference analog is the OGR
+    * `SetSpatialFilter` scan pushdown, geolib.py:663). Bounds are doubles —
+    * exact for integral values < 2^53, which is what pruning compares. */
+  final case class FileStats(rows: Long, cols: Map[String, (Double, Double)])
+
   final case class Snapshot(version: Int, parent: Int, op: String,
-                            rows: Long, files: Seq[String])
+                            rows: Long, files: Seq[String],
+                            stats: Map[String, FileStats] = Map.empty)
+
+  /** A conjunct for scan planning: keep files whose [min, max] for `colName`
+    * intersects [lo, hi]. Files lacking stats for the column are kept
+    * (conservative — pruning must never change results). */
+  final case class ColRange(colName: String, lo: Double, hi: Double)
 
   private def metaDir(root: String): Path = Paths.get(root, "meta")
 
@@ -53,16 +66,47 @@ object SnapshotTable {
   }
 
   def snapshot(root: String, version: Int): Snapshot = {
+    import org.json4s._
     val txt = Files.readString(metaDir(root).resolve(s"v$version.json"))
-    def field(k: String): String =
-      s""""$k": "([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        .orElse(s""""$k": (-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1)))
-        .getOrElse(throw new IllegalStateException(s"manifest v$version lacks $k"))
-    val files = """"files": \[([^\]]*)\]""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-    Snapshot(field("version").toInt, field("parent").toInt, field("op"),
-             field("rows").toLong, files)
+    val j = org.json4s.jackson.JsonMethods.parse(txt)
+    def num(k: String): Long = (j \ k) match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => throw new IllegalStateException(s"manifest v$version lacks $k")
+    }
+    val op = (j \ "op") match {
+      case JString(s) => s
+      case _ => throw new IllegalStateException(s"manifest v$version lacks op")
+    }
+    val files = (j \ "files") match {
+      case JArray(fs) => fs.collect { case JString(f) => f }
+      case _ => Nil
+    }
+    def dbl(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(n) => n.toDouble
+      case JLong(n) => n.toDouble
+      case JDecimal(d) => d.toDouble
+      case _ => Double.NaN
+    }
+    val stats = (j \ "stats") match {
+      case JObject(fields) => fields.collect {
+        case (file, fj) =>
+          val rows = (fj \ "rows") match {
+            case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+          }
+          val cols = (fj \ "cols") match {
+            case JObject(cf) => cf.collect {
+              case (c, JArray(List(lo, hi))) => c -> (dbl(lo), dbl(hi))
+            }.toMap.filter { case (_, (lo, hi)) => !lo.isNaN && !hi.isNaN }
+            case _ => Map.empty[String, (Double, Double)]
+          }
+          file -> FileStats(rows, cols)
+      }.toMap
+      case _ => Map.empty[String, FileStats]
+    }
+    Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
+             files, stats)
   }
 
   /** Append or overwrite `df` as a new snapshot; returns the new version. */
@@ -90,14 +134,67 @@ object SnapshotTable {
       .sorted.map(f => s"data/$attempt/$f")
     val prev = if (op == "overwrite" || base == 0) None else Some(snapshot(root, base))
     val live = prev.map(_.files).getOrElse(Nil) ++ newFiles
-    // count ONLY the new files (parquet footer metadata), carry the parent's
-    // row count forward — commit cost stays O(new data), not O(table)
-    val rows = prev.map(_.rows).getOrElse(0L) +
-      spark.read.parquet(newFiles.map(f => s"$root/$f"): _*).count()
-    publish(root, v,
-      s"""{"version": $v, "parent": $base, "op": "$op", "rows": $rows,
-         | "files": [${live.map(f => s""""$f"""").mkString(", ")}]}""".stripMargin)
+    // stats over ONLY the new files, in ONE pass (count + per-numeric-column
+    // min/max grouped by file); the parent's stats are carried forward as
+    // manifest text — commit cost stays O(new data), not O(table)
+    val newStats = computeStats(spark, root, newFiles)
+    val rows = prev.map(_.rows).getOrElse(0L) + newStats.valuesIterator.map(_.rows).sum
+    val stats = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
+    publish(root, v, manifestJson(v, base, op, rows, live, stats))
     v
+  }
+
+  /** One scan over `files`: per-file row count + min/max of every numeric /
+    * timestamp column (timestamps as epoch seconds via double cast). */
+  private def computeStats(spark: SparkSession, root: String,
+                           files: Seq[String]): Map[String, FileStats] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    if (files.isEmpty) return Map.empty
+    val df = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    // timestamps (incl. NTZ, which cannot cast to double) are recorded as
+    // epoch MICROS under the UTC session tz — prune bounds use the same unit
+    def statExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
+      case TimestampType => unix_micros(col(f.name)).cast("double")
+      case TimestampNTZType => unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case _ => col(f.name).cast("double")
+    }
+    val statFields = df.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[NumericType] ||
+      f.dataType == TimestampType || f.dataType == TimestampNTZType).toSeq
+    val statCols = statFields.map(_.name)
+    val aggs = count(lit(1)).as("__n") +:
+      statFields.flatMap(f => Seq(min(statExpr(f)).as(s"__lo_${f.name}"),
+                                  max(statExpr(f)).as(s"__hi_${f.name}")))
+    val byFile = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    byFile.map { r =>
+      val abs = r.getString(0)
+      val rel = files.find(f => abs.endsWith(f))
+        .getOrElse(throw new IllegalStateException(s"unexpected scan file $abs"))
+      val cols = statCols.zipWithIndex.flatMap { case (c, i) =>
+        val lo = r.get(2 * i + 2); val hi = r.get(2 * i + 3)
+        if (lo == null || hi == null) None
+        else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+      }.toMap
+      rel -> FileStats(r.getLong(1), cols)
+    }.toMap
+  }
+
+  private def manifestJson(v: Int, parent: Int, op: String, rows: Long,
+                           files: Seq[String], stats: Map[String, FileStats]): String = {
+    def jd(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else d.toString
+    val statsJson = files.filter(stats.contains).map { f =>
+      val fs = stats(f)
+      val cols = fs.cols.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s""""$c": [${jd(lo)}, ${jd(hi)}]""" }
+        .mkString(", ")
+      s""""$f": {"rows": ${fs.rows}, "cols": {$cols}}"""
+    }.mkString(", ")
+    s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,
+       | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
+       | "stats": {$statsJson}}""".stripMargin
   }
 
   /** Publish a snapshot manifest create-exclusively — this IS the
@@ -129,21 +226,48 @@ object SnapshotTable {
     finally Files.deleteIfExists(tmp)
   }
 
+  /** Plan the file list for a read: the snapshot's live files, minus every
+    * file whose recorded [min, max] proves no row can satisfy ALL `prune`
+    * conjuncts. Files without stats for a referenced column are kept —
+    * pruning is an optimization, never a semantic filter. Exposed so tests
+    * (and operators) can assert the planned list. */
+  def planFiles(root: String, version: Int, prune: Seq[ColRange]): Seq[String] = {
+    val snap = snapshot(root, version)
+    snap.files.filter { f =>
+      val st = snap.stats.get(f)
+      prune.forall { p =>
+        st.flatMap(_.cols.get(p.colName)) match {
+          case Some((lo, hi)) => hi >= p.lo && lo <= p.hi
+          case None => true
+        }
+      }
+    }
+  }
+
   /** Read the table at `asOf` (default: latest). Empty table → empty DF is
-    * not representable without a schema, so version 0 is an error. */
-  def read(spark: SparkSession, root: String, asOf: Int = -1): DataFrame = {
+    * not representable without a schema, so version 0 is an error.
+    * `prune` drops data files whose manifest stats exclude the range BEFORE
+    * the scan is planned (Iceberg split planning; the caller still applies
+    * its own row filter — file stats bound files, not rows). */
+  def read(spark: SparkSession, root: String, asOf: Int = -1,
+           prune: Seq[ColRange] = Nil): DataFrame = {
     val v = if (asOf >= 0) asOf else currentVersion(root)
     require(v >= 1, s"no snapshot $v at $root")
-    spark.read.parquet(snapshot(root, v).files.map(f => s"$root/$f"): _*)
+    val files = planFiles(root, v, prune)
+    require(files.nonEmpty,
+      s"prune eliminated every file of v$v — read the schema from an unpruned scan")
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
   }
 
   /** Incremental read: rows ADDED between `fromV` (exclusive) and `toV`
     * (inclusive) — the files of `toV` not live in `fromV` (append-only CDC;
-    * an overwrite's files all count as added). */
-  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    * an overwrite's files all count as added). `prune` as in `read`. */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
+              prune: Seq[ColRange] = Nil): DataFrame = {
     val before = if (fromV >= 1) snapshot(root, fromV).files.toSet else Set.empty[String]
-    val added = snapshot(root, toV).files.filterNot(before)
-    require(added.nonEmpty, s"no files added between v$fromV and v$toV")
+    val planned = planFiles(root, toV, prune).toSet
+    val added = snapshot(root, toV).files.filterNot(before).filter(planned)
+    require(added.nonEmpty, s"no files added between v$fromV and v$toV (after pruning)")
     spark.read.parquet(added.map(f => s"$root/$f"): _*)
   }
 
@@ -153,9 +277,8 @@ object SnapshotTable {
     val target = snapshot(root, toV)
     val base = currentVersion(root)
     val v = base + 1
-    publish(root, v,
-      s"""{"version": $v, "parent": $base, "op": "rollback", "rows": ${target.rows},
-         | "files": [${target.files.map(f => s""""$f"""").mkString(", ")}]}""".stripMargin)
+    publish(root, v, manifestJson(v, base, "rollback", target.rows,
+      target.files, target.stats))
     v
   }
 

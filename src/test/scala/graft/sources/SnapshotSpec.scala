@@ -97,6 +97,37 @@ class SnapshotSpec extends AnyFunSuite {
       java.nio.file.Paths.get(root, "meta", ".v2.json.tmp")))
   }
 
+  test("manifest stats prune the planned file list; pruned read stays exact") {
+    val root = freshRoot("prune")
+    // three commits with disjoint id ranges → disjoint per-file [min, max]
+    commit(spark, root, df(0 until 100))
+    commit(spark, root, df(100 until 200))
+    commit(spark, root, df(200 until 300))
+    val v = currentVersion(root)
+    val all = planFiles(root, v, Nil)
+    val sel = planFiles(root, v, Seq(ColRange("id", 120, 180)))
+    assert(sel.nonEmpty && sel.size < all.size,
+      s"selective plan must scan strictly fewer files: ${sel.size} vs ${all.size}")
+    // every id in [120, 180] lives in commit 2's files only
+    assert(sel.forall(_.startsWith("data/s2-")), sel.toString)
+    // pruned read + row filter ≡ unpruned read + row filter (pruning is an
+    // optimization, never a semantic filter)
+    import org.apache.spark.sql.functions.col
+    val got = read(spark, root, asOf = v, prune = Seq(ColRange("id", 120, 180)))
+      .filter(col("id").between(120, 180)).count()
+    assert(got == 61)
+    // a column without stats (string) never prunes
+    assert(planFiles(root, v, Seq(ColRange("s", 0, 1))).size == all.size)
+    // stats survive rollback (carried from the target manifest)
+    rollback(spark, root, toV = 2)
+    val afterRb = planFiles(root, currentVersion(root), Seq(ColRange("id", 0, 50)))
+    assert(afterRb.nonEmpty && afterRb.forall(_.startsWith("data/s1-")))
+    // changes() accepts the same pruning
+    val ch = changes(spark, root, fromV = 1, toV = 3, prune = Seq(ColRange("id", 250, 260)))
+      .select("id").collect().map(_.getLong(0))
+    assert(ch.forall(id => id >= 200 && id < 300))
+  }
+
   test("property: random op sequences match an in-memory model, incl. all history") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
