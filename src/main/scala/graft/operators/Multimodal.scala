@@ -7,10 +7,9 @@ import graft.sources.{Codec, ImageRow, ImageTable}
 /** Multimodal-column operators for the training-data pipeline: the binary
   * payload stays opaque through shuffles and is decoded only inside typed
   * batch stages (mapPartitions), mirroring how image/audio/video columns are
-  * handled at 100 TB. Decoders for the container's real formats (raw/png/bmp)
-  * are genuine; the exotic-codec path (e.g. video) is STUBBED behind a
-  * deterministic fake, with the Spark-side plumbing — schema, batching,
-  * partitioning — real and tested. */
+  * handled at 100 TB. All three modality decoders are genuine: images
+  * (raw/png/bmp via Codec), audio (PCM16 via AudioTable), and video
+  * (uncompressed 8-bit AVI via VideoTable.parseAvi). */
 object Multimodal {
 
   /** Feature extraction: decode → per-image numeric features (valid fraction,
@@ -82,32 +81,26 @@ object Multimodal {
     }.toDF("image_id", "w", "h", "bytes", "caption")
   }
 
-  /** Video frame sampling — STUB: the container has no video codec, so the
-    * "decode" is a clearly-marked deterministic fake (frame k of id = the
-    * image payload shifted by k). The plumbing — one binary in, N frame rows
-    * out, stable frame indexes, partition-safe — is the real contract. */
+  /** Video frame sampling — REAL decode (round-4; the video leg's stub era
+    * ended the way audio's did in round 3): each payload is parsed as an
+    * uncompressed 8-bit AVI container (graft.sources.VideoTable.parseAvi —
+    * RIFF walk, strf geometry, bottom-up un-flip, stride strip), every k-th
+    * decoded frame emits one row with a position-sensitive content checksum
+    * Σ px[i]·(i+1) over the row-major top-down pixels (exact in Long; a
+    * flipped or mis-strided decode changes it). One binary in, N frame rows
+    * out, stable indexes — partition-safe, decode batched per partition. */
   def frameSample(spark: SparkSession, videos: DataFrame, everyK: Int): DataFrame = {
     import spark.implicits._
-    videos.as[ImageRow].flatMap { img =>
-      // STUB DECODER: deterministically fabricate ceil(16/everyK) "frames"
-      val nFrames = 16
-      // numeric index from the id's first digit run (img_%08d layout);
-      // non-numeric ids fall back to a deterministic string hash so the
-      // operator keeps the old any-id contract
-      val digits = img.image_id.dropWhile(!_.isDigit).takeWhile(_.isDigit).take(15)
-      val idx = if (digits.isEmpty) (img.image_id.hashCode & 0x7fffffffL)
-                else digits.toLong
-      (0 until nFrames by everyK).map { k =>
-        val frameId = s"${img.image_id}#f$k"
-        // fake per-frame hash, seeded by (id index, k) — NOT by payload
-        // bytes: a content hash of a stub decode would only pretend codec
-        // fidelity, and the id-seeded form replays exactly in the DuckDB
-        // twin (q55), keeping the real contract — one binary in, N frame
-        // rows out, stable indexes — oracle-checked
-        val h = (idx * 2654435761L) ^ (k * 40503L)
-        (img.image_id, frameId, k, img.w, img.h, h)
+    import graft.sources.{VideoRow, VideoTable}
+    videos.as[VideoRow].flatMap { v =>
+      val frames = VideoTable.parseAvi(v.bytes)
+      frames.zipWithIndex.collect { case (px, t) if t % everyK == 0 =>
+        var hash = 0L
+        var i = 0
+        while (i < px.length) { hash += (px(i) & 0xff).toLong * (i + 1); i += 1 }
+        (v.video_id, s"${v.video_id}#f$t", t, v.w, v.h, hash)
       }
-    }.toDF("image_id", "frame_id", "frame_idx", "w", "h", "frame_hash")
+    }.toDF("video_id", "frame_id", "frame_idx", "w", "h", "frame_hash")
   }
 
   /** Perceptual-hash near-dup candidates: band the 64-bit aHash into 4×16-bit

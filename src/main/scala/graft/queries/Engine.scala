@@ -174,9 +174,14 @@ object Engine {
     Multimodal.resize(s, images(s, d), 8, 8)
       .select(col("image_id"), col("w"), col("h"), length(col("bytes")).as("n_bytes"))
 
-  /** Multimodal: stubbed frame sampling (plumbing-real). */
+  /** Multimodal: REAL video frame sampling — AVI containers encoded and
+    * parsed by VideoTable (round 4; was an id-seeded stub). Oracle contract:
+    * fixed 200 videos everywhere except the sf0.1 bench path (the Aud.nClips
+    * precedent), so the SQL twin's generate_series(0, 199) matches at
+    * sf0.01 AND any ad-hoc small dir. */
+  def nVids(d: String): Int = if (d.contains("sf0.1")) 2000 else 200
   def frameSample(s: SparkSession, d: String): DataFrame =
-    Multimodal.frameSample(s, images(s, d), everyK = 4)
+    Multimodal.frameSample(s, graft.sources.VideoTable.generate(s, nVids(d)), everyK = 4)
 
   /** Perceptual-hash LSH near-dup candidates over the image table. */
   def phashDedup(s: SparkSession, d: String): DataFrame =

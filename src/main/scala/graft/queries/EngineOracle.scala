@@ -944,18 +944,24 @@ object EngineOracle {
       |        ORDER BY dist ASC, c_id ASC) AS rnk FROM j)
       |SELECT q_id, c_id, dist, rnk FROM r WHERE rnk <= 5""".stripMargin
 
-  /** DuckDB twin of q55: the stubbed frame sampler's REAL contract — one
-    * binary row in, ceil(16/everyK) frame rows out (everyK = 4 → frames
-    * 0,4,8,12) with stable frame ids/indexes and the id-seeded fake hash —
-    * replayed from the image-id closed form. The hash is deliberately
-    * id-seeded, not payload-seeded (Multimodal.frameSample): the decode is
-    * a stub, so only the plumbing contract is oracle-checkable. */
+  /** DuckDB twin of q55: the REAL video decode path — frame_hash is now a
+    * position-sensitive checksum Σ px·(i+1) of the DECODED pixel bytes
+    * (round 4; was an id-seeded stub hash), so the twin verifies AVI
+    * encode → RIFF walk → bottom-up un-flip → stride strip end-to-end: a
+    * flipped row order, wrong stride, or off-by-one chunk offset changes
+    * the sum. Pixels replay from VideoTable.pixel's integer closed form. */
   val frameSampleSql: String =
-    s"""${imSql()}
-       |SELECT image_id, image_id || '#f' || k AS frame_id, k::INT AS frame_idx,
+    s"""WITH v AS (SELECT i, printf('vid_%07d', i) AS video_id,
+       |    28 + (i % 3) * 2 AS w, 20 + (i % 2) * 4 AS h, 12 + i % 5 AS nf
+       |  FROM generate_series(0, 199) t(i)),
+       |fr AS (SELECT v.*, unnest(generate_series(0, nf - 1, 4)) AS t FROM v),
+       |xs AS (SELECT fr.*, unnest(generate_series(0, w - 1)) AS x FROM fr),
+       |pxl AS (SELECT xs.*, unnest(generate_series(0, h - 1)) AS y FROM xs)
+       |SELECT video_id, video_id || '#f' || t AS frame_id, t::INT AS frame_idx,
        |  w::INT AS w, h::INT AS h,
-       |  xor(i * 2654435761, CAST(k * 40503 AS BIGINT))::BIGINT AS frame_hash
-       |FROM im, unnest([0, 4, 8, 12]) t2(k)""".stripMargin
+       |  sum(((x * 3 + y * 5 + t * 7 + i * 11) % 256)
+       |      * (y * w + x + 1))::BIGINT AS frame_hash
+       |FROM pxl GROUP BY video_id, t, w, h""".stripMargin
 
   /** Shared warp-grid CTE prefix (im → tgt → b → bx → bxy): the sf0.01
     * image closed forms, the q63-proven pixel-bounds arithmetic, and the

@@ -43,13 +43,48 @@ class MultimodalSpec extends AnyFunSuite {
                     img1.map(_.toDouble).sum / img1.length) < 0.5)
   }
 
-  test("frame sampling stub: stable frame rows, every-k indexes") {
-    val images = ImageTable.generate(spark, 4)
-    val frames = Multimodal.frameSample(spark, images, everyK = 4).collect()
-    assert(frames.length == 4 * 4)   // 16 frames / 4
+  test("AVI codec roundtrip: parse(encode(frames)) is byte-exact, incl. stride padding") {
+    import graft.sources.VideoTable
+    for (i <- 0 until 6) { // w ∈ {28, 30, 32} covers padded and unpadded strides
+      val w = VideoTable.wOf(i); val h = VideoTable.hOf(i)
+      val frames = (0 until VideoTable.nFramesOf(i)).map { t =>
+        Array.tabulate(w * h)(p => VideoTable.pixel(i, t, p % w, p / w).toByte)
+      }
+      val decoded = VideoTable.parseAvi(VideoTable.encodeAvi(frames, w, h))
+      assert(decoded.length == frames.length)
+      frames.zip(decoded).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+  }
+
+  test("AVI parser rejects non-AVI payloads loudly") {
+    import graft.sources.VideoTable
+    intercept[IllegalArgumentException] {
+      VideoTable.parseAvi("not a container at all".getBytes)
+    }
+    // RIFF but not AVI
+    val wav = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++ "WAVE....".getBytes
+    intercept[IllegalArgumentException] { VideoTable.parseAvi(wav) }
+  }
+
+  test("frame sampling decodes real AVI containers: every-k indexes, content hashes") {
+    import graft.sources.VideoTable
+    val videos = VideoTable.generate(spark, 4)
+    val frames = Multimodal.frameSample(spark, videos, everyK = 4).collect()
+    // per-video frame count = ceil(nFrames/4)
+    val expected = (0 until 4).map(i => (VideoTable.nFramesOf(i) + 3) / 4).sum
+    assert(frames.length == expected)
     assert(frames.map(_.getInt(2)).distinct.sorted.toSeq == Seq(0, 4, 8, 12))
+    // the hash is the decoded-content checksum — recompute from closed form
+    frames.foreach { r =>
+      val i = r.getString(0).substring(4).toInt
+      val t = r.getInt(2); val w = VideoTable.wOf(i); val h = VideoTable.hOf(i)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        want += VideoTable.pixel(i, t, x, y).toLong * (y * w + x + 1)
+      assert(r.getLong(5) == want, s"vid $i frame $t")
+    }
     // determinism across reruns
-    val again = Multimodal.frameSample(spark, images, everyK = 4).collect()
+    val again = Multimodal.frameSample(spark, videos, everyK = 4).collect()
     assert(frames.map(_.getLong(5)).sorted.toSeq == again.map(_.getLong(5)).sorted.toSeq)
   }
 
