@@ -136,6 +136,10 @@ object SparkEntry {
     // value-level hillshade + gauss: VALUES per pixel, not coverage counts
     "q95_hillshade_cells"    -> (EngineOracle.hillshadeCells _),
     "q96_gauss_cells"        -> (EngineOracle.gaussCells _),
+    // end-to-end training flagship: filter → text+image dedup → snapshot
+    // commit, checkpoint-resumable; output = the keeper manifest read back
+    // through the snapshot catalog
+    "q97_training_flagship"  -> (Flagship.trainingPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -238,5 +242,6 @@ object SparkEntry {
     "q94_ann_ivf_exact"      -> EngineOracle.annIvfExactSql,
     "q95_hillshade_cells"    -> EngineOracle.hillshadeCellsSql,
     "q96_gauss_cells"        -> EngineOracle.gaussCellsSql,
+    "q97_training_flagship"  -> EngineOracle.trainingFlagshipSql,
   )
 }

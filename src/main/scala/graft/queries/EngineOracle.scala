@@ -1528,4 +1528,87 @@ object EngineOracle {
        |  CAST(CAST(s / ws AS FLOAT) AS DOUBLE) AS sv
        |FROM vp JOIN cells USING (i, x, y) WHERE ws > 0""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q97 — DuckDB twin of the end-to-end training flagship (Flagship
+  // .trainingPipeline): quality/lang filter → text MinHash-LSH pairs → CC →
+  // keepers, plus aHash bands → hash-level CC → image keepers; the final
+  // keeper manifest (kind, id) is what the snapshot commit/read roundtrip
+  // must reproduce. Text components double 4 rounds, image components 8
+  // (both ≫ the fixtures' dist-to-min; only the fixpoint is compared).
+  // ---------------------------------------------------------------------
+  val trainingFlagshipSql: String = {
+    def ccRound(pfx: String, r: Int): String =
+      s"""${pfx}p$r AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+         |  SELECT id, lbl FROM ${pfx}l${r - 1}
+         |  UNION ALL
+         |  SELECT e.b AS id, ${pfx}l${r - 1}.lbl
+         |  FROM ${pfx}sym e JOIN ${pfx}l${r - 1} ON e.a = ${pfx}l${r - 1}.id)
+         |  GROUP BY id),
+         |${pfx}l$r AS MATERIALIZED (SELECT a.id, least(a.lbl, b.lbl) AS lbl
+         |  FROM ${pfx}p$r a JOIN ${pfx}p$r b ON a.lbl = b.id)""".stripMargin
+    s"""$featurePxSql,
+       |$ahashCteSql,
+       |ids AS MATERIALIZED (SELECT image_id, ahash::BIGINT AS ph FROM ah),
+       |hs AS (SELECT DISTINCT ph FROM ids),
+       |ipr AS MATERIALIZED (
+       |  SELECT a.ph AS p1, b.ph AS p2
+       |  FROM hs a JOIN hs b ON a.ph < b.ph
+       |  WHERE bit_count(xor(a.ph, b.ph)) <= 8 AND (
+       |          ((a.ph >> 0)  & 65535) = ((b.ph >> 0)  & 65535) OR
+       |          ((a.ph >> 16) & 65535) = ((b.ph >> 16) & 65535) OR
+       |          ((a.ph >> 32) & 65535) = ((b.ph >> 32) & 65535) OR
+       |          ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535))),
+       |isym AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM ipr
+       |        UNION ALL SELECT p2, p1 FROM ipr),
+       |il0 AS MATERIALIZED (SELECT ph AS id, ph AS lbl FROM hs),
+       |${(1 to 8).map(r => ccRound("i", r)).mkString(",\n")},
+       |iex AS MATERIALIZED (SELECT ph, min(image_id) AS comp_exact
+       |        FROM ids GROUP BY ph),
+       |icl AS (SELECT il8.lbl AS component, min(iex.comp_exact) AS comp_all
+       |        FROM il8 JOIN iex ON iex.ph = il8.id GROUP BY il8.lbl),
+       |fd AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      round(least(((length(text) - length(regexp_replace(text, ' the ', ' ', 'g'))) / 4
+       |           + (length(text) - length(regexp_replace(text, ' a ', ' ', 'g'))) / 2
+       |           + (length(text) - length(regexp_replace(text, ' of ', ' ', 'g'))) / 3
+       |           + (length(text) - length(regexp_replace(text, ' and ', ' ', 'g'))) / 4)::DOUBLE
+       |            / len(string_split_regex(trim(text), ' +')) * 4, 1.0) * 0.5 +
+       |        CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END, 6)
+       |        AS quality,
+       |      CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+       |           WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS pred_lang
+       |    FROM (SELECT doc_id, text,
+       |      ((length(text) - length(regexp_replace(text, ' the ', ' ', 'g'))) / 4
+       |     + (length(text) - length(regexp_replace(text, ' of ',  ' ', 'g'))) / 3
+       |     + (length(text) - length(regexp_replace(text, ' and ', ' ', 'g'))) / 4)::BIGINT AS score_en,
+       |      ((length(text) - length(regexp_replace(text, ' der ', ' ', 'g'))) / 4
+       |     + (length(text) - length(regexp_replace(text, ' und ', ' ', 'g'))) / 4
+       |     + (length(text) - length(regexp_replace(text, ' das ', ' ', 'g'))) / 4)::BIGINT AS score_de,
+       |      ((length(text) - length(regexp_replace(text, ' el ',  ' ', 'g'))) / 3
+       |     + (length(text) - length(regexp_replace(text, ' los ', ' ', 'g'))) / 4
+       |     + (length(text) - length(regexp_replace(text, ' que ', ' ', 'g'))) / 4)::BIGINT AS score_es
+       |     FROM documents))
+       |  WHERE quality >= 0.5 AND pred_lang = 'en'),
+       |${Text.shinglesSqlFrom("fd")},
+       |tsig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    md5(min(('0x'||substr(md5('0:'||sh),1,8))::BIGINT)::VARCHAR || ':' ||
+       |        min(('0x'||substr(md5('1:'||sh),1,8))::BIGINT)::VARCHAR) AS band0,
+       |    md5(min(('0x'||substr(md5('2:'||sh),1,8))::BIGINT)::VARCHAR || ':' ||
+       |        min(('0x'||substr(md5('3:'||sh),1,8))::BIGINT)::VARCHAR) AS band1
+       |  FROM sh GROUP BY doc_id),
+       |tpr AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM tsig a JOIN tsig b
+       |    ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id),
+       |tsym AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM tpr
+       |        UNION ALL SELECT d2, d1 FROM tpr),
+       |tl0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM fd),
+       |${(1 to 4).map(r => ccRound("t", r)).mkString(",\n")}
+       |SELECT 'doc' AS kind, id::VARCHAR AS id FROM tl4 WHERE id = lbl
+       |UNION ALL
+       |SELECT 'img' AS kind, comp_all AS id FROM icl""".stripMargin
+  }
 }

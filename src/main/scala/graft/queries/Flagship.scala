@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.sources.SnapshotTable
+
+/** q97 — the end-to-end training-data flagship (VERDICT r3 #8): ingest →
+  * quality/lang filter → text near-dup dedup (MinHash-LSH pairs →
+  * connected components → keepers) → image near-dup dedup (aHash bands →
+  * hash-level components → keepers) → snapshot commit of the keeper
+  * manifest, every stage checkpoint-resumable (the `loadstack`
+  * recompute-only-missing contract, malib.py:482-542, via
+  * graft.operators.Pipeline) and the final manifest read back through the
+  * snapshot catalog. The driver hash-compares the keeper manifest against a
+  * full DuckDB replay of the chain (EngineOracle.trainingFlagshipSql). */
+object Flagship {
+  /** Quality/lang ingest filter: the q21 composite quality ≥ 0.5 and the
+    * q22 n-gram language vote = 'en' — both already strict-oracle-proven
+    * expressions, reused verbatim. */
+  def filteredDocs(s: SparkSession, d: String): DataFrame =
+    Text.docs(s, d)
+      .join(Text.qualityScore(s, d).select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .join(Text.langId(s, d).select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+      .select(col("doc_id"), col("text"))
+
+  /** The staged pipeline under `root`: five checkpointed stages + one
+    * snapshot commit. Returns the Pipeline (for resume introspection: which
+    * stages actually recomputed) and the committed snapshot version. */
+  def runStages(s: SparkSession, d: String, root: String): (Pipeline, Int) = {
+    val p = new Pipeline(s, s"$root/stages")
+    val filtered = p.stage("docs_filtered", Map("minQ" -> "0.5", "lang" -> "en")) {
+      filteredDocs(s, d)
+    }
+    val pairs = p.stage("text_pairs", deps = Seq("docs_filtered")) {
+      Text.minhashPairsOf(filtered)
+    }
+    val textKeepers = p.stage("text_keepers",
+        deps = Seq("text_pairs", "docs_filtered")) {
+      graft.operators.Similarity.connectedComponents(s,
+          filtered.select(col("doc_id").as("id")),
+          pairs.select(col("d1").as("a"), col("d2").as("b")))
+        .filter(col("id") === col("component"))
+        .select(col("id"))
+    }
+    val imgKeepers = p.stage("image_keepers", Map("maxDist" -> "8")) {
+      // keeper image = the component label itself (min image id across the
+      // hash-level near-dup component — the q91 contracted-graph path)
+      EngineOracle.neardupClusters(s, d)
+        .filter(col("image_id") === col("comp_all"))
+        .select(col("image_id").as("id"))
+    }
+    val keepers = p.stage("keepers", deps = Seq("text_keepers", "image_keepers")) {
+      // doc ids are BIGINT, image ids strings — the manifest is string-keyed
+      textKeepers.select(lit("doc").as("kind"), col("id").cast("string").as("id"))
+        .unionByName(imgKeepers.select(lit("img").as("kind"), col("id")))
+    }
+    val v = SnapshotTable.commit(s, s"$root/snap", keepers)
+    (p, v)
+  }
+
+  /** Driver query: run under a per-invocation root, read the keeper
+    * manifest back THROUGH the snapshot catalog (commit/read roundtrip is
+    * part of what the oracle hash checks), collect, clean up. */
+  def trainingPipeline(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft_flagship_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val (_, v) = runStages(s, d, root)
+      import s.implicits._
+      SnapshotTable.read(s, s"$root/snap", asOf = v)
+        .select(col("kind"), col("id")).as[(String, String)].collect().toSeq
+        .toDF("kind", "id")
+    } finally SnapshotTable.deleteRecursively(root)
+  }
+}

@@ -130,29 +130,39 @@ object Text {
 
   /** Word 3-shingles, exploded — shared base for MinHash/Jaccard.
     * Docs shorter than 3 tokens are dropped (both sides). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  private[queries] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
         .as("sh"))
 
-  private val shinglesSqlBase: String =
-    """sh AS (
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(docs(s, d))
+
+  /** The shingle CTE over any doc-shaped relation (doc_id, text) — the
+    * flagship pipeline (q97) runs it over the quality/lang-filtered set. */
+  private[queries] def shinglesSqlFrom(table: String): String =
+    s"""sh AS (
       |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-2)) AS i
       |        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts
-      |              FROM documents)
+      |              FROM $table)
       |        WHERE len(ts) >= 3))""".stripMargin
+
+  private val shinglesSqlBase: String = shinglesSqlFrom("documents")
 
   /** MinHash signatures (4 hash families over word 3-shingles) + the
     * LSH band key (md5 of the signature pair-bands) — the shingle→minhash→
     * band→bucket pipeline; the bucket self-join runs in minhashPairs. */
-  def minhashSig(s: SparkSession, d: String): DataFrame = {
+  def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(shingles(s, d))
+
+  private[queries] def minhashSigOf(shingled: DataFrame): DataFrame = {
     def h(i: Int): Column =
       expr(s"cast(conv(substr(md5(concat('$i:', sh)), 1, 8), 16, 10) as bigint)")
-    shingles(s, d).groupBy(col("doc_id"))
+    shingled.groupBy(col("doc_id"))
       .agg(min(h(0)).as("mh0"), min(h(1)).as("mh1"),
            min(h(2)).as("mh2"), min(h(3)).as("mh3"))
       .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"),
@@ -179,8 +189,11 @@ object Text {
     * BroadcastNestedLoopJoin; the exploded form is a pure hash join with the
     * identical result set (a pair shares band i ⟺ its (i, val) rows meet),
     * and is the only pair-join shape that survives 100 TB. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d)
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(docs(s, d))
+
+  private[queries] def minhashPairsOf(docsDf: DataFrame): DataFrame = {
+    val sig = minhashSigOf(shinglesOf(docsDf))
     val bands = sig.select(col("doc_id"), explode(array(
         struct(lit(0).as("bi"), col("band0").as("bv")),
         struct(lit(1).as("bi"), col("band1").as("bv")))).as("b"))
