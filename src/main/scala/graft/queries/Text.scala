@@ -192,7 +192,7 @@ object Text {
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(docs(s, d))
 
-  private[queries] def minhashPairsOf(docsDf: DataFrame): DataFrame = {
+  def minhashPairsOf(docsDf: DataFrame): DataFrame = {
     val sig = minhashSigOf(shinglesOf(docsDf))
     val bands = sig.select(col("doc_id"), explode(array(
         struct(lit(0).as("bi"), col("band0").as("bv")),
