@@ -217,8 +217,10 @@ object SparkEntry {
     "q67_remove_islands" -> EngineOracle.removeIslandsSql,
     "q79_profile_cells"  -> EngineOracle.profileCellsSql,
     "q71_maskfill"       -> EngineOracle.maskfillSql,
-    // mask-preserving gauss: identical coverage counts to q67's twin
-    // (the kernel VALUES are pinned by StencilSpec tiled==whole-array)
+    // mask-preserving gauss: identical coverage counts to q67's twin; the
+    // smoothed VALUES themselves are hash-checked by q96_gauss_cells (the
+    // embedded-w1 separable-pass replay) — q48 keeps the full-set coverage
+    // gate, q96 carries the value-level gate
     "q48_stencil_gauss"  -> EngineOracle.removeIslandsSql,
     "q65_dem_family"     -> EngineOracle.demFamilySql,
     "q45_clip_tiles"     -> EngineOracle.clipTilesSql,
