@@ -16,7 +16,9 @@ object PlanCheck {
         ("q24", queries.Text.minhashPairs(spark, d)),
         ("q28", queries.Vec.embNearDup(spark, d)),
         ("q56", queries.Engine.phashDedup(spark, d)),
-        ("q59", queries.Engine.annLsh(spark, d)))) {
+        ("q59", queries.Engine.annLsh(spark, d)),
+        ("q93", queries.EngineOracle.annLshExact(spark, d)),
+        ("q94", queries.EngineOracle.annIvfExact(spark, d)))) {
       df.count()
       val plan = df.queryExecution.executedPlan.toString
       println(s"  $name BNLJ=${plan.contains("BroadcastNestedLoopJoin")} CART=${plan.contains("CartesianProduct")}")
