@@ -140,6 +140,9 @@ object SparkEntry {
     // commit, checkpoint-resumable; output = the keeper manifest read back
     // through the snapshot catalog
     "q97_training_flagship"  -> (Flagship.trainingPipeline _),
+    // RANSAC oracle-exact form: splitmix64 replayed via HUGEINT limb
+    // arithmetic — the last engine-specific heavy path gets a strict twin
+    "q98_ransac_exact"       -> (EngineOracle.ransacCells _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,5 +248,6 @@ object SparkEntry {
     "q95_hillshade_cells"    -> EngineOracle.hillshadeCellsSql,
     "q96_gauss_cells"        -> EngineOracle.gaussCellsSql,
     "q97_training_flagship"  -> EngineOracle.trainingFlagshipSql,
+    "q98_ransac_exact"       -> EngineOracle.ransacCellsSql,
   )
 }

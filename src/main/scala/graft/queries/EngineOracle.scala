@@ -1529,6 +1529,140 @@ object EngineOracle {
        |FROM vp JOIN cells USING (i, x, y) WHERE ws > 0""".stripMargin
   }
 
+  /** q98 engine side — the production RANSAC per-cell robust trend
+    * (StackOps.ransac: splitmix-seeded 2-point hypotheses, NMAD threshold,
+    * best-trial inlier OLS refit) on the q76 input (trend subset, clipped
+    * 4×4 tile window), outputs UNROUNDED. On this subset every arithmetic
+    * step is exact or a fixed correctly-rounded chain: t = days + hr/24 is
+    * an exactly-representable dyadic (3 fraction bits), y is integer, so
+    * medians/NMAD/hypothesis slopes/inlier residuals and ALL refit sums are
+    * replayable (the sums are exact in double, hence fold-order-free). */
+  def ransacCells(s: SparkSession, d: String): DataFrame = {
+    val imgs = trendSubset(Engine.images(s, d))
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val tiles = StackOps.stackClip(Warp.warpToTiles(s, imgs, target, "near"), 0, 0, 3, 3)
+    StackOps.ransac(StackOps.toCells(tiles))
+      .select(
+        expr(s"cast((cell_id div 4096) % $ntx as int) * 64 + cast((cell_id % 4096) % 64 as int)").as("px"),
+        expr(s"cast((cell_id div 4096) div $ntx as int) * 64 + cast((cell_id % 4096) div 64 as int)").as("py"),
+        col("n"),
+        nanvl(col("slope_yr"), lit(-9999.0)).as("slope_yr"),
+        nanvl(col("intercept"), lit(-9999.0)).as("intercept"),
+        col("n_inliers"))
+  }
+
+  /** q98 oracle — the r3 "splitmix64 has no DuckDB twin" verdict overturned:
+    * the wrapping 64-bit multiplies replay EXACTLY in HUGEINT with 32-bit
+    * limb splitting (a·b mod 2⁶⁴ = (a·b_lo + (a·b_hi mod 2³²)·2³²) mod 2⁶⁴;
+    * every intermediate < 2⁹⁷ < HUGEINT), shifts are integer divisions of
+    * non-negative values, and xor is 128-bit-safe below 2⁶⁴. The seed
+    * products never wrap (cell ids are small), floorMod is
+    * ((z_signed % n) + n) % n. The rest is order statistics (q76 medians),
+    * a 16-trial hypothesis × point inlier join, best-(count, trial) pick,
+    * and exact-sum OLS refit. */
+  val ransacCellsSql: String = {
+    val two32 = BigInt(1) << 32; val two64 = BigInt(1) << 64
+    def u(x: Long): BigInt = BigInt(x) & (two64 - 1)
+    val c1 = u(0xbf58476d1ce4e5b9L); val c2 = u(0x94d049bb133111ebL)
+    val add = u(0x9e3779b97f4a7c15L)
+    def mulmod(a: String, c: BigInt): String =
+      s"(($a * ${c % two32} + (($a * ${c / two32}) % $two32) * $two32) % $two64)"
+    def shr(z: String, k: Int): String = s"($z // ${BigInt(1) << k})"
+    // one splitmix application to column z (non-negative HUGEINT < 2^64)
+    def mix(z: String): String = {
+      val z1 = s"(($z + $add) % $two64)"
+      val a1 = s"xor($z1, ${shr(z1, 30)})"
+      val z2 = mulmod(a1, c1)
+      val a2 = s"xor($z2, ${shr(z2, 27)})"
+      val z3 = mulmod(a2, c2)
+      s"xor($z3, ${shr(z3, 31)})"
+    }
+    val fm = // floorMod of the signed reinterpretation by n
+      s"""(((CASE WHEN mz >= ${two64 / 2} THEN mz - $two64 ELSE mz END % n) + n) % n)"""
+    s"""${cellSql(trendOnly = true)},
+       |w0 AS (SELECT i, x, y, v::DOUBLE AS v,
+       |    CAST(((19723 + day) * 86400 + hr * 3600)::BIGINT * 1000000 AS DOUBLE)
+       |      / 86400000000.0::DOUBLE AS t
+       |  FROM cells WHERE x < 256 AND y < 256),
+       |tg AS (SELECT (SELECT (ns + 63) // 64 FROM tgt) AS ntx),
+       |w AS (SELECT ((y // 64) * ntx + (x // 64)) * 4096
+       |        + (y % 64) * 64 + (x % 64) AS cell_id, x, y, v, t,
+       |      row_number() OVER (PARTITION BY x, y ORDER BY t, v) - 1 AS rn
+       |      FROM w0, tg),
+       |g AS (SELECT cell_id, min(x) AS x, min(y) AS y, count(*)::INT AS n,
+       |        count(DISTINCT t) AS ndt FROM w GROUP BY cell_id),
+       |${"" /* per-cell NMAD threshold via exact order statistics */}
+       |yr AS (SELECT cell_id, v, row_number() OVER (PARTITION BY cell_id ORDER BY v) AS rn,
+       |        count(*) OVER (PARTITION BY cell_id) AS cnt FROM w),
+       |med AS (SELECT cell_id,
+       |    sum(v) FILTER (WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1) /
+       |    count(*) FILTER (WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1) AS m
+       |  FROM yr GROUP BY cell_id),
+       |dv AS (SELECT w.cell_id, abs(w.v - med.m) AS d
+       |       FROM w JOIN med USING (cell_id)),
+       |dvr AS (SELECT cell_id, d, row_number() OVER (PARTITION BY cell_id ORDER BY d) AS rn,
+       |        count(*) OVER (PARTITION BY cell_id) AS cnt FROM dv),
+       |mad AS (SELECT cell_id,
+       |    sum(d) FILTER (WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1) /
+       |    count(*) FILTER (WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1) AS m
+       |  FROM dvr GROUP BY cell_id),
+       |thr AS (SELECT cell_id,
+       |    greatest(1.4826::DOUBLE * mad.m, 0.000000001::DOUBLE) AS thr
+       |  FROM mad),
+       |${"" /* 16 trials: splitmix both seeds, floorMod to indices */}
+       |tr AS (SELECT g.cell_id, g.n, tt.t AS trial,
+       |    (g.cell_id * 1000003 + tt.t)::HUGEINT AS s1,
+       |    (g.cell_id * 998244353 + tt.t * 31 + 7)::HUGEINT AS s2
+       |  FROM g, generate_series(0, 15) tt(t) WHERE g.n >= 2 AND g.ndt >= 2),
+       |mz AS (SELECT cell_id, n, trial, which, ${mix("z")} AS mz FROM (
+       |    SELECT cell_id, n::HUGEINT AS n, trial, 1 AS which, s1 AS z FROM tr
+       |    UNION ALL
+       |    SELECT cell_id, n::HUGEINT, trial, 2, s2 FROM tr)),
+       |ix AS (SELECT cell_id, trial,
+       |    max(CASE WHEN which = 1 THEN f END)::BIGINT AS i0,
+       |    max(CASE WHEN which = 2 THEN f END)::BIGINT AS j0,
+       |    max(n)::BIGINT AS n
+       |  FROM (SELECT cell_id, n, trial, which, $fm AS f FROM mz)
+       |  GROUP BY cell_id, trial),
+       |ij AS (SELECT cell_id, trial, i0 AS i,
+       |    CASE WHEN j0 = i0 THEN (j0 + 1) % n ELSE j0 END AS j FROM ix),
+       |hyp AS (SELECT ij.cell_id, ij.trial,
+       |    (pj.v - pi.v) / (pj.t - pi.t) AS sl,
+       |    pi.v - (pj.v - pi.v) / (pj.t - pi.t) * pi.t AS ic
+       |  FROM ij
+       |  JOIN w pi ON pi.cell_id = ij.cell_id AND pi.rn = ij.i
+       |  JOIN w pj ON pj.cell_id = ij.cell_id AND pj.rn = ij.j
+       |  WHERE pi.t <> pj.t),
+       |inl AS (SELECT h.cell_id, h.trial, h.sl, h.ic, count(*)::INT AS ninl
+       |  FROM hyp h JOIN w ON w.cell_id = h.cell_id JOIN thr ON thr.cell_id = h.cell_id
+       |  WHERE abs(w.v - (h.sl * w.t + h.ic)) <= thr.thr
+       |  GROUP BY h.cell_id, h.trial, h.sl, h.ic),
+       |best AS (SELECT cell_id, trial, sl, ic, ninl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cell_id
+       |      ORDER BY ninl DESC, trial ASC) AS rk FROM inl) WHERE rk = 1),
+       |${"" /* exact-sum OLS refit over the winning inlier set */}
+       |fit AS (SELECT b.cell_id, b.ninl,
+       |    count(*)::DOUBLE AS m, sum(w.t) AS st, sum(w.v) AS sy,
+       |    sum(w.t * w.t) AS stt, sum(w.t * w.v) AS sty
+       |  FROM best b JOIN w ON w.cell_id = b.cell_id
+       |              JOIN thr ON thr.cell_id = b.cell_id
+       |  WHERE abs(w.v - (b.sl * w.t + b.ic)) <= thr.thr
+       |  GROUP BY b.cell_id, b.ninl),
+       |res AS (SELECT cell_id, ninl, m, st, sy, stt, sty,
+       |    m * stt - st * st AS det,
+       |    (m * sty - st * sy) / nullif(m * stt - st * st, 0.0) AS sl
+       |  FROM fit)
+       |SELECT g.x::INT AS px, g.y::INT AS py, g.n,
+       |  CASE WHEN res.det IS NOT NULL AND res.det <> 0.0 AND res.ninl >= 2
+       |       THEN res.sl * 365.25::DOUBLE ELSE -9999.0 END AS slope_yr,
+       |  CASE WHEN res.det IS NOT NULL AND res.det <> 0.0 AND res.ninl >= 2
+       |       THEN (res.sy - res.sl * res.st) / res.m ELSE -9999.0 END AS intercept,
+       |  CASE WHEN res.ninl IS NULL THEN 0
+       |       WHEN res.ninl < 2 THEN 0 ELSE res.ninl END AS n_inliers
+       |FROM g LEFT JOIN res ON g.cell_id = res.cell_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // q97 — DuckDB twin of the end-to-end training flagship (Flagship
   // .trainingPipeline): quality/lang filter → text MinHash-LSH pairs → CC →
