@@ -143,6 +143,8 @@ object SparkEntry {
     // RANSAC oracle-exact form: splitmix64 replayed via HUGEINT limb
     // arithmetic — the last engine-specific heavy path gets a strict twin
     "q98_ransac_exact"       -> (EngineOracle.ransacCells _),
+    // snapshot manifest-stats pruning: planned-file counts + exact results
+    "q99_snapshot_prune"     -> (Snap.snapshotPrune _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -249,5 +251,6 @@ object SparkEntry {
     "q96_gauss_cells"        -> EngineOracle.gaussCellsSql,
     "q97_training_flagship"  -> EngineOracle.trainingFlagshipSql,
     "q98_ransac_exact"       -> EngineOracle.ransacCellsSql,
+    "q99_snapshot_prune"     -> Snap.snapshotPruneSql,
   )
 }

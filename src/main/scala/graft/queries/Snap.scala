@@ -36,6 +36,43 @@ object Snap {
     } finally SnapshotTable.deleteRecursively(root)
   }
 
+  /** q99 — manifest-stats scan pruning end-to-end (round 4): three commits
+    * of DISJOINT event_id ranges (repartition(4) → a deterministic 4 files
+    * per commit at any parallelism), then a range-pruned read. The planned
+    * file count proves pruning engaged (4 of 12 — only the middle commit's
+    * stats intersect [4000, 4999]) and the exact count/sum prove it never
+    * changed results. Oracle contract: file counts fixed for the sf0.01
+    * gate (the imSql(799) precedent; sf0.001's third slice is empty). */
+  def snapshotPrune(s: SparkSession, d: String): DataFrame = {
+    import SnapshotTable.ColRange
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val root = s"/tmp/graft_snapprune_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val slice = (lo: Int, hi: Int) =>
+        ev.filter(col("event_id") >= lo && col("event_id") < hi).repartition(4)
+      SnapshotTable.commit(s, root, slice(0, 3333))
+      SnapshotTable.commit(s, root, slice(3333, 6666))
+      SnapshotTable.commit(s, root, slice(6666, 1 << 30))
+      val v = SnapshotTable.currentVersion(root)
+      val all = SnapshotTable.planFiles(root, v, Nil)
+      val range = Seq(ColRange("event_id", 4000, 4999))
+      val planned = SnapshotTable.planFiles(root, v, range)
+      val agg = SnapshotTable.read(s, root, asOf = v, prune = range)
+        .filter(col("event_id").between(4000, 4999))
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      import s.implicits._
+      Seq((all.size, planned.size, agg.getLong(0), agg.getLong(1)))
+        .toDF("n_files_total", "n_files_planned", "n_rows", "sum_event_id")
+    } finally SnapshotTable.deleteRecursively(root)
+  }
+
+  val snapshotPruneSql: String =
+    """SELECT 12 AS n_files_total, 4 AS n_files_planned,
+      |  count(*) FILTER (WHERE event_id BETWEEN 4000 AND 4999)::BIGINT AS n_rows,
+      |  sum(event_id) FILTER (WHERE event_id BETWEEN 4000 AND 4999)::BIGINT
+      |    AS sum_event_id
+      |FROM events""".stripMargin
+
   val snapshotTravelSql: String =
     """WITH s AS (SELECT
       |    count(*) FILTER (WHERE event_id % 3 = 0) AS c0,
