@@ -44,9 +44,8 @@ object SkewBench {
       s
     }
 
-    // one warm session per AQE setting (AQE flags are honored per-query, so
-    // a single session would do, but flipping sql conf between runs is the
-    // simpler-to-trust isolation)
+    // one warm session; the AQE flags are runtime SQL confs flipped per
+    // measurement inside run()
     val spark = session(aqe = true)
 
     // 30% of ids → one 64 m cell at (502000, 5299000); the rest uniform over
