@@ -128,6 +128,31 @@ class SnapshotSpec extends AnyFunSuite {
     assert(ch.forall(id => id >= 200 && id < 300))
   }
 
+  test("stats edge cases: all-null columns never prune; timestamps prune in epoch micros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("statsedge")
+    val mk = (lo: Int, hi: Int, allNull: Boolean) =>
+      (lo until hi).map(i => (i.toLong,
+        if (allNull) None else Some(i.toDouble),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000L * i))))
+        .toDF("id", "maybe", "ts")
+    commit(spark, root, mk(0, 50, true))
+    commit(spark, root, mk(50, 100, false))
+    val v = currentVersion(root)
+    // an all-null column in file 1: its stats entry is absent → file kept
+    val onMaybe = planFiles(root, v, Seq(ColRange("maybe", 1000, 2000)))
+    val s1Files = snapshot(root, v).files.filter(_.startsWith("data/s1-"))
+    assert(s1Files.forall(onMaybe.contains),
+      "files without stats for the pruned column must be kept")
+    // timestamp bounds recorded as epoch MICROS: commit 2 spans
+    // [50,000 s, 99,000 s] → pruning below that range drops its files
+    val tsLow = planFiles(root, v, Seq(ColRange("ts", 0, 49.0e9))) // ≤49,000 s in µs
+    assert(tsLow.nonEmpty && tsLow.forall(_.startsWith("data/s1-")), tsLow.toString)
+    val tsHit = planFiles(root, v, Seq(ColRange("ts", 60.0e9, 70.0e9)))
+    assert(tsHit.exists(_.startsWith("data/s2-")))
+  }
+
   test("property: random op sequences match an in-memory model, incl. all history") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
