@@ -145,6 +145,9 @@ object SparkEntry {
     "q98_ransac_exact"       -> (EngineOracle.ransacCells _),
     // snapshot manifest-stats pruning: planned-file counts + exact results
     "q99_snapshot_prune"     -> (Snap.snapshotPrune _),
+    // durable parquet sink + checkpoint restart: exactly-once across a
+    // simulated crash, read back through the sink's commit log
+    "q100_stream_file_sink"  -> (Stream.streamFileSink _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,5 +255,6 @@ object SparkEntry {
     "q97_training_flagship"  -> EngineOracle.trainingFlagshipSql,
     "q98_ransac_exact"       -> EngineOracle.ransacCellsSql,
     "q99_snapshot_prune"     -> Snap.snapshotPruneSql,
+    "q100_stream_file_sink"  -> Stream.streamFileSinkSql,
   )
 }

@@ -116,6 +116,45 @@ object Stream {
         round(col("v_sum"), 6).as("v_sum")), name, dir)
   }
 
+  /** q100: durable-sink streaming with a crash/restart — the training-data
+    * ingest written to a TRANSACTIONAL parquet sink instead of a memory
+    * fixture sink. Two source files stream under query #1 (simulated crash
+    * at stop()); a third file lands; a NEW query on the same checkpoint +
+    * sink path resumes and processes ONLY the new file. The returned rows
+    * are read back through the sink's `_spark_metadata` commit log, so any
+    * duplicate or lost row from the restart breaks the exact DuckDB twin
+    * (per-doc token counts over the whole table, each doc EXACTLY once). */
+  def streamFileSink(s: SparkSession, d: String): DataFrame = {
+    val srcDir = fixtureDir("q100src")
+    val outRoot = fixtureDir("q100out")
+    val outDir = s"$outRoot/sink" // the sink path itself must not pre-exist
+    val ckptDir = fixtureDir("q100ckpt")
+    val src = Text.docs(s, d).select(col("doc_id"), col("text"))
+    try {
+      (0 to 1).foreach { r =>
+        src.filter(col("doc_id") % 3 === r).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      }
+      val q1 = StreamOps.tokenStreamToParquet(s, srcDir, outDir, ckptDir)
+      q1.processAllAvailable(); q1.stop() // "crash" after committing 2 batches
+      src.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.tokenStreamToParquet(s, srcDir, outDir, ckptDir)
+      q2.processAllAvailable(); q2.stop() // resume: only the new file
+      val sink = s.read.parquet(outDir) // reads via _spark_metadata (committed only)
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+      out
+    } finally Seq(srcDir, outRoot, ckptDir)
+      .foreach(graft.sources.SnapshotTable.deleteRecursively)
+  }
+
+  val streamFileSinkSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens,
+      |  length(text)::BIGINT AS n_chars_obs
+      |FROM documents""".stripMargin
+
   val streamSessionsSql: String =
     """WITH t AS (SELECT user_id, epoch_us(ts) AS t_us, value AS v FROM events),
       |b AS (SELECT *, CASE WHEN t_us - lag(t_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS brk

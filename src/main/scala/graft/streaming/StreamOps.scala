@@ -56,6 +56,34 @@ object StreamOps {
       .format("memory").queryName(queryName).start()
   }
 
+  /** Durable-sink ingest (round 4; closes the "memory sinks only" gap the
+    * environment allows closing — kafka isn't in the container, a parquet
+    * FILE sink is): file source → stateless feature projection → parquet
+    * sink with a checkpoint. The file sink's `_spark_metadata` commit log
+    * makes output files transactional: a NEW query started on the same
+    * (checkpoint, path) resumes from the last committed batch and never
+    * re-emits rows a crashed run already committed — the exactly-once
+    * property q100 proves by restarting across a fixture append. */
+  def tokenStreamToParquet(spark: SparkSession, inDir: String, outDir: String,
+                           ckptDir: String,
+                           maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .start()
+  }
+
   /** Streaming per-key custom state — flatMapGroupsWithState: running
     * per-cell (count, mean, min, max) maintained explicitly, the shape for
     * state the built-in aggs can't express (e.g. per-cell layer timelines).

@@ -12,12 +12,12 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("registry sizes match the documented counts") {
-    assert(SparkEntry.queries.size == 99, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 92, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 100, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 93, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("query names are well-formed qNN_ prefixes") {
-    val bad = SparkEntry.queries.keys.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))
     assert(bad.isEmpty, bad.toString)
   }
 }
