@@ -16,9 +16,11 @@ import graft.streaming.StreamOps
   * bounded input the streaming result must equal the batch form, which
   * DuckDB can compute directly on the source table.
   *
-  * Scale note: the memory sink is fixture-only — at 100 TB/day ingest these
-  * same pipelines write to a real sink (kafka/parquet); state stays bounded
-  * by the watermark horizon either way (the point of
+  * Scale note: q74/q75 use memory sinks as bounded verification fixtures;
+  * the DURABLE path is exercised by q100 (transactional parquet sink +
+  * checkpoint, exactly-once across restart — the kafka leg stays out only
+  * because the container ships no broker). State stays bounded by the
+  * watermark horizon either way (the point of
   * dropDuplicatesWithinWatermark / session_window + watermark vs their
   * unbounded-state cousins).
   */
