@@ -40,16 +40,37 @@ object SpatialJoin {
       .toDF("cell_id", "salt", "poly_id", "geom_wkb")
   }
 
+  /** Auto-size the salt factor from the point-side cell histogram: one
+    * narrow count-agg finds the hottest cell vs the mean cell load; the
+    * salt splits the hot key until its per-reducer share is within ~2× the
+    * mean (capped at 64 — past the point where the per-reducer hot slice
+    * sinks under the uniform base, ×salt small-side replication is pure
+    * overhead: measured plateau, BENCH.md §8). This must live in the
+    * OPERATOR: Spark's AQE skew-join triggers on partition BYTES and is
+    * blind to CPU-bound refine skew (measured on ≡ off, BENCH.md §8). */
+  def autoSaltFactor(points: DataFrame, cellSize: Double): Int = {
+    val m = points
+      .groupBy(graft.functions.GraftFunctions.planarCell(
+        col("x"), col("y"), lit(cellSize)).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), avg(col("n"))).head()
+    val hot = m.getLong(0).toDouble
+    val mean = math.max(1.0, m.getDouble(1))
+    math.min(64, math.max(1, math.ceil(hot / (2.0 * mean)).toInt))
+  }
+
   /** points(pt_id, x, y, …) ⋈ polys(poly_id, geom_wkb, bbox) → matched pairs.
     * Exact PIP refine after the cell prefilter; `broadcastPolys` chooses the
-    * physical join (broadcast for small layers, shuffle hash otherwise). */
+    * physical join (broadcast for small layers, shuffle hash otherwise).
+    * `saltFactor` ≤ 0 → auto-size from the point-side cell histogram. */
   def pipJoin(spark: SparkSession, points: DataFrame, polys: DataFrame,
               cellSize: Double = 64.0, saltFactor: Int = 4,
               broadcastPolys: Boolean = true): DataFrame = {
-    val pc = polyCells(spark, polys, cellSize, saltFactor)
+    val salt = if (saltFactor > 0) saltFactor else autoSaltFactor(points, cellSize)
+    val pc = polyCells(spark, polys, cellSize, salt)
     val pts = points.withColumn("cell_id",
         graft.functions.GraftFunctions.planarCell(col("x"), col("y"), lit(cellSize)))
-      .withColumn("salt", pmod(hash(col("pt_id")), lit(saltFactor)))
+      .withColumn("salt", pmod(hash(col("pt_id")), lit(salt)))
     val right = if (broadcastPolys) broadcast(pc) else pc
     val epoch = java.util.UUID.randomUUID().toString // cache scope, this invocation
     pts.join(right, Seq("cell_id", "salt"))

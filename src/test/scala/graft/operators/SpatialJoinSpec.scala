@@ -40,6 +40,22 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == bruteMatches())
   }
 
+  test("auto-salt: >1 under a point burst, 1 on uniform scatter, result exact") {
+    import spark.implicits._
+    // burst: half of all points inside one 64 m cell
+    val burst = (0 until 2000).map { i =>
+      if (i % 2 == 0) (f"pt_$i%07d", 500010.0 + (i % 50) * 0.5, 5299990.0 - (i % 40) * 0.5, 0.0, 0L)
+      else (f"pt_$i%07d", 499900.0 + (i * 131 % 8592).toDouble, 5300100.0 - (i * 71 % 2400).toDouble, 0.0, 0L)
+    }.toDF("pt_id", "x", "y", "z", "ts_us")
+    assert(SpatialJoin.autoSaltFactor(burst, 64.0) > 1)
+    assert(SpatialJoin.autoSaltFactor(points, 64.0) == 1) // uniform fixture
+    // auto-salted join (saltFactor = 0) is still exactly the brute result
+    val got = SpatialJoin.pipJoin(spark, points, polys, cellSize = 64.0,
+        saltFactor = 0, broadcastPolys = false)
+      .select("pt_id", "poly_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == bruteMatches())
+  }
+
   test("hot polygon creates the expected skew and still joins correctly") {
     val hot = bruteMatches().filter(_._2 == "poly_00003")
     // the hot polygon must dominate: it covers most of the region
