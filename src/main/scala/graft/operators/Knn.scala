@@ -52,7 +52,11 @@ object Knn {
     // materialize the output (lineage-truncated, ContextCleaner-managed
     // blocks) so the pass-local caches can be released immediately —
     // repeated knn calls in a long-lived session must not accumulate
-    // CacheManager entries nobody holds a handle to
+    // CacheManager entries nobody holds a handle to. Deliberate trade: the
+    // operator is eager (a caller's later filter can no longer push into
+    // the ring passes), which is the right default because the three-pass
+    // structure already consumed its inputs multiple times — a lazy form
+    // would have to keep the caches alive with no release point.
     def finish(out: DataFrame, scoped: Seq[DataFrame]): DataFrame = {
       val res = out.localCheckpoint(true)
       scoped.foreach(_.unpersist(false))

@@ -54,9 +54,12 @@ object SpatialJoin {
         col("x"), col("y"), lit(cellSize)).as("c"))
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n")), avg(col("n"))).head()
-    val hot = m.getLong(0).toDouble
-    val mean = math.max(1.0, m.getDouble(1))
-    math.min(64, math.max(1, math.ceil(hot / (2.0 * mean)).toInt))
+    if (m.isNullAt(0)) 1 // empty point side: no histogram, no salt
+    else {
+      val hot = m.getLong(0).toDouble
+      val mean = math.max(1.0, m.getDouble(1))
+      math.min(64, math.max(1, math.ceil(hot / (2.0 * mean)).toInt))
+    }
   }
 
   /** points(pt_id, x, y, …) ⋈ polys(poly_id, geom_wkb, bbox) → matched pairs.

@@ -9,12 +9,21 @@ import graft.operators.Audio
   * Payloads are PCM16-LE binary columns decoded in typed map stages; the
   * synthetic waveforms are integer closed forms (AudioTable), so the DuckDB
   * twins replay the decode→feature chains exactly. */
+/** The ONE scale rule for synthetic modality fixtures (audio clips, video
+  * containers): fixed 200 everywhere the oracle twins' generate_series(0,
+  * 199) must match (the driver gate at sf0.01 AND ad-hoc small dirs), 2000
+  * only on the sf0.1 bench path. Shared so the audio and video contracts
+  * cannot silently diverge. */
+private[queries] object FixtureScale {
+  def count(d: String): Int = if (d.contains("sf0.1")) 2000 else 200
+}
+
 object Aud {
   /** Oracle contract: featuresSql/goertzelSql are generated over clipSql(199)
     * = 200 clips, so every dir except the sf0.1 bench path uses exactly 200 —
     * the twins agree at sf0.01 (the driver's gate) AND any ad-hoc small dir
     * (e.g. the verify recipe's sf0.001). Only the bench scales up. */
-  def nClips(d: String): Int = if (d.contains("sf0.1")) 2000 else 200
+  def nClips(d: String): Int = FixtureScale.count(d)
 
   /** q83 — time-domain features over PCM16 payloads; every value a fixed
     * chain of correctly-rounded ops on exact integer sums. */

@@ -179,7 +179,7 @@ object Engine {
     * fixed 200 videos everywhere except the sf0.1 bench path (the Aud.nClips
     * precedent), so the SQL twin's generate_series(0, 199) matches at
     * sf0.01 AND any ad-hoc small dir. */
-  def nVids(d: String): Int = if (d.contains("sf0.1")) 2000 else 200
+  def nVids(d: String): Int = FixtureScale.count(d)
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.frameSample(s, graft.sources.VideoTable.generate(s, nVids(d)), everyK = 4)
 

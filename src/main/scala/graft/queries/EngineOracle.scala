@@ -1668,8 +1668,10 @@ object EngineOracle {
   // .trainingPipeline): quality/lang filter → text MinHash-LSH pairs → CC →
   // keepers, plus aHash bands → hash-level CC → image keepers; the final
   // keeper manifest (kind, id) is what the snapshot commit/read roundtrip
-  // must reproduce. Text components double 4 rounds, image components 8
-  // (both ≫ the fixtures' dist-to-min; only the fixpoint is compared).
+  // must reproduce. Both CC chains double 8 rounds — covering dist-to-min
+  // up to 2⁸ = 256, vastly past the measured fixture depths (text 1,
+  // image 21); the engine iterates to TRUE convergence, so the unrolled
+  // bound is oracle-side insurance, and only the fixpoint is compared.
   // ---------------------------------------------------------------------
   val trainingFlagshipSql: String = {
     def ccRound(pfx: String, r: Int): String =
@@ -1740,8 +1742,8 @@ object EngineOracle {
        |tsym AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM tpr
        |        UNION ALL SELECT d2, d1 FROM tpr),
        |tl0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM fd),
-       |${(1 to 4).map(r => ccRound("t", r)).mkString(",\n")}
-       |SELECT 'doc' AS kind, id::VARCHAR AS id FROM tl4 WHERE id = lbl
+       |${(1 to 8).map(r => ccRound("t", r)).mkString(",\n")}
+       |SELECT 'doc' AS kind, id::VARCHAR AS id FROM tl8 WHERE id = lbl
        |UNION ALL
        |SELECT 'img' AS kind, comp_all AS id FROM icl""".stripMargin
   }

@@ -30,7 +30,10 @@ object Flagship {
     * stages actually recomputed) and the committed snapshot version. */
   def runStages(s: SparkSession, d: String, root: String): (Pipeline, Int) = {
     val p = new Pipeline(s, s"$root/stages")
-    val filtered = p.stage("docs_filtered", Map("minQ" -> "0.5", "lang" -> "en")) {
+    // the source dir is part of BOTH ingest fingerprints: resuming the same
+    // root against different data must invalidate, not silently reuse
+    val filtered = p.stage("docs_filtered",
+        Map("src" -> d, "minQ" -> "0.5", "lang" -> "en")) {
       filteredDocs(s, d)
     }
     val pairs = p.stage("text_pairs", deps = Seq("docs_filtered")) {
@@ -44,7 +47,7 @@ object Flagship {
         .filter(col("id") === col("component"))
         .select(col("id"))
     }
-    val imgKeepers = p.stage("image_keepers", Map("maxDist" -> "8")) {
+    val imgKeepers = p.stage("image_keepers", Map("src" -> d, "maxDist" -> "8")) {
       // keeper image = the component label itself (min image id across the
       // hash-level near-dup component — the q91 contracted-graph path)
       EngineOracle.neardupClusters(s, d)

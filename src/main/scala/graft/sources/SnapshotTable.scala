@@ -152,11 +152,17 @@ object SnapshotTable {
     import org.apache.spark.sql.types._
     if (files.isEmpty) return Map.empty
     val df = spark.read.parquet(files.map(f => s"$root/$f"): _*)
-    // timestamps (incl. NTZ, which cannot cast to double) are recorded as
-    // epoch MICROS under the UTC session tz — prune bounds use the same unit
+    // timestamps are recorded as epoch MICROS; NTZ wall-clocks are pinned
+    // AS-IF-UTC regardless of the committing session's timezone (cast to
+    // LTZ interprets the wall in the session tz, to_utc_timestamp undoes
+    // exactly that offset) — otherwise a non-UTC committer writes shifted
+    // bounds and a reader's pruning can silently drop matching files
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     def statExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
       case TimestampType => unix_micros(col(f.name)).cast("double")
-      case TimestampNTZType => unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case TimestampNTZType =>
+        unix_micros(to_utc_timestamp(col(f.name).cast("timestamp"), sessionTz))
+          .cast("double")
       case _ => col(f.name).cast("double")
     }
     val statFields = df.schema.fields.filter(f =>
@@ -214,14 +220,21 @@ object SnapshotTable {
         throw new ConcurrentCommitException(v)
       case _: UnsupportedOperationException =>
         // filesystems without hard links (some network/object-store mounts):
-        // degrade to CREATE_NEW write — still create-exclusive (the claim is
-        // the open, not a rename), just not freshness-atomic with the tmp
-        // file's content, which is fine because the content is local
-        try Files.write(target, json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        // two-phase fallback — (1) a create-exclusive CLAIM file serializes
+        // writers of this version, (2) ATOMIC_MOVE publishes the complete
+        // manifest, so readers NEVER observe partial JSON (a raw CREATE_NEW
+        // write of the target would expose truncated content mid-write and
+        // a crash would brick the version). A crash between claim and move
+        // leaves an unpublished claim: maintenance can delete any *.claim
+        // without a matching version file (the Iceberg lock-file analog).
+        val claim = metaDir(root).resolve(s"v$v.json.claim")
+        try Files.write(claim, Array.emptyByteArray,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
           throw new ConcurrentCommitException(v) }
+        if (Files.exists(target)) throw new ConcurrentCommitException(v)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     }
     finally Files.deleteIfExists(tmp)
   }
@@ -254,9 +267,15 @@ object SnapshotTable {
     val v = if (asOf >= 0) asOf else currentVersion(root)
     require(v >= 1, s"no snapshot $v at $root")
     val files = planFiles(root, v, prune)
-    require(files.nonEmpty,
-      s"prune eliminated every file of v$v — read the schema from an unpruned scan")
-    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    if (files.nonEmpty) spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    else {
+      // pruning legitimately eliminated every file: an EMPTY result, not an
+      // error — schema comes from any live file's footer (a range query
+      // before the data's time window is a normal empty read, not a bug)
+      val live = snapshot(root, v).files
+      require(live.nonEmpty, s"snapshot v$v has no files at $root")
+      spark.read.parquet(s"$root/${live.head}").limit(0)
+    }
   }
 
   /** Incremental read: rows ADDED between `fromV` (exclusive) and `toV`
@@ -265,10 +284,14 @@ object SnapshotTable {
   def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
               prune: Seq[ColRange] = Nil): DataFrame = {
     val before = if (fromV >= 1) snapshot(root, fromV).files.toSet else Set.empty[String]
+    val allAdded = snapshot(root, toV).files.filterNot(before)
+    require(allAdded.nonEmpty, s"no files added between v$fromV and v$toV")
     val planned = planFiles(root, toV, prune).toSet
-    val added = snapshot(root, toV).files.filterNot(before).filter(planned)
-    require(added.nonEmpty, s"no files added between v$fromV and v$toV (after pruning)")
-    spark.read.parquet(added.map(f => s"$root/$f"): _*)
+    val added = allAdded.filter(planned)
+    // pruned-to-nothing is a normal empty increment (quiet CDC period for
+    // the range), not an error: schema from an unpruned added file
+    if (added.nonEmpty) spark.read.parquet(added.map(f => s"$root/$f"): _*)
+    else spark.read.parquet(s"$root/${allAdded.head}").limit(0)
   }
 
   /** Roll the table back to `toV` as a NEW snapshot (history stays intact,
