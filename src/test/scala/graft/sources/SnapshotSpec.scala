@@ -153,6 +153,18 @@ class SnapshotSpec extends AnyFunSuite {
     assert(tsHit.exists(_.startsWith("data/s2-")))
   }
 
+  test("pruning that eliminates every file yields an EMPTY read with the table schema") {
+    val root = freshRoot("pruneempty")
+    commit(spark, root, df(0 until 100))
+    commit(spark, root, df(100 until 200))
+    val out = read(spark, root, prune = Seq(ColRange("id", 1e6, 2e6)))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "s")) // schema survives
+    val ch = changes(spark, root, fromV = 1, toV = 2,
+      prune = Seq(ColRange("id", 1e6, 2e6)))
+    assert(ch.count() == 0 && ch.columns.toSeq == Seq("id", "s"))
+  }
+
   test("property: random op sequences match an in-memory model, incl. all history") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
