@@ -305,6 +305,69 @@ object SnapshotTable {
     v
   }
 
+  /** Compaction — Iceberg's `rewrite_data_files`: rewrite the CURRENT
+    * snapshot's rows into `targetFiles` larger files and commit the result
+    * as a new snapshot (op = "compact", same row count, fresh stats). Old
+    * versions keep reading their old files until `expire` reclaims them —
+    * the small-files problem is the first maintenance job any snapshot
+    * catalog needs at 100 TB ingest rates. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Int = {
+    val base = currentVersion(root)
+    require(base >= 1, s"nothing to compact at $root")
+    val df = read(spark, root).repartition(targetFiles)
+    val v = base + 1
+    val attempt = s"s$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = Paths.get(root, "data", attempt)
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val newFiles = listNames(dataDir).filter(_.endsWith(".parquet"))
+      .sorted.map(f => s"data/$attempt/$f")
+    val stats = computeStats(spark, root, newFiles)
+    publish(root, v, manifestJson(v, base, "compact",
+      stats.valuesIterator.map(_.rows).sum, newFiles, stats))
+    v
+  }
+
+  /** Snapshot expiry + orphan GC — Iceberg's `expire_snapshots` +
+    * `remove_orphan_files`: drop every version older than the newest
+    * `keepLast`, then delete (a) data attempt-dirs referenced by NO
+    * retained manifest — including the orphaned dirs of LOSING concurrent
+    * committers, which commitFrom documents as "cleaned by maintenance" —
+    * and (b) stale `.claim` files without a published version (the
+    * no-hard-link publish fallback's crash residue). Time travel to an
+    * expired version becomes an error by design. Returns
+    * (versionsDropped, dataDirsDeleted). */
+  def expire(root: String, keepLast: Int = 3): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val cur = currentVersion(root)
+    if (cur == 0) return (0, 0)
+    val keepFrom = math.max(1, cur - keepLast + 1)
+    val retained = (keepFrom to cur).map(snapshot(root, _))
+    val liveDirs = retained.flatMap(_.files)
+      .map(f => f.split("/")(1)).toSet // "data/<attempt>/<file>" → attempt
+    // drop expired manifests (+ any claim whose version is gone or expired)
+    var dropped = 0
+    listNames(metaDir(root)).foreach { n =>
+      val vOpt = "^v(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
+      if (vOpt.exists(_ < keepFrom)) {
+        Files.delete(metaDir(root).resolve(n)); dropped += 1
+      }
+      if (n.endsWith(".claim")) {
+        val cv = n.stripPrefix("v").stripSuffix(".json.claim")
+        if (cv.forall(_.isDigit) &&
+            !Files.exists(metaDir(root).resolve(s"v$cv.json")))
+          Files.deleteIfExists(metaDir(root).resolve(n))
+      }
+    }
+    // GC attempt dirs no retained manifest references (expired-only data,
+    // losing racers' orphans, crashed attempts)
+    val dataRoot = Paths.get(root, "data")
+    var gcd = 0
+    if (Files.isDirectory(dataRoot)) listNames(dataRoot).foreach { d =>
+      if (!liveDirs(d)) { deleteRecursively(dataRoot.resolve(d).toString); gcd += 1 }
+    }
+    (dropped, gcd)
+  }
+
   def deleteRecursively(root: String): Unit = {
     val p = Paths.get(root)
     if (Files.exists(p)) {

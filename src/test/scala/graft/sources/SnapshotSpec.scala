@@ -165,6 +165,45 @@ class SnapshotSpec extends AnyFunSuite {
     assert(ch.count() == 0 && ch.columns.toSeq == Seq("id", "s"))
   }
 
+  test("compact rewrites current rows into fewer files; history intact until expired") {
+    val root = freshRoot("compact")
+    commit(spark, root, df(0 until 40).repartition(4))
+    commit(spark, root, df(40 until 80).repartition(4))
+    val before = snapshot(root, currentVersion(root)).files.size
+    val v = compact(spark, root, targetFiles = 1)
+    assert(snapshot(root, v).op == "compact")
+    assert(snapshot(root, v).files.size == 1 && before == 8)
+    // same row set through the compacted snapshot
+    val ids = read(spark, root).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 80L).toSet)
+    // pre-compaction history still readable
+    assert(read(spark, root, asOf = 1).count() == 40)
+    // stats were recomputed: pruning still works on the compacted file
+    assert(planFiles(root, v, Seq(ColRange("id", 10, 20))).size == 1)
+  }
+
+  test("expire drops old versions and GCs unreferenced attempt dirs incl. losing racers") {
+    val root = freshRoot("expire")
+    commit(spark, root, df(0 until 10))
+    commit(spark, root, df(10 until 20))
+    // a losing racer leaves an orphaned attempt dir
+    intercept[ConcurrentCommitException] {
+      SnapshotTable.commitFrom(spark, root, 1, df(100 until 110), "append")
+    }
+    commit(spark, root, df(20 until 30), op = "overwrite") // v3 drops v1/v2 files
+    commit(spark, root, df(30 until 40))                   // v4
+    val dataDirs = (p: String) => new java.io.File(s"$p/data").listFiles().length
+    val nBefore = dataDirs(root)
+    val (dropped, gcd) = expire(root, keepLast = 2) // retain v3, v4
+    assert(dropped == 2, s"dropped $dropped")
+    assert(gcd >= 3, s"gcd $gcd") // v1 + v2 + the racer's orphan at least
+    assert(dataDirs(root) == nBefore - gcd)
+    // retained versions read fine; expired time travel errors
+    assert(read(spark, root, asOf = 4).count() == 20)
+    assert(read(spark, root, asOf = 3).count() == 10)
+    intercept[Exception] { read(spark, root, asOf = 1).count() }
+  }
+
   test("property: random op sequences match an in-memory model, incl. all history") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
