@@ -148,6 +148,8 @@ object SparkEntry {
     // durable parquet sink + checkpoint restart: exactly-once across a
     // simulated crash, read back through the sink's commit log
     "q100_stream_file_sink"  -> (Stream.streamFileSink _),
+    // snapshot maintenance: compact to fewer files + expire/GC history
+    "q101_snapshot_compact"  -> (Snap.snapshotCompact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,5 +258,6 @@ object SparkEntry {
     "q98_ransac_exact"       -> EngineOracle.ransacCellsSql,
     "q99_snapshot_prune"     -> Snap.snapshotPruneSql,
     "q100_stream_file_sink"  -> Stream.streamFileSinkSql,
+    "q101_snapshot_compact"  -> Snap.snapshotCompactSql,
   )
 }

@@ -73,6 +73,41 @@ object Snap {
       |    AS sum_event_id
       |FROM events""".stripMargin
 
+  /** q101 — compaction + expiry end-to-end: three 4-file commits, compact
+    * to one file, expire history down to the compacted tail; the twin pins
+    * the file counts, the exact surviving row set, and that pre-expiry
+    * reads (but not expired ones) kept working. */
+  def snapshotCompact(s: SparkSession, d: String): DataFrame = {
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val root = s"/tmp/graft_snapcomp_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val slice = (m: Int, r: Int) =>
+        ev.filter(pmod(col("event_id"), lit(m)) === r).repartition(4)
+      SnapshotTable.commit(s, root, slice(3, 0))
+      SnapshotTable.commit(s, root, slice(3, 1))
+      SnapshotTable.commit(s, root, slice(3, 2))
+      val filesBefore = SnapshotTable.snapshot(root, 3).files.size
+      val v = SnapshotTable.compact(s, root, targetFiles = 1)
+      val filesAfter = SnapshotTable.snapshot(root, v).files.size
+      val preExpireV1 = SnapshotTable.read(s, root, asOf = 1).count()
+      val (dropped, gcd) = SnapshotTable.expire(root, keepLast = 1)
+      val agg = SnapshotTable.read(s, root)
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      import s.implicits._
+      Seq((filesBefore, filesAfter, preExpireV1, dropped, gcd,
+           agg.getLong(0), agg.getLong(1)))
+        .toDF("n_files_before", "n_files_after", "v1_rows", "n_expired",
+              "n_gcd_dirs", "n_rows", "sum_event_id")
+    } finally SnapshotTable.deleteRecursively(root)
+  }
+
+  val snapshotCompactSql: String =
+    """SELECT 12 AS n_files_before, 1 AS n_files_after,
+      |  count(*) FILTER (WHERE event_id % 3 = 0)::BIGINT AS v1_rows,
+      |  3 AS n_expired, 3 AS n_gcd_dirs,
+      |  count(*)::BIGINT AS n_rows, sum(event_id)::BIGINT AS sum_event_id
+      |FROM events""".stripMargin
+
   val snapshotTravelSql: String =
     """WITH s AS (SELECT
       |    count(*) FILTER (WHERE event_id % 3 = 0) AS c0,
