@@ -126,22 +126,29 @@ object SnapshotTable {
     // resolves — the loser's orphaned directory is unreferenced garbage
     // (cleaned by maintenance), never a dangling reference in the winner's
     // manifest (Iceberg's uuid-named data files, same reasoning)
+    val (newFiles, newStats) = writeAttempt(spark, root, v, df)
+    val prev = if (op == "overwrite" || base == 0) None else Some(snapshot(root, base))
+    val live = prev.map(_.files).getOrElse(Nil) ++ newFiles
+    val rows = prev.map(_.rows).getOrElse(0L) + newStats.valuesIterator.map(_.rows).sum
+    val stats = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
+    publish(root, v, manifestJson(v, base, op, rows, live, stats))
+    v
+  }
+
+  /** Write `df` into a fresh attempt dir for version `v` and return its
+    * (relative file list, per-file stats — ONE pass, O(new data); the
+    * parent's stats are carried forward as manifest text by the caller).
+    * Shared by commitFrom and compact so the write/list/stats sequence
+    * cannot diverge. */
+  private def writeAttempt(spark: SparkSession, root: String, v: Int,
+                           df: DataFrame): (Seq[String], Map[String, FileStats]) = {
     val attempt = s"s$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = Paths.get(root, "data", attempt)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val newFiles = listNames(dataDir)
       .filter(_.endsWith(".parquet"))
       .sorted.map(f => s"data/$attempt/$f")
-    val prev = if (op == "overwrite" || base == 0) None else Some(snapshot(root, base))
-    val live = prev.map(_.files).getOrElse(Nil) ++ newFiles
-    // stats over ONLY the new files, in ONE pass (count + per-numeric-column
-    // min/max grouped by file); the parent's stats are carried forward as
-    // manifest text — commit cost stays O(new data), not O(table)
-    val newStats = computeStats(spark, root, newFiles)
-    val rows = prev.map(_.rows).getOrElse(0L) + newStats.valuesIterator.map(_.rows).sum
-    val stats = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
-    publish(root, v, manifestJson(v, base, op, rows, live, stats))
-    v
+    (newFiles, computeStats(spark, root, newFiles))
   }
 
   /** One scan over `files`: per-file row count + min/max of every numeric /
@@ -279,19 +286,45 @@ object SnapshotTable {
   }
 
   /** Incremental read: rows ADDED between `fromV` (exclusive) and `toV`
-    * (inclusive) — the files of `toV` not live in `fromV` (append-only CDC;
-    * an overwrite's files all count as added). `prune` as in `read`. */
+    * (inclusive), walking the version CHAIN — each append/overwrite
+    * contributes the files it introduced over its parent; `compact`
+    * snapshots contribute NOTHING (a rewrite is not a data change —
+    * endpoint-manifest diffing would replay the whole table to CDC
+    * consumers after every compaction) and `rollback` republishes old
+    * files, also nothing. `prune` as in `read`; an empty increment is an
+    * empty DataFrame, not an error. */
   def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
               prune: Seq[ColRange] = Nil): DataFrame = {
-    val before = if (fromV >= 1) snapshot(root, fromV).files.toSet else Set.empty[String]
-    val allAdded = snapshot(root, toV).files.filterNot(before)
-    require(allAdded.nonEmpty, s"no files added between v$fromV and v$toV")
-    val planned = planFiles(root, toV, prune).toSet
+    require(toV > fromV && toV >= 1, s"bad change range v$fromV..v$toV")
+    val allAdded = (math.max(1, fromV + 1) to toV).flatMap { v =>
+      require(Files.exists(metaDir(root).resolve(s"v$v.json")),
+        s"changes(v$fromV, v$toV) needs manifest v$v, which is expired")
+      val snap = snapshot(root, v)
+      snap.op match {
+        case "append" | "overwrite" =>
+          val parentFiles =
+            if (snap.parent >= 1) {
+              require(Files.exists(metaDir(root).resolve(s"v${snap.parent}.json")),
+                s"changes(v$fromV, v$toV) needs parent manifest v${snap.parent}, which is expired")
+              snapshot(root, snap.parent).files.toSet
+            } else Set.empty[String]
+          snap.files.filterNot(parentFiles)
+        case _ => Nil // compact rewrite / rollback republish: no new data
+      }
+    }.distinct
+    val planned = planFiles(root, toV, prune).toSet ++
+      // files added mid-range but no longer live in toV carry no toV stats;
+      // keep them (conservative) unless their own snapshot pruned them out
+      allAdded.filterNot(snapshot(root, toV).files.toSet)
     val added = allAdded.filter(planned)
-    // pruned-to-nothing is a normal empty increment (quiet CDC period for
-    // the range), not an error: schema from an unpruned added file
     if (added.nonEmpty) spark.read.parquet(added.map(f => s"$root/$f"): _*)
-    else spark.read.parquet(s"$root/${allAdded.head}").limit(0)
+    else {
+      val live = snapshot(root, toV).files
+      require(live.nonEmpty || allAdded.nonEmpty,
+        s"snapshot v$toV has no files at $root")
+      val schemaFrom = allAdded.headOption.getOrElse(live.head)
+      spark.read.parquet(s"$root/$schemaFrom").limit(0)
+    }
   }
 
   /** Roll the table back to `toV` as a NEW snapshot (history stays intact,
@@ -314,14 +347,9 @@ object SnapshotTable {
   def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Int = {
     val base = currentVersion(root)
     require(base >= 1, s"nothing to compact at $root")
-    val df = read(spark, root).repartition(targetFiles)
     val v = base + 1
-    val attempt = s"s$v-${java.util.UUID.randomUUID().toString.take(8)}"
-    val dataDir = Paths.get(root, "data", attempt)
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val newFiles = listNames(dataDir).filter(_.endsWith(".parquet"))
-      .sorted.map(f => s"data/$attempt/$f")
-    val stats = computeStats(spark, root, newFiles)
+    val (newFiles, stats) =
+      writeAttempt(spark, root, v, read(spark, root).repartition(targetFiles))
     publish(root, v, manifestJson(v, base, "compact",
       stats.valuesIterator.map(_.rows).sum, newFiles, stats))
     v
@@ -330,40 +358,54 @@ object SnapshotTable {
   /** Snapshot expiry + orphan GC — Iceberg's `expire_snapshots` +
     * `remove_orphan_files`: drop every version older than the newest
     * `keepLast`, then delete (a) data attempt-dirs referenced by NO
-    * retained manifest — including the orphaned dirs of LOSING concurrent
-    * committers, which commitFrom documents as "cleaned by maintenance" —
-    * and (b) stale `.claim` files without a published version (the
-    * no-hard-link publish fallback's crash residue). Time travel to an
-    * expired version becomes an error by design. Returns
-    * (versionsDropped, dataDirsDeleted). */
+    * retained manifest whose version is ≤ current — including the orphaned
+    * dirs of LOSING concurrent committers, which commitFrom documents as
+    * "cleaned by maintenance"; dirs at versions > current belong to
+    * in-flight commits that would win and are never touched — and
+    * (b) `.claim`/`.tmp` publish residue for versions < the retention
+    * window (never by an exists() probe, which would race an in-flight
+    * fallback publish). Time travel to an expired version becomes an error
+    * by design. Returns (versionsDropped, dataDirsDeleted). */
   def expire(root: String, keepLast: Int = 3): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion(root)
     if (cur == 0) return (0, 0)
     val keepFrom = math.max(1, cur - keepLast + 1)
-    val retained = (keepFrom to cur).map(snapshot(root, _))
+    // a prior expire with a smaller keepLast may already have removed
+    // manifests inside this window — retain what actually exists
+    val retained = (keepFrom to cur)
+      .filter(v => Files.exists(metaDir(root).resolve(s"v$v.json")))
+      .map(snapshot(root, _))
     val liveDirs = retained.flatMap(_.files)
       .map(f => f.split("/")(1)).toSet // "data/<attempt>/<file>" → attempt
-    // drop expired manifests (+ any claim whose version is gone or expired)
+    // drop expired manifests; claims and publish tmp residue are deleted by
+    // the SAME version rule (< keepFrom), never by a point-in-time
+    // exists() probe — a claim/tmp of an IN-FLIGHT publish must survive or
+    // the fallback path's mutual exclusion breaks (two movers onto one
+    // target; POSIX rename silently replaces)
     var dropped = 0
     listNames(metaDir(root)).foreach { n =>
-      val vOpt = "^v(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
-      if (vOpt.exists(_ < keepFrom)) {
+      val man = "^v(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
+      val residue = "^\\.?v(\\d+)\\.json(\\.claim|\\.tmp)$".r
+        .findFirstMatchIn(n).map(_.group(1).toInt)
+      if (man.exists(_ < keepFrom)) {
         Files.delete(metaDir(root).resolve(n)); dropped += 1
       }
-      if (n.endsWith(".claim")) {
-        val cv = n.stripPrefix("v").stripSuffix(".json.claim")
-        if (cv.forall(_.isDigit) &&
-            !Files.exists(metaDir(root).resolve(s"v$cv.json")))
-          Files.deleteIfExists(metaDir(root).resolve(n))
-      }
+      if (residue.exists(_ < keepFrom))
+        Files.deleteIfExists(metaDir(root).resolve(n))
     }
-    // GC attempt dirs no retained manifest references (expired-only data,
-    // losing racers' orphans, crashed attempts)
+    // GC attempt dirs no retained manifest references — but ONLY versions
+    // ≤ cur: a dir at version > cur belongs to an in-flight commit that
+    // would WIN its publish (deleting it would corrupt the winner), while
+    // an unreferenced dir at ≤ cur can only belong to a definite LOSER
+    // (its version is already taken, its publish must throw)
     val dataRoot = Paths.get(root, "data")
     var gcd = 0
     if (Files.isDirectory(dataRoot)) listNames(dataRoot).foreach { d =>
-      if (!liveDirs(d)) { deleteRecursively(dataRoot.resolve(d).toString); gcd += 1 }
+      val dv = "^s(\\d+)-".r.findFirstMatchIn(d).map(_.group(1).toInt)
+      if (!liveDirs(d) && dv.exists(_ <= cur)) {
+        deleteRecursively(dataRoot.resolve(d).toString); gcd += 1
+      }
     }
     (dropped, gcd)
   }

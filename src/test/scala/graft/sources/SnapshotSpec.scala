@@ -204,6 +204,36 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[Exception] { read(spark, root, asOf = 1).count() }
   }
 
+  test("changes() walks the chain: compaction contributes NOTHING to CDC consumers") {
+    val root = freshRoot("cdc")
+    commit(spark, root, df(0 until 40))
+    commit(spark, root, df(40 until 80))
+    compact(spark, root, targetFiles = 1) // v3: rewrite, zero new rows
+    commit(spark, root, df(80 until 90))  // v4
+    // v2..v3 (compact only): EMPTY increment, not the whole table replayed
+    assert(changes(spark, root, fromV = 2, toV = 3).count() == 0)
+    // v1..v4: exactly the rows added after v1, the compaction invisible
+    val ids = changes(spark, root, fromV = 1, toV = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (40L until 90L).toSet, s"got ${ids.size}")
+  }
+
+  test("expire is idempotent across widening retention; in-flight attempt dirs survive GC") {
+    val root = freshRoot("expire2")
+    (0 until 4).foreach(i => commit(spark, root, df(i * 10 until (i + 1) * 10)))
+    expire(root, keepLast = 1) // drops v1-v3
+    commit(spark, root, df(100 until 110)) // v5
+    // widening window: v3/v4 manifests partially missing — must not crash
+    val (dropped, _) = expire(root, keepLast = 3)
+    assert(dropped == 0) // nothing below the (already clean) window remains
+    assert(read(spark, root).count() == 50)
+    // a dir for a version ABOVE current (in-flight commit) is never GC'd
+    val inflight = java.nio.file.Paths.get(root, "data", "s99-deadbeef")
+    java.nio.file.Files.createDirectories(inflight)
+    expire(root, keepLast = 1)
+    assert(java.nio.file.Files.exists(inflight), "in-flight attempt dir must survive")
+  }
+
   test("property: random op sequences match an in-memory model, incl. all history") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
