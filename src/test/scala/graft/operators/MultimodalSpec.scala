@@ -56,6 +56,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI parser handles top-down DIBs (negative biHeight) — the branch our encoder never emits") {
+    import graft.sources.VideoTable
+    val w = 30; val h = 4 // stride 32: padding exercised too
+    val frame = Array.tabulate(w * h)(i => (i * 7 % 256).toByte)
+    val bytes = VideoTable.encodeAvi(Seq(frame), w, h)
+    // patch biHeight (strf BITMAPINFOHEADER offset: find the strf chunk) to
+    // negative AND rewrite the movi frame rows to top-down order
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def find(cc: String, from: Int): Int = {
+      val pat = cc.getBytes("US-ASCII")
+      (from until bytes.length - 4).find(i => pat.indices.forall(j => bytes(i + j) == pat(j))).get
+    }
+    val strf = find("strf", 0)
+    b.putInt(strf + 8 + 8, -h) // biHeight := -h (top-down)
+    val db = find("00db", strf)
+    val stride = (w + 3) & ~3
+    val body = db + 8
+    // rows currently bottom-up; rewrite to top-down
+    val rows = (0 until h).map { y =>
+      val a = new Array[Byte](stride); System.arraycopy(bytes, body + y * stride, a, 0, stride); a
+    }
+    for (y <- 0 until h)
+      System.arraycopy(rows(h - 1 - y), 0, bytes, body + y * stride, stride)
+    val decoded = VideoTable.parseAvi(bytes)
+    assert(decoded.length == 1 && decoded.head.sameElements(frame))
+  }
+
   test("AVI parser rejects non-AVI payloads loudly") {
     import graft.sources.VideoTable
     intercept[IllegalArgumentException] {
