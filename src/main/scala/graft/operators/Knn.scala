@@ -41,27 +41,46 @@ object Knn {
     (topk, resolvedIds)
   }
 
+  /** Scoped caches of a lazy [[knn]] call, pending release. Drained by
+    * [[releaseCaches]] once the caller has materialized the result —
+    * thread-safe (Bench/Verify run queries sequentially but a library user
+    * may not). */
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every cache a `knn(eager = false)` call left alive. Call AFTER
+    * materializing the lazy results (count/write); the plans stay valid but
+    * re-execute the ring passes if materialized again. */
+  def releaseCaches(): Unit = {
+    var df = pending.poll()
+    while (df != null) { df.unpersist(false); df = pending.poll() }
+  }
+
   /** cellSize ≤ 0 → auto-size from candidate density so a radius-r0 ring
     * holds ≈ 4k candidates: too-large cells drag thousands of rows per query
     * into the top-k window sort (the dominant cost), too-small cells miss on
-    * pass 1. One tiny agg over the candidate bbox pays for itself. */
+    * pass 1. One tiny agg over the candidate bbox pays for itself.
+    *
+    * `eager = true` (default) materializes the output (lineage-truncated,
+    * ContextCleaner-managed blocks) so the pass-local caches are released
+    * before returning — repeated calls in a long-lived session accumulate
+    * zero CacheManager entries. `eager = false` returns the lazy top-k plan
+    * with the pass caches still alive (registered for [[releaseCaches]]):
+    * ~1 s cheaper per call at sf0.1 (the final checkpoint re-serializes
+    * every output row) for callers that materialize exactly once and then
+    * drain — the Bench/Verify shape. */
   def knn(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
           k: Int, cellSize: Double = 0.0, r0: Int = 2,
-          maxRounds: Int = 3): DataFrame = {
+          maxRounds: Int = 3, eager: Boolean = true): DataFrame = {
     import graft.functions.GraftFunctions.planarCell
-    // materialize the output (lineage-truncated, ContextCleaner-managed
-    // blocks) so the pass-local caches can be released immediately —
-    // repeated knn calls in a long-lived session must not accumulate
-    // CacheManager entries nobody holds a handle to. Deliberate trade: the
-    // operator is eager (a caller's later filter can no longer push into
-    // the ring passes), which is the right default because the three-pass
-    // structure already consumed its inputs multiple times — a lazy form
-    // would have to keep the caches alive with no release point.
-    def finish(out: DataFrame, scoped: Seq[DataFrame]): DataFrame = {
-      val res = out.localCheckpoint(true)
-      scoped.foreach(_.unpersist(false))
-      res
-    }
+    def finish(out: DataFrame, scoped: Seq[DataFrame]): DataFrame =
+      if (eager) {
+        val res = out.localCheckpoint(true)
+        scoped.foreach(_.unpersist(false))
+        res
+      } else {
+        scoped.foreach(pending.add)
+        out
+      }
     val cs = if (cellSize > 0) cellSize else {
       val m = candidates.agg(count(lit(1)), min(col("x")), max(col("x")),
                              min(col("y")), max(col("y"))).head()

@@ -251,10 +251,18 @@ object Similarity {
                 col("old"))
       // change detection folded into the materializing pass: a task retry can
       // only OVER-count (harmless — `changed` gates on >0 and at the fixpoint
-      // every task adds exactly 0), never under-count
+      // every task adds exactly 0), never under-count. `old` is null exactly
+      // when the id first appears via an edge endpoint absent from `nodes`
+      // (round 1 only — prop's output carries it into `labels` thereafter);
+      // count that as changed only when it picked up a foreign label, so a
+      // nodes-superset contract violation costs one extra round, not
+      // maxRounds of spurious non-convergence.
       val acc = spark.sparkContext.longAccumulator(s"cc_changed_r$round")
       val nextRdd = nextWide.rdd.map { r =>
-        if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1L)
+        val moved =
+          if (r.isNullAt(2)) r.get(1) != r.get(0)
+          else r.get(1) != r.get(2)
+        if (moved) acc.add(1L)
         org.apache.spark.sql.Row(r.get(0), r.get(1))
       }
       val next = spark.createDataFrame(nextRdd,

@@ -33,6 +33,13 @@ import graft.sources.PolygonTable
   * README flagship diff, geolib.py:914-1016 (sample).
   */
 object EngineOracle {
+  /** Tile edge / pixel count — all (tx, ty, pidx) ↔ (px, py) decodes below
+    * derive from the REAL tile size so an engine TileSize change cannot
+    * silently shear the emitted pixel coordinates (the generated DuckDB
+    * twins embed the matching constants at generation time). */
+  private val T = Warp.TileSize
+  private val T2 = T * T
+
   /** Image index parsed from `img_%08d_...` ids. */
   private def idx: Column = substring(col("image_id"), 5, 8).cast("int")
 
@@ -50,9 +57,9 @@ object EngineOracle {
     val zipped = stats.select(col("tile_id"),
       posexplode(arrays_zip(fields.map(col): _*)).as(Seq("pidx", "z")))
     val cols = Seq(
-      ((col("tile_id") % ntx) * 64 + col("pidx") % 64).cast("int").as("px"),
-      (expr(s"cast(tile_id div $ntx as int)") * 64 +
-        expr("cast(pidx div 64 as int)")).as("py"),
+      ((col("tile_id") % ntx) * T + col("pidx") % T).cast("int").as("px"),
+      (expr(s"cast(tile_id div $ntx as int)") * T +
+        expr(s"cast(pidx div $T as int)")).as("py"),
       col("z.count").as("n")) ++
       fields.filter(_ != "count").map(f => col(s"z.$f").cast("double").as(f))
     zipped.select(cols: _*).filter(col("n") > 0)
@@ -95,9 +102,9 @@ object EngineOracle {
         posexplode(col("payload")).as(Seq("pidx", "v")))
       .filter(col("v") =!= graft.sources.ImageTable.Ndv)
       .select(
-        ((col("tile_id") % ntx) * 64 + col("pidx") % 64).cast("int").as("px"),
-        (expr(s"cast(tile_id div $ntx as int)") * 64 +
-          expr("cast(pidx div 64 as int)")).as("py"),
+        ((col("tile_id") % ntx) * T + col("pidx") % T).cast("int").as("px"),
+        (expr(s"cast(tile_id div $ntx as int)") * T +
+          expr(s"cast(pidx div $T as int)")).as("py"),
         col("v").cast("double").as("diff"))
   }
 
@@ -373,8 +380,8 @@ object EngineOracle {
     val tiles = StackOps.stackClip(Warp.warpToTiles(s, imgs, target, "near"), 0, 0, 3, 3)
     StackOps.theilSen(StackOps.toCells(tiles))
       .select(
-        expr(s"cast((cell_id div 4096) % $ntx as int) * 64 + cast((cell_id % 4096) % 64 as int)").as("px"),
-        expr(s"cast((cell_id div 4096) div $ntx as int) * 64 + cast((cell_id % 4096) div 64 as int)").as("py"),
+        expr(s"cast((cell_id div $T2) % $ntx as int) * $T + cast((cell_id % $T2) % $T as int)").as("px"),
+        expr(s"cast((cell_id div $T2) div $ntx as int) * $T + cast((cell_id % $T2) div $T as int)").as("py"),
         col("n"),
         nanvl(col("slope_yr"), lit(-9999.0)).as("slope_yr"),
         nanvl(col("intercept"), lit(-9999.0)).as("intercept"))
@@ -1428,8 +1435,8 @@ object EngineOracle {
               posexplode(col("payload")).as(Seq("pidx", "sv")))
       .filter(col("sv") =!= graft.sources.ImageTable.Ndv)
       .select(col("image_id"),
-        (col("tx") * 64 + col("pidx") % 64).cast("int").as("px"),
-        (col("ty") * 64 + expr("cast(pidx div 64 as int)")).cast("int").as("py"),
+        (col("tx") * T + col("pidx") % T).cast("int").as("px"),
+        (col("ty") * T + expr(s"cast(pidx div $T as int)")).cast("int").as("py"),
         col("sv").cast("double").as("shade"))
   }
 
@@ -1488,8 +1495,8 @@ object EngineOracle {
               posexplode(col("payload")).as(Seq("pidx", "sv")))
       .filter(col("sv") =!= graft.sources.ImageTable.Ndv)
       .select(col("image_id"),
-        (col("tx") * 64 + col("pidx") % 64).cast("int").as("px"),
-        (col("ty") * 64 + expr("cast(pidx div 64 as int)")).cast("int").as("py"),
+        (col("tx") * T + col("pidx") % T).cast("int").as("px"),
+        (col("ty") * T + expr(s"cast(pidx div $T as int)")).cast("int").as("py"),
         col("sv").cast("double").as("sv"))
   }
 
@@ -1544,8 +1551,8 @@ object EngineOracle {
     val tiles = StackOps.stackClip(Warp.warpToTiles(s, imgs, target, "near"), 0, 0, 3, 3)
     StackOps.ransac(StackOps.toCells(tiles))
       .select(
-        expr(s"cast((cell_id div 4096) % $ntx as int) * 64 + cast((cell_id % 4096) % 64 as int)").as("px"),
-        expr(s"cast((cell_id div 4096) div $ntx as int) * 64 + cast((cell_id % 4096) div 64 as int)").as("py"),
+        expr(s"cast((cell_id div $T2) % $ntx as int) * $T + cast((cell_id % $T2) % $T as int)").as("px"),
+        expr(s"cast((cell_id div $T2) div $ntx as int) * $T + cast((cell_id % $T2) div $T as int)").as("py"),
         col("n"),
         nanvl(col("slope_yr"), lit(-9999.0)).as("slope_yr"),
         nanvl(col("intercept"), lit(-9999.0)).as("intercept"),

@@ -34,8 +34,13 @@ object SnapshotTable {
   /** Per-file pruning stats recorded at commit: row count + [min, max] per
     * numeric/timestamp column (Iceberg's manifest column stats — the
     * split-planning half of the spec; the reference analog is the OGR
-    * `SetSpatialFilter` scan pushdown, geolib.py:663). Bounds are doubles —
-    * exact for integral values < 2^53, which is what pruning compares. */
+    * `SetSpatialFilter` scan pushdown, geolib.py:663). Bounds are doubles;
+    * values whose source type can exceed double precision (BIGINT,
+    * DECIMAL, epoch-micro timestamps ≥ 2^53) are converted with DIRECTED
+    * rounding — lo toward −∞, hi toward +∞ — so the recorded interval
+    * always CONTAINS the true one and pruning stays conservative (a
+    * nearest-rounding cast can shrink the interval and silently drop a
+    * file holding matching rows; hash-like int64 ids are realistic). */
   final case class FileStats(rows: Long, cols: Map[String, (Double, Double)])
 
   final case class Snapshot(version: Int, parent: Int, op: String,
@@ -44,7 +49,9 @@ object SnapshotTable {
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
-    * (conservative — pruning must never change results). */
+    * (conservative — pruning must never change results). Units: timestamp
+    * and timestamp_ntz columns record bounds in epoch MICROSECONDS (NTZ
+    * pinned as-if-UTC), so callers must construct [lo, hi] in micros. */
   final case class ColRange(colName: String, lo: Double, hi: Double)
 
   private def metaDir(root: String): Path = Paths.get(root, "meta")
@@ -151,8 +158,34 @@ object SnapshotTable {
     (newFiles, computeStats(spark, root, newFiles))
   }
 
+  /** Exact-value → double with DIRECTED rounding: the nearest-rounded
+    * double, nudged one ulp outward when the conversion moved the value
+    * INWARD (toward the interval interior). Long and Decimal can exceed
+    * 2^53; comparing through exact BigDecimal (`new BigDecimal(double)` is
+    * the exact binary value, unlike `valueOf`) detects which way the cast
+    * rounded. */
+  private def dirDouble(v: Any, up: Boolean): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float  => f.toDouble
+    case l: java.lang.Long =>
+      val d = l.toDouble
+      val c = new java.math.BigDecimal(d).compareTo(new java.math.BigDecimal(l))
+      if (up && c < 0) Math.nextUp(d) else if (!up && c > 0) Math.nextDown(d) else d
+    case b: java.math.BigDecimal =>
+      val d = b.doubleValue()
+      if (d.isInfinite) d
+      else {
+        val c = new java.math.BigDecimal(d).compareTo(b)
+        if (up && c < 0) Math.nextUp(d) else if (!up && c > 0) Math.nextDown(d) else d
+      }
+    case n: java.lang.Number => n.doubleValue() // int/short/byte: exact
+  }
+
   /** One scan over `files`: per-file row count + min/max of every numeric /
-    * timestamp column (timestamps as epoch seconds via double cast). */
+    * timestamp column (timestamps as epoch MICROS). min/max run in the
+    * column's NATIVE type (long for BIGINT/timestamps, decimal for
+    * DECIMAL); the lossy narrowing to the manifest's double bounds happens
+    * once on the driver via [[dirDouble]], outward. */
   private def computeStats(spark: SparkSession, root: String,
                            files: Seq[String]): Map[String, FileStats] = {
     import org.apache.spark.sql.functions._
@@ -166,10 +199,10 @@ object SnapshotTable {
     // bounds and a reader's pruning can silently drop matching files
     val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     def statExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
-      case TimestampType => unix_micros(col(f.name)).cast("double")
+      case TimestampType => unix_micros(col(f.name))
       case TimestampNTZType =>
         unix_micros(to_utc_timestamp(col(f.name).cast("timestamp"), sessionTz))
-          .cast("double")
+      case LongType | _: DecimalType => col(f.name) // native: see dirDouble
       case _ => col(f.name).cast("double")
     }
     val statFields = df.schema.fields.filter(f =>
@@ -188,7 +221,7 @@ object SnapshotTable {
       val cols = statCols.zipWithIndex.flatMap { case (c, i) =>
         val lo = r.get(2 * i + 2); val hi = r.get(2 * i + 3)
         if (lo == null || hi == null) None
-        else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+        else Some(c -> (dirDouble(lo, up = false), dirDouble(hi, up = true)))
       }.toMap
       rel -> FileStats(r.getLong(1), cols)
     }.toMap
@@ -210,6 +243,23 @@ object SnapshotTable {
        | "stats": {$statsJson}}""".stripMargin
   }
 
+  /** Lease window for abandoned publish claims: a claim older than this
+    * with no matching manifest is treated as a CRASHED fallback publish and
+    * may be broken by a later committer (or deleted by maintenance). Must
+    * exceed any plausible write-claim→move gap — the gap holds no data
+    * write, only two metadata ops, so minutes is conservative.
+    * `private[sources] var` so tests can shrink the lease. */
+  @volatile private[sources] var claimGraceMs: Long = 15L * 60 * 1000
+  /** Test hook: route publish through the no-hardlink fallback. */
+  @volatile private[sources] var forceFallbackPublish: Boolean = false
+
+  private def claimIsStale(claim: Path): Boolean =
+    try {
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(claim).toMillis
+      age > claimGraceMs
+    } catch { case _: java.nio.file.NoSuchFileException => true }
+
   /** Publish a snapshot manifest create-exclusively — this IS the
     * optimistic-concurrency gate: a racing committer of the same version
     * finds the target name taken and loses cleanly. NOT a rename: POSIX
@@ -221,7 +271,10 @@ object SnapshotTable {
     val tmp = metaDir(root).resolve(s".v$v.json.tmp")
     Files.createDirectories(metaDir(root))
     Files.writeString(tmp, json)
-    try Files.createLink(target, tmp)
+    try {
+      if (forceFallbackPublish) throw new UnsupportedOperationException("test hook")
+      Files.createLink(target, tmp)
+    }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(v)
@@ -232,14 +285,28 @@ object SnapshotTable {
         // manifest, so readers NEVER observe partial JSON (a raw CREATE_NEW
         // write of the target would expose truncated content mid-write and
         // a crash would brick the version). A crash between claim and move
-        // leaves an unpublished claim: maintenance can delete any *.claim
-        // without a matching version file (the Iceberg lock-file analog).
+        // leaves an orphan claim at v = cur+1 that every later committer of
+        // the table recomputes — without recovery the table is permanently
+        // unwritable (expire's version rule only reaches claims BELOW the
+        // retention window). Recovery is lease-based: a claim older than
+        // `claimGraceMs` with no published manifest is a definite crash
+        // (the claim→move gap holds no long operation) and is broken ONCE;
+        // a fresh claim still loses cleanly to the in-flight owner.
         val claim = metaDir(root).resolve(s"v$v.json.claim")
-        try Files.write(claim, Array.emptyByteArray,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(v) }
+        def tryClaim(): Boolean =
+          try {
+            Files.write(claim, Array.emptyByteArray,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        val claimed = tryClaim() || {
+          if (!Files.exists(target) && claimIsStale(claim)) {
+            Files.deleteIfExists(claim) // break the abandoned lease
+            tryClaim()                  // lose if another breaker re-claimed first
+          } else false
+        }
+        if (!claimed) throw new ConcurrentCommitException(v)
         if (Files.exists(target)) throw new ConcurrentCommitException(v)
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     }
@@ -364,8 +431,11 @@ object SnapshotTable {
     * in-flight commits that would win and are never touched — and
     * (b) `.claim`/`.tmp` publish residue for versions < the retention
     * window (never by an exists() probe, which would race an in-flight
-    * fallback publish). Time travel to an expired version becomes an error
-    * by design. Returns (versionsDropped, dataDirsDeleted). */
+    * fallback publish), plus (c) LEASE-EXPIRED claims at any version with
+    * no published manifest — the crashed-fallback-publish case, aged out
+    * via `claimGraceMs` so a live publish's fresh claim survives. Time
+    * travel to an expired version becomes an error by design. Returns
+    * (versionsDropped, dataDirsDeleted). */
   def expire(root: String, keepLast: Int = 3): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion(root)
@@ -393,6 +463,18 @@ object SnapshotTable {
       }
       if (residue.exists(_ < keepFrom))
         Files.deleteIfExists(metaDir(root).resolve(n))
+      // claims AT OR ABOVE the window with no published manifest: a crashed
+      // fallback publish (the common crash point — publish recovers these
+      // lazily on the next commit of the same version; maintenance sweeps
+      // them too). Lease-gated, never an exists()-only probe: a FRESH claim
+      // belongs to an in-flight publish and must survive.
+      residue.filter(_ >= keepFrom).foreach { rv =>
+        val p = metaDir(root).resolve(n)
+        if (n.endsWith(".claim") &&
+            !Files.exists(metaDir(root).resolve(s"v$rv.json")) &&
+            claimIsStale(p))
+          Files.deleteIfExists(p)
+      }
     }
     // GC attempt dirs no retained manifest references — but ONLY versions
     // ≤ cur: a dir at version > cur belongs to an in-flight commit that

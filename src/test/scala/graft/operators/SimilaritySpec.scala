@@ -101,4 +101,16 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.connectedComponents(spark, nodes, edges, maxRounds = 1)
     }
   }
+
+  test("CC: edge endpoints absent from nodes join on first propagation, converge early") {
+    import spark.implicits._
+    val nodes = Seq("a", "b").toDF("id")
+    val edges = Seq(("a", "x"), ("x", "y"), ("b", "b2")).toDF("a", "b")
+    // x/y/b2 violate the nodes-superset contract; they must still label
+    // correctly and NOT poison convergence detection (regression: a null
+    // previous-label must not count as changed forever)
+    val cc = Similarity.connectedComponents(spark, nodes, edges, maxRounds = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "x" -> "a", "y" -> "a", "b" -> "b", "b2" -> "b"))
+  }
 }

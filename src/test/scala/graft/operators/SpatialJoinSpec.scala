@@ -147,6 +147,27 @@ class KnnSpec extends AnyFunSuite {
       "knn must unpersist its pass-local caches")
   }
 
+  test("lazy kNN: same result, caches drained by releaseCaches (repeat-call hygiene)") {
+    val pts = PolygonTable.points(spark, 500)
+    val q = pts.filter(col("pt_id") < "pt_0000020")
+    spark.catalog.clearCache()
+    def runSet(eager: Boolean) =
+      Knn.knn(spark, q, pts, k = 3, eager = eager).select("q_id", "c_id", "rnk")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val lazy1 = runSet(eager = false)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "lazy form keeps the pass caches alive until release")
+    Knn.releaseCaches()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // repeated lazy calls + drain: zero CacheManager growth
+    (1 to 2).foreach { _ =>
+      Knn.knn(spark, q, pts, k = 3, eager = false).count(); Knn.releaseCaches()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(lazy1 == runSet(eager = true), "lazy and eager must agree")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("kNN is deterministic across parallelism") {
     val pts8 = PolygonTable.points(spark, 500, partitions = 8)
     val pts2 = PolygonTable.points(spark, 500, partitions = 2)

@@ -268,4 +268,51 @@ class SnapshotSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stats bounds are directed-rounded: int64 beyond 2^53 stays contained") {
+    import spark.implicits._
+    val root = freshRoot("bigint")
+    // 2^53+3 is not double-representable; nearest-rounds UP to 2^53+4 — an
+    // un-widened lo would exceed the true min and pruning could drop the file
+    val big = 9007199254740995L // 2^53 + 3
+    commit(spark, root, Seq((big, "x"), (big + 100, "y")).toDF("id", "s").coalesce(1))
+    val st = snapshot(root, 1)
+    val (lo, hi) = st.stats(st.files.head).cols("id")
+    assert(BigDecimal(lo) <= BigDecimal(big), s"lo $lo > true min $big")
+    assert(BigDecimal(hi) >= BigDecimal(big + 100), s"hi $hi < true max")
+    // and an exact-range probe around the true min still plans the file
+    assert(planFiles(root, 1, Seq(ColRange("id", lo, lo))).nonEmpty)
+  }
+
+  test("crashed fallback publish: stale claim is broken, fresh claim still loses") {
+    val root = freshRoot("claim")
+    commit(spark, root, df(0 until 5)) // v1 (hard-link path)
+    // simulate the crash window: v2 claim exists, no v2 manifest
+    val claim = java.nio.file.Paths.get(root, "meta", "v2.json.claim")
+    java.nio.file.Files.write(claim, Array.emptyByteArray)
+    SnapshotTable.forceFallbackPublish = true
+    try {
+      // fresh claim = a live publish may own it: the committer must LOSE
+      intercept[ConcurrentCommitException] { commit(spark, root, df(5 until 8)) }
+      // age past the lease → the next committer breaks it and succeeds
+      java.nio.file.Files.setLastModifiedTime(claim,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - SnapshotTable.claimGraceMs - 60000))
+      assert(commit(spark, root, df(5 until 8)) == 2)
+      assert(read(spark, root).count() == 8)
+      // maintenance sweep: a stale orphan claim ABOVE current goes too…
+      val c3 = java.nio.file.Paths.get(root, "meta", "v3.json.claim")
+      java.nio.file.Files.write(c3, Array.emptyByteArray)
+      java.nio.file.Files.setLastModifiedTime(c3,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - SnapshotTable.claimGraceMs - 60000))
+      expire(root, keepLast = 3)
+      assert(!java.nio.file.Files.exists(c3), "stale orphan claim must be swept")
+      // …but a FRESH orphan claim survives maintenance (in-flight publish)
+      val c4 = java.nio.file.Paths.get(root, "meta", "v3.json.claim")
+      java.nio.file.Files.write(c4, Array.emptyByteArray)
+      expire(root, keepLast = 3)
+      assert(java.nio.file.Files.exists(c4), "fresh claim must survive expire")
+    } finally SnapshotTable.forceFallbackPublish = false
+  }
 }
