@@ -17,11 +17,15 @@ object PlanCheck {
         ("q28", queries.Vec.embNearDup(spark, d)),
         ("q56", queries.Engine.phashDedup(spark, d)),
         ("q59", queries.Engine.annLsh(spark, d)),
+        ("q64", queries.Engine.annIvf(spark, d)),
         ("q93", queries.EngineOracle.annLshExact(spark, d)),
         ("q94", queries.EngineOracle.annIvfExact(spark, d)))) {
       df.count()
       val plan = df.queryExecution.executedPlan.toString
-      println(s"  $name BNLJ=${plan.contains("BroadcastNestedLoopJoin")} CART=${plan.contains("CartesianProduct")}")
+      // the ANN paths must carry NO ScalaUDF: bucket keys / probes are
+      // codegen Expressions (LshBucketKeys / IvfProbe)
+      println(s"  $name BNLJ=${plan.contains("BroadcastNestedLoopJoin")} " +
+        s"CART=${plan.contains("CartesianProduct")} UDF=${plan.contains("UDF")}")
     }
     println("== scan pruning (ReadSchema / PushedFilters) ==")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

@@ -140,17 +140,13 @@ object Similarity {
       cand.rdd.mapPartitions { it =>
         it.map(r => org.apache.spark.sql.Row.fromSeq(nearest(cs)(r.getSeq[Float](1)) +: r.toSeq))
       }, listSchema)
-    val probeUdf = udf((v: Seq[Float]) => {
-      // nProbe nearest centroids, ordered by distance then index
-      cs.indices.map { c =>
-        var d = 0.0; var i = 0
-        while (i < cs(c).length && i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-        (d, c)
-      }.sorted.take(nProbe).map(_._2).toArray
-    })
+    // probe = codegen Expression (centroids ride as a reference object) —
+    // no ScalaUDF row-conversion fence in the probe projection (the VecDot
+    // pattern; bit-compat with the closure it replaced is gated by q94)
     val qk = queries.select(col("q_id"), col("embedding").as("qv"))
       .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
+      .withColumn("list_id",
+        explode(graft.functions.AnnFunctions.ivfProbe(col("qv"), cs, nProbe)))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     qk.join(lists, Seq("list_id"))
       .select(col("q_id"), col("c_id"),
@@ -166,18 +162,22 @@ object Similarity {
   def annCosine(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
                 k: Int, tables: Int = 16, planes: Int = 8): DataFrame = {
     import graft.functions.VecFunctions.vecDot
+    import graft.functions.AnnFunctions.lshBucketKeys
     val dims = candidates.select(size(col("embedding"))).head().getInt(0)
-    val keysUdf = udf((v: Seq[Float]) =>
-      bucketKeys(v.toArray, dims, tables, planes))
 
     // norms once per vector; the bucket join + distinct move only (id, key)
     // rows — the T-times-replicated shuffle never carries the vectors.
+    // key computation = codegen Expression (hyperplanes as a codegen
+    // reference object), not a ScalaUDF; bucketKeys remains the scalar
+    // spec the kernel is tested bit-identical against.
     val qk = queries.select(col("q_id"), col("embedding").as("qv"))
       .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
     val ck = candidates.select(col("c_id"), col("embedding").as("cv"))
       .withColumn("cn", sqrt(vecDot(col("cv"), col("cv"))))
-    val qb = qk.select(col("q_id"), explode(keysUdf(col("qv"))).as("bkey"))
-    val cb = ck.select(col("c_id"), explode(keysUdf(col("cv"))).as("bkey"))
+    val qb = qk.select(col("q_id"),
+      explode(lshBucketKeys(col("qv"), dims, tables, planes)).as("bkey"))
+    val cb = ck.select(col("c_id"),
+      explode(lshBucketKeys(col("cv"), dims, tables, planes)).as("bkey"))
 
     val pairs = qb.join(cb, Seq("bkey"))
       .select(col("q_id"), col("c_id"))

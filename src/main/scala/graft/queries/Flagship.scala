@@ -63,17 +63,29 @@ object Flagship {
     (p, v)
   }
 
-  /** Driver query: run under a per-invocation root, read the keeper
-    * manifest back THROUGH the snapshot catalog (commit/read roundtrip is
-    * part of what the oracle hash checks), collect, clean up. */
+  /** Roots this JVM created, removed on exit — the lazy-read contract
+    * below needs the files alive until the caller materializes. */
+  private lazy val exitCleanup: java.util.Set[String] = {
+    val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      set.forEach(r => SnapshotTable.deleteRecursively(r))))
+    set
+  }
+
+  /** Driver query: run under a deterministic per-dataset root, read the
+    * keeper manifest back THROUGH the snapshot catalog (the commit/read
+    * roundtrip is part of what the oracle hash checks) and return that read
+    * LAZY — the driver materializes it straight from the snapshot's parquet
+    * scan, so driver memory stays O(1) while the manifest scales with the
+    * corpus (hundreds of millions of ids at 100 TB). Lifecycle: the
+    * previous run's root is removed up front, this run's on JVM exit —
+    * re-invoking within one JVM invalidates any still-unread result of the
+    * prior call, the standard trade of a deterministic scratch root. */
   def trainingPipeline(s: SparkSession, d: String): DataFrame = {
-    val root = s"/tmp/graft_flagship_${java.util.UUID.randomUUID().toString.take(8)}"
-    try {
-      val (_, v) = runStages(s, d, root)
-      import s.implicits._
-      SnapshotTable.read(s, s"$root/snap", asOf = v)
-        .select(col("kind"), col("id")).as[(String, String)].collect().toSeq
-        .toDF("kind", "id")
-    } finally SnapshotTable.deleteRecursively(root)
+    val root = s"/tmp/graft_flagship_${Integer.toHexString(d.hashCode)}"
+    SnapshotTable.deleteRecursively(root)
+    exitCleanup.add(root)
+    val (_, v) = runStages(s, d, root)
+    SnapshotTable.read(s, s"$root/snap", asOf = v).select(col("kind"), col("id"))
   }
 }

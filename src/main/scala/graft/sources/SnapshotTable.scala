@@ -45,7 +45,8 @@ object SnapshotTable {
 
   final case class Snapshot(version: Int, parent: Int, op: String,
                             rows: Long, files: Seq[String],
-                            stats: Map[String, FileStats] = Map.empty)
+                            stats: Map[String, FileStats] = Map.empty,
+                            schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
@@ -112,8 +113,40 @@ object SnapshotTable {
       }.toMap
       case _ => Map.empty[String, FileStats]
     }
+    val schema = (j \ "schema") match {
+      case JNothing => None
+      case sj =>
+        val txt = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(sj))
+        org.apache.spark.sql.types.DataType.fromJson(txt) match {
+          case st: org.apache.spark.sql.types.StructType => Some(st)
+          case _ => None
+        }
+    }
     Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
-             files, stats)
+             files, stats, schema)
+  }
+
+  /** Schema compatibility gate for append-family commits: the commit schema
+    * must carry exactly the parent's (name → type) map — a same-name TYPE
+    * drift or an added/dropped column would make the live file set
+    * footer-inconsistent (plain parquet reads take ONE footer's schema, so
+    * drift reads differently depending on which file plans first — silent).
+    * Widening the table shape goes through `overwrite` (full rewrite, new
+    * schema) by design. */
+  private def requireCompatible(parent: Option[org.apache.spark.sql.types.StructType],
+                                next: org.apache.spark.sql.types.StructType,
+                                v: Int): Unit = parent.foreach { p =>
+    val pm = p.fields.map(f => f.name -> f.dataType).toMap
+    val nm = next.fields.map(f => f.name -> f.dataType).toMap
+    val drift = pm.keySet.intersect(nm.keySet)
+      .filter(k => pm(k) != nm(k))
+      .map(k => s"$k: ${pm(k).simpleString} -> ${nm(k).simpleString}")
+    val shape = (pm.keySet diff nm.keySet).map(k => s"-$k") ++
+      (nm.keySet diff pm.keySet).map(k => s"+$k")
+    require(drift.isEmpty && shape.isEmpty,
+      s"append to v$v is schema-incompatible with the table " +
+        s"(${(drift ++ shape).mkString(", ")}); use op=overwrite to reshape")
   }
 
   /** Append or overwrite `df` as a new snapshot; returns the new version. */
@@ -133,12 +166,13 @@ object SnapshotTable {
     // resolves — the loser's orphaned directory is unreferenced garbage
     // (cleaned by maintenance), never a dangling reference in the winner's
     // manifest (Iceberg's uuid-named data files, same reasoning)
-    val (newFiles, newStats) = writeAttempt(spark, root, v, df)
     val prev = if (op == "overwrite" || base == 0) None else Some(snapshot(root, base))
+    prev.foreach(p => requireCompatible(p.schema, df.schema, base))
+    val (newFiles, newStats) = writeAttempt(spark, root, v, df)
     val live = prev.map(_.files).getOrElse(Nil) ++ newFiles
     val rows = prev.map(_.rows).getOrElse(0L) + newStats.valuesIterator.map(_.rows).sum
     val stats = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
-    publish(root, v, manifestJson(v, base, op, rows, live, stats))
+    publish(root, v, manifestJson(v, base, op, rows, live, stats, df.schema))
     v
   }
 
@@ -228,7 +262,8 @@ object SnapshotTable {
   }
 
   private def manifestJson(v: Int, parent: Int, op: String, rows: Long,
-                           files: Seq[String], stats: Map[String, FileStats]): String = {
+                           files: Seq[String], stats: Map[String, FileStats],
+                           schema: org.apache.spark.sql.types.StructType): String = {
     def jd(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else d.toString
     val statsJson = files.filter(stats.contains).map { f =>
@@ -240,7 +275,8 @@ object SnapshotTable {
     }.mkString(", ")
     s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,
        | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
-       | "stats": {$statsJson}}""".stripMargin
+       | "stats": {$statsJson},
+       | "schema": ${schema.json}}""".stripMargin
   }
 
   /** Lease window for abandoned publish claims: a claim older than this
@@ -335,20 +371,27 @@ object SnapshotTable {
     * not representable without a schema, so version 0 is an error.
     * `prune` drops data files whose manifest stats exclude the range BEFORE
     * the scan is planned (Iceberg split planning; the caller still applies
-    * its own row filter — file stats bound files, not rows). */
+    * its own row filter — file stats bound files, not rows). The scan is
+    * PINNED to the manifest-recorded commit schema (time travel reads each
+    * version with ITS schema; no footer fetch on the planning path —
+    * commit-time compatibility makes every live footer agree with it). */
   def read(spark: SparkSession, root: String, asOf: Int = -1,
            prune: Seq[ColRange] = Nil): DataFrame = {
     val v = if (asOf >= 0) asOf else currentVersion(root)
     require(v >= 1, s"no snapshot $v at $root")
+    val snap = snapshot(root, v)
+    val reader = snap.schema.fold(spark.read)(spark.read.schema)
     val files = planFiles(root, v, prune)
-    if (files.nonEmpty) spark.read.parquet(files.map(f => s"$root/$f"): _*)
-    else {
-      // pruning legitimately eliminated every file: an EMPTY result, not an
-      // error — schema comes from any live file's footer (a range query
-      // before the data's time window is a normal empty read, not a bug)
-      val live = snapshot(root, v).files
-      require(live.nonEmpty, s"snapshot v$v has no files at $root")
-      spark.read.parquet(s"$root/${live.head}").limit(0)
+    if (files.nonEmpty) reader.parquet(files.map(f => s"$root/$f"): _*)
+    else snap.schema match {
+      // pruning legitimately eliminated every file: an EMPTY result with
+      // the manifest schema, not an error (a range query before the data's
+      // time window is a normal empty read, not a bug)
+      case Some(st) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => // pre-schema manifest: any live file's footer
+        require(snap.files.nonEmpty, s"snapshot v$v has no files at $root")
+        spark.read.parquet(s"$root/${snap.files.head}").limit(0)
     }
   }
 
@@ -384,13 +427,31 @@ object SnapshotTable {
       // keep them (conservative) unless their own snapshot pruned them out
       allAdded.filterNot(snapshot(root, toV).files.toSet)
     val added = allAdded.filter(planned)
-    if (added.nonEmpty) spark.read.parquet(added.map(f => s"$root/$f"): _*)
-    else {
-      val live = snapshot(root, toV).files
-      require(live.nonEmpty || allAdded.nonEmpty,
-        s"snapshot v$toV has no files at $root")
-      val schemaFrom = allAdded.headOption.getOrElse(live.head)
-      spark.read.parquet(s"$root/$schemaFrom").limit(0)
+    // surface the recorded schema: every contributing version must agree on
+    // (name -> type) or the union scan silently reads whichever footer
+    // plans first — a mid-range overwrite that reshaped the table is a
+    // LOUD error directing the caller to read per-version instead
+    val schemas = (math.max(1, fromV + 1) to toV)
+      .map(snapshot(root, _)).filter(s => s.op == "append" || s.op == "overwrite")
+      .flatMap(_.schema)
+    schemas.headOption.foreach { first =>
+      val fm = first.fields.map(f => f.name -> f.dataType).toMap
+      schemas.foreach { st =>
+        require(st.fields.map(f => f.name -> f.dataType).toMap == fm,
+          s"changes(v$fromV, v$toV) spans a schema change; read per-version")
+      }
+    }
+    val reader = schemas.headOption.fold(spark.read)(spark.read.schema)
+    if (added.nonEmpty) reader.parquet(added.map(f => s"$root/$f"): _*)
+    else schemas.headOption match {
+      case Some(st) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None =>
+        val live = snapshot(root, toV).files
+        require(live.nonEmpty || allAdded.nonEmpty,
+          s"snapshot v$toV has no files at $root")
+        val schemaFrom = allAdded.headOption.getOrElse(live.head)
+        spark.read.parquet(s"$root/$schemaFrom").limit(0)
     }
   }
 
@@ -401,7 +462,8 @@ object SnapshotTable {
     val base = currentVersion(root)
     val v = base + 1
     publish(root, v, manifestJson(v, base, "rollback", target.rows,
-      target.files, target.stats))
+      target.files, target.stats,
+      target.schema.getOrElse(read(spark, root, toV).schema)))
     v
   }
 
@@ -415,10 +477,11 @@ object SnapshotTable {
     val base = currentVersion(root)
     require(base >= 1, s"nothing to compact at $root")
     val v = base + 1
+    val cur = read(spark, root)
     val (newFiles, stats) =
-      writeAttempt(spark, root, v, read(spark, root).repartition(targetFiles))
+      writeAttempt(spark, root, v, cur.repartition(targetFiles))
     publish(root, v, manifestJson(v, base, "compact",
-      stats.valuesIterator.map(_.rows).sum, newFiles, stats))
+      stats.valuesIterator.map(_.rows).sum, newFiles, stats, cur.schema))
     v
   }
 

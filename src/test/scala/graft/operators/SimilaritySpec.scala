@@ -113,4 +113,39 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(cc == Map("a" -> "a", "x" -> "a", "y" -> "a", "b" -> "b", "b2" -> "b"))
   }
+
+  test("LshBucketKeys/IvfProbe expressions: bit-identical to the scalar spec, no ScalaUDF in plan") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 4f))
+    }
+    val df = vecs.toDF("q_id", "embedding")
+    // expression output == Similarity.bucketKeys for every vector
+    val got = df.select(col("q_id"),
+        graft.functions.AnnFunctions.lshBucketKeys(col("embedding"), 16, 4, 8).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == Similarity.bucketKeys(v, 16, 4, 8).toSeq, s"id $id")
+    }
+    // probe expression == the (dist, idx)-sorted take-nProbe spec
+    val cs = Array.tabulate(5)(c => Array.tabulate(16)(d => (c * d % 7).toDouble / 3))
+    val probes = df.select(col("q_id"),
+        graft.functions.AnnFunctions.ivfProbe(col("embedding"), cs, 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    vecs.foreach { case (id, v) =>
+      val want = cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < cs(c).length && i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(3).map(_._2)
+      assert(probes(id) == want, s"id $id")
+    }
+    // the ANN operator plans carry no ScalaUDF (codegen Expressions only)
+    val ann = Similarity.annCosine(spark, df, df.toDF("c_id", "embedding"), k = 2)
+    assert(!ann.queryExecution.executedPlan.toString.contains("UDF"),
+      "annCosine plan must not contain ScalaUDF")
+    val ivf = Similarity.ivfCosine(spark, df, df.toDF("c_id", "embedding"), k = 2, nLists = 4)
+    assert(!ivf.queryExecution.executedPlan.toString.contains("UDF"),
+      "ivfCosine plan must not contain ScalaUDF")
+  }
 }

@@ -41,6 +41,16 @@ class FlagshipSpec extends AnyFunSuite {
     } finally SnapshotTable.deleteRecursively(root)
   }
 
+  test("trainingPipeline returns a LAZY snapshot read — parquet scan, not a collected LocalRelation") {
+    val out = Flagship.trainingPipeline(spark, sfDir)
+    val plan = out.queryExecution.executedPlan
+    assert(!plan.toString.contains("LocalTableScan"),
+      s"keeper manifest must not be collected to the driver:\n$plan")
+    assert(plan.collectLeaves().exists(_.toString.toLowerCase.contains("parquet")),
+      s"expected a parquet file scan leaf:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("keeper manifest is consistent: every kind tagged, doc keepers ⊆ filtered docs") {
     val out = Flagship.trainingPipeline(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)))

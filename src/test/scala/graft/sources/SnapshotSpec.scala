@@ -315,4 +315,35 @@ class SnapshotSpec extends AnyFunSuite {
       assert(java.nio.file.Files.exists(c4), "fresh claim must survive expire")
     } finally SnapshotTable.forceFallbackPublish = false
   }
+
+  test("manifest-recorded schema: pinned time travel, incompatible append rejected") {
+    import spark.implicits._
+    val root = freshRoot("schema")
+    commit(spark, root, df(0 until 5))                            // (id BIGINT, s STRING)
+    // same-name TYPE drift must be rejected loudly
+    val drift = Seq((1, "x")).toDF("id", "s")                     // id INT, not BIGINT
+    val e1 = intercept[IllegalArgumentException] { commit(spark, root, drift) }
+    assert(e1.getMessage.contains("schema-incompatible"), e1.getMessage)
+    // an added column must be rejected on append (plain-parquet footers
+    // would disagree) and directed to overwrite
+    val wider = Seq((1L, "x", 3.5)).toDF("id", "s", "extra")
+    val e2 = intercept[IllegalArgumentException] { commit(spark, root, wider) }
+    assert(e2.getMessage.contains("overwrite"), e2.getMessage)
+    // overwrite DOES reshape; each version then time-travels with ITS schema
+    commit(spark, root, wider, op = "overwrite")                  // v2
+    assert(read(spark, root, asOf = 1).columns.toSeq == Seq("id", "s"))
+    assert(read(spark, root, asOf = 2).columns.toSeq == Seq("id", "s", "extra"))
+    assert(snapshot(root, 1).schema.get.fieldNames.toSeq == Seq("id", "s"))
+    // appends on the reshaped table enforce the NEW schema
+    intercept[IllegalArgumentException] { commit(spark, root, df(9 until 10)) }
+    commit(spark, root, Seq((2L, "y", 4.5)).toDF("id", "s", "extra")) // v3 ok
+    assert(read(spark, root).count() == 2)
+    // changes() across the schema boundary is a loud error, within it works
+    val ch = changes(spark, root, fromV = 2, toV = 3)
+    assert(ch.columns.toSeq == Seq("id", "s", "extra") && ch.count() == 1)
+    val e3 = intercept[IllegalArgumentException] {
+      changes(spark, root, fromV = 0, toV = 3).count()
+    }
+    assert(e3.getMessage.contains("schema change"), e3.getMessage)
+  }
 }
