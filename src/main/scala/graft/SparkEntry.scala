@@ -150,6 +150,10 @@ object SparkEntry {
     "q100_stream_file_sink"  -> (Stream.streamFileSink _),
     // snapshot maintenance: compact to fewer files + expire/GC history
     "q101_snapshot_compact"  -> (Snap.snapshotCompact _),
+    // round-5: cross-CRS warp — reprojection chain replayed independently
+    // in DuckDB over integer decisions (WarpCrossOracleSpec certifies the
+    // decision margins)
+    "q102_warp_cross"        -> (EngineOracle.warpCross _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +263,6 @@ object SparkEntry {
     "q99_snapshot_prune"     -> Snap.snapshotPruneSql,
     "q100_stream_file_sink"  -> Stream.streamFileSinkSql,
     "q101_snapshot_compact"  -> Snap.snapshotCompactSql,
+    "q102_warp_cross"        -> EngineOracle.warpCrossSql,
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Dataset}
 import org.apache.spark.sql.functions._
-import graft.geo.{Extent, GridSpec}
+import graft.geo.{Extent, GridSpec, Proj}
 import graft.sources.{Codec, ImageRow}
 
 /** One aligned tile of one image on the common target grid — the engine's
@@ -32,9 +32,22 @@ object Warp {
   val TileSize = 64
 
   /** Stage A. Strategies follow `parse_res`/`parse_extent` (`warplib.py:
-    * 312-419`); 'first' = lowest image_id (the reference's list order). */
+    * 312-419`); 'first' = lowest image_id (the reference's list order).
+    * `tSrs` resolves the TARGET CRS (`parse_srs` `warplib.py:264-310`):
+    * "first" = the first image's CRS (the reference default), or an
+    * explicit CRS id. Images in other CRSs contribute their PROJECTED
+    * footprint (densified-boundary bbox) and projected center-pixel step
+    * to the extent/res strategies — the `gdal.ReprojectImage` analog over
+    * the deterministic spherical projections in [[graft.geo.Proj]]. The
+    * single-CRS fast path is bit-identical to the pre-cross-CRS analyze
+    * (the q40/q63 oracle arithmetic). */
   def analyze(images: DataFrame, resStrategy: String = "min",
-              extentStrategy: String = "union"): GridSpec = {
+              extentStrategy: String = "union", tSrs: String = "first"): GridSpec = {
+    val crsSet = images.select(col("crs")).distinct().collect().map(_.getString(0)).sorted
+    val firstCrs = images.agg(min_by(col("crs"), col("image_id"))).head().getString(0)
+    val targetCrs = if (tSrs == "first") firstCrs else tSrs
+    if (crsSet.exists(_ != targetCrs))
+      return analyzeCross(images, resStrategy, extentStrategy, targetCrs)
     val m = images.agg(
       min(col("res")).as("rmin"), max(col("res")).as("rmax"),
       avg(col("res")).as("rmean"), expr("percentile(res, 0.5)").as("rmed"),
@@ -72,6 +85,56 @@ object Warp {
     GridSpec.fromExtentRes(extent, res, crs)
   }
 
+  /** Cross-CRS stage A: one narrow pass projects each image's metadata
+    * (never the payload) into the target CRS — footprint by densified
+    * boundary, res by center-pixel step — then the SAME strategy
+    * aggregation. Distributed (no per-image driver collect): the metadata
+    * row is ~50 B, so this scales to any image count. */
+  private def analyzeCross(images: DataFrame, resStrategy: String,
+                           extentStrategy: String, targetCrs: String): GridSpec = {
+    val spark = images.sparkSession
+    val projRdd = images.select(col("image_id"), col("ulx"), col("uly"),
+        col("res"), col("w"), col("h"), col("crs")).rdd
+      .map { r =>
+        val g = GridSpec(r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getString(6), r.getInt(4), r.getInt(5))
+        val e = Proj.projectExtent(g.extent, g.crs, targetCrs)
+        (r.getString(0), Proj.resIn(g, targetCrs), e.xmin, e.ymin, e.xmax, e.ymax)
+      }
+    val proj = spark.createDataFrame(projRdd)
+      .toDF("image_id", "res", "xmin", "ymin", "xmax", "ymax")
+    val m = proj.agg(
+      min(col("res")).as("rmin"), max(col("res")).as("rmax"),
+      avg(col("res")).as("rmean"), expr("percentile(res, 0.5)").as("rmed"),
+      min(col("xmin")), min(col("ymin")), max(col("xmax")), max(col("ymax")),
+      max(col("xmin")), max(col("ymin")), min(col("xmax")), min(col("ymax")),
+      min_by(struct(col("xmin"), col("ymin"), col("xmax"), col("ymax"), col("res")),
+             col("image_id")).as("first")
+    ).head()
+    val res = resStrategy match {
+      case "first" => m.getStruct(12).getDouble(4)
+      case "min"   => m.getDouble(0)
+      case "max"   => m.getDouble(1)
+      case "mean"  => m.getDouble(2)
+      case "med"   => m.getDouble(3)
+      case "common_scale_factor" => math.sqrt(m.getDouble(1) / m.getDouble(0)) * m.getDouble(0)
+      case s => s.toDouble
+    }
+    val extent = extentStrategy match {
+      case "union" => Extent(m.getDouble(4), m.getDouble(5), m.getDouble(6), m.getDouble(7))
+      case "intersection" =>
+        val e = Extent(m.getDouble(8), m.getDouble(9), m.getDouble(10), m.getDouble(11))
+        require(!e.isEmpty, "Input extents do not intersect") // warplib.py:404-405
+        e
+      case "first" =>
+        val f = m.getStruct(12)
+        Extent(f.getDouble(0), f.getDouble(1), f.getDouble(2), f.getDouble(3))
+      case s =>
+        val p = s.split("[ ,]+").map(_.toDouble); Extent(p(0), p(1), p(2), p(3))
+    }
+    GridSpec.fromExtentRes(extent, res, targetCrs)
+  }
+
   /** No-op elision test for one image grid vs the target —
     * `warp_multi` `warplib.py:479-515`: same srs, res equal and extent
     * corners aligned within precision (1e-3 projected / 1e-8 geographic),
@@ -98,9 +161,14 @@ object Warp {
 
   /** Target-pixel bounds of an image grid's overlap with the target
     * (clamped), or None when disjoint — the tile-assignment arithmetic of
-    * warpOne, exposed for the SQL-twinned assignment oracle (q63). */
+    * warpOne, exposed for the SQL-twinned assignment oracle (q63). The
+    * source footprint is projected into the target CRS first (identity
+    * short-circuit keeps the same-CRS arithmetic byte-stable). */
   def pixelBounds(g: GridSpec, target: GridSpec): Option[(Int, Int, Int, Int)] = {
-    val inter = g.extent.intersection(target.extent).getOrElse(return None)
+    val srcExt =
+      if (g.crs == target.crs) g.extent
+      else Proj.projectExtent(g.extent, g.crs, target.crs)
+    val inter = srcExt.intersection(target.extent).getOrElse(return None)
     val px0 = math.max(0, math.floor((inter.xmin - target.ulx) / target.res).toInt)
     val px1 = math.min(target.w - 1, math.ceil((inter.xmax - target.ulx) / target.res).toInt - 1)
     val py0 = math.max(0, math.floor((target.uly - inter.ymax) / target.res).toInt)
@@ -116,6 +184,12 @@ object Warp {
     val src = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
     val ndv = img.ndv.toFloat
     val aligned = isAligned(g, target)
+    // cross-CRS resample: inverse-project each target pixel-center map
+    // coordinate into the source CRS, then sample as usual (ReprojectImage
+    // parity, warplib.py:196); same-CRS keeps the identity fast path
+    val cross = g.crs != target.crs
+    val toSrc = if (cross) Proj.transform(target.crs, g.crs) else null
+    val pooledKernel = kernel == "average" || kernel == "mode"
     val tsUs = img.ts.getTime * 1000L
 
     val tx0 = px0 / tileSize; val tx1 = px1 / tileSize
@@ -143,8 +217,17 @@ object Warp {
               val sx = px + offX; val sy = py + offY
               if (sx >= 0 && sx < img.w && sy >= 0 && sy < img.h) src(sy * img.w + sx) else ndv
             } else {
-              val (mx, my) = target.pixelToMap(px, py)
-              Resample.sample(src, img.w, img.h, g, mx, my, kernel, ndv, target.res)
+              val (tx0, ty0m) = target.pixelToMap(px, py)
+              val (mx, my) = if (cross) toSrc(tx0, ty0m) else (tx0, ty0m)
+              // pooled kernels need the target footprint in SOURCE units:
+              // local step = distance to the next target center, projected
+              val tRes =
+                if (!cross || !pooledKernel) target.res
+                else {
+                  val (nx, ny) = toSrc(tx0 + target.res, ty0m)
+                  math.hypot(nx - mx, ny - my)
+                }
+              Resample.sample(src, img.w, img.h, g, mx, my, kernel, ndv, tRes)
             }
           if (v != ndv) {
             payload((py - ty * tileSize) * tileSize + (px - tx * tileSize)) = v

@@ -1754,4 +1754,172 @@ object EngineOracle {
        |UNION ALL
        |SELECT 'img' AS kind, comp_all AS id FROM icl""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q102 — cross-CRS warp oracle (VERDICT r4 #1): the full reprojection
+  // chain replayed INDEPENDENTLY in DuckDB
+  // ---------------------------------------------------------------------
+
+  /** Fixed two-image fixture in EPSG:32610 (UTM 10N), integer payloads,
+    * fully valid (no NDV margins): the closed-form pixel values make every
+    * emitted number an integer DECISION rather than a float, so the oracle
+    * can recompute the spherical projections with ITS OWN libm (DuckDB
+    * sin/cos/atan2/ln differ from the JVM in the last ulp) and still match
+    * strictly — WarpCrossOracleSpec certifies every floor/ceil/round
+    * decision is stable under ±1e-9 perturbation of all
+    * transcendental-derived intermediates (the q85/q90 isolated-argmax
+    * precedent generalized). */
+  private[graft] val wcGrids: Seq[graft.geo.GridSpec] = Seq(
+    graft.geo.GridSpec(500000.0, 5300000.0, 64.0, "EPSG:32610", 48, 40),
+    graft.geo.GridSpec(500800.0, 5299200.0, 96.0, "EPSG:32610", 40, 32))
+
+  private[graft] def wcValue(i: Int, cx: Int, cy: Int): Int =
+    if (i == 0) 1 + (cx * 7 + cy * 13) % 199 else 1 + (cx * 11 + cy * 5) % 173
+
+  /** Bilinear decisions are quantized to 1/WcQ before hashing; the spec
+    * certifies the quantization margins. */
+  private[graft] val WcQ = 16.0
+
+  private[graft] def wcImages(s: SparkSession): DataFrame = {
+    val rows = wcGrids.zipWithIndex.map { case (g, i) =>
+      val px = Array.tabulate(g.w * g.h)(idx => wcValue(i, idx % g.w, idx / g.w).toFloat)
+      graft.sources.ImageRow(s"wc$i", graft.sources.Codec.encode(px, g.w, g.h, "raw"),
+        g.w, g.h, "raw", "", 0L, g.ulx, g.uly, g.res, g.crs,
+        graft.sources.ImageTable.Ndv.toDouble,
+        new java.sql.Timestamp(86400000L * (i + 1)))
+    }
+    import s.implicits._
+    s.createDataset(rows).toDF()
+  }
+
+  /** Pure-Scala replica of the cross-CRS `Warp.analyze("min", "union",
+    * tSrs = 4326)` on the fixture — its grid parameters are embedded into
+    * the SQL twin as literals (the q93 constant-embedding technique);
+    * WarpCrossOracleSpec asserts it equals the Spark analyze exactly. */
+  private[graft] def wcTarget: graft.geo.GridSpec = {
+    val tcrs = "EPSG:4326"
+    val res = wcGrids.map(g => graft.geo.Proj.resIn(g, tcrs)).min
+    val ext = graft.geo.Extent.unionAll(
+      wcGrids.map(g => graft.geo.Proj.projectExtent(g.extent, g.crs, tcrs)))
+    graft.geo.GridSpec.fromExtentRes(ext, res, tcrs)
+  }
+
+  /** q102 engine side: analyze(tSrs=4326) → cross-CRS warp with BOTH the
+    * near and bilinear kernels → integer decisions per target pixel
+    * (near: the integer source value itself; bilinear: floor(v·WcQ + ½) of
+    * the float32 payload). (px, py) presence IS the tile-assignment check. */
+  def warpCross(s: SparkSession, d: String): DataFrame = {
+    val imgs = wcImages(s)
+    val target = Warp.analyze(imgs, "min", "union", tSrs = "EPSG:4326")
+    def cells(kernel: String): DataFrame =
+      Warp.warpToTiles(s, imgs, target, kernel).toDF()
+        .select(col("image_id"), col("tx"), col("ty"),
+                posexplode(col("payload")).as(Seq("pidx", "v")))
+        .filter(col("v") =!= graft.sources.ImageTable.Ndv)
+        .select(substring(col("image_id"), 3, 1).cast("int").as("img"),
+          (col("tx") * T + col("pidx") % T).cast("int").as("px"),
+          (col("ty") * T + expr(s"cast(pidx div $T as int)")).cast("int").as("py"),
+          col("v"))
+    cells("near").select(col("img"), lit("near").as("krn"), col("px"), col("py"),
+        floor(col("v").cast("double") + 0.5).cast("long").as("q"))
+      .unionByName(cells("bilinear").select(col("img"), lit("bil").as("krn"),
+        col("px"), col("py"),
+        floor(col("v").cast("double") * WcQ + 0.5).cast("long").as("q")))
+  }
+
+  /** q102 oracle: per-image pixel bounds from the DENSIFIED projected
+    * footprint (22 samples per edge through the exp-form spherical-TM
+    * inverse), then per-pixel forward TM (lon/lat → UTM) with DuckDB's own
+    * transcendentals, nearest / bilinear sampling over the closed-form
+    * integer payload, and the same integer decisions. Embedded literals:
+    * the target grid (engine analyze output) and k0·R. */
+  val warpCrossSql: String = {
+    def dlit(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+    val t = wcTarget
+    val kR = 0.9996 * graft.geo.Proj.R
+    val (tulx, tuly, tres) = (dlit(t.ulx), dlit(t.uly), dlit(t.res))
+    val kRl = dlit(kR)
+    val imgsRows = wcGrids.zipWithIndex.map { case (g, i) =>
+      s"($i, ${g.ulx}, ${g.uly}, ${g.res}, ${g.w}, ${g.h})"
+    }.mkString(", ")
+    s"""WITH imgs(i, gulx, guly, gres, gw, gh) AS (VALUES $imgsRows),
+       |tgt AS (SELECT $tulx AS tulx, $tuly AS tuly, $tres AS tres,
+       |               ${t.w} AS tw, ${t.h} AS th),
+       |-- densified source-footprint boundary (Proj.projectExtent: 22
+       |-- samples per edge), inverse-projected with exp-form sinh/cosh
+       |edge AS (SELECT i, gulx + CASE WHEN e.f IN (0, 1) THEN s.t / 21.0 * gw * gres
+       |                               WHEN e.f = 2 THEN 0 ELSE gw * gres END AS bx,
+       |               (guly - gh * gres) + CASE WHEN e.f IN (2, 3) THEN s.t / 21.0 * gh * gres
+       |                               WHEN e.f = 0 THEN 0 ELSE gh * gres END AS by
+       |  FROM imgs, generate_series(0, 21) s(t), (VALUES (0), (1), (2), (3)) e(f)),
+       |lls AS (SELECT i,
+       |    -123.0 + degrees(atan2((exp(xp) - exp(-xp)) / 2, cos(dp))) AS lon,
+       |    degrees(asin(sin(dp) / ((exp(xp) + exp(-xp)) / 2))) AS lat
+       |  FROM (SELECT i, (bx - 500000.0) / $kRl AS xp, by / $kRl AS dp FROM edge)),
+       |bbox AS (SELECT i, min(lon) AS bxmin, min(lat) AS bymin,
+       |                max(lon) AS bxmax, max(lat) AS bymax FROM lls GROUP BY i),
+       |-- Warp.pixelBounds: clip to the target extent, floor/ceil to pixels
+       |bnds AS (SELECT i, gulx, guly, gres, gw, gh,
+       |    greatest(0, floor((greatest(bxmin, tulx) - tulx) / tres)::INT) AS px0,
+       |    least(tw - 1, ceil((least(bxmax, tulx + tw * tres) - tulx) / tres)::INT - 1) AS px1,
+       |    greatest(0, floor((tuly - least(bymax, tuly)) / tres)::INT) AS py0,
+       |    least(th - 1, ceil((tuly - greatest(bymin, tuly - th * tres)) / tres)::INT - 1) AS py1
+       |  FROM bbox JOIN imgs USING (i), tgt),
+       |pxl AS (SELECT i, gulx, guly, gres, gw, gh, gx.px, gy.py
+       |  FROM bnds, tgt, generate_series(0, ${t.w - 1}) gx(px),
+       |       generate_series(0, ${t.h - 1}) gy(py)
+       |  WHERE gx.px BETWEEN px0 AND px1 AND gy.py BETWEEN py0 AND py1),
+       |-- per-pixel: target center → lon/lat (identity in 4326) → forward
+       |-- spherical TM (Proj.TmercSphere) → fractional source pixel
+       |frac AS (SELECT i, px, py, gw, gh,
+       |    (500000.0 + $kRl * (0.5 * ln((1 + b) / (1 - b))) - gulx) / gres - 0.5 AS pxf,
+       |    (guly - ($kRl * atan2(tan(lr), cos(dl)))) / gres - 0.5 AS pyf
+       |  FROM (SELECT i, px, py, gulx, guly, gres, gw, gh,
+       |          cos(lr) * sin(dl) AS b, lr, dl
+       |        FROM (SELECT i, px, py, gulx, guly, gres, gw, gh,
+       |                radians((tulx + (px + 0.5) * tres) - -123.0) AS dl,
+       |                radians(tuly - (py + 0.5) * tres) AS lr
+       |              FROM pxl, tgt))),
+       |near AS (SELECT i, px, py, floor(pxf + 0.5)::INT AS cx, floor(pyf + 0.5)::INT AS cy,
+       |                gw, gh FROM frac),
+       |bil0 AS (SELECT i, px, py, gw, gh, floor(pxf)::INT AS x0, floor(pyf)::INT AS y0,
+       |                pxf - floor(pxf) AS fx, pyf - floor(pyf) AS fy FROM frac),
+       |-- engine neighbor order (0,0),(1,0),(0,1),(1,1); out-of-bounds terms
+       |-- are +0.0 — the identical IEEE chain (q96 skipped-term precedent)
+       |bil AS (SELECT i, px, py,
+       |    (((CASE WHEN x0 >= 0 AND x0 < gw AND y0 >= 0 AND y0 < gh
+       |         THEN v00 * ((1 - fx) * (1 - fy)) ELSE 0 END
+       |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < gw AND y0 >= 0 AND y0 < gh
+       |         THEN v10 * (fx * (1 - fy)) ELSE 0 END)
+       |     + CASE WHEN x0 >= 0 AND x0 < gw AND y0 + 1 >= 0 AND y0 + 1 < gh
+       |         THEN v01 * ((1 - fx) * fy) ELSE 0 END)
+       |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < gw AND y0 + 1 >= 0 AND y0 + 1 < gh
+       |         THEN v11 * (fx * fy) ELSE 0 END) AS vsum,
+       |    (((CASE WHEN x0 >= 0 AND x0 < gw AND y0 >= 0 AND y0 < gh
+       |         THEN (1 - fx) * (1 - fy) ELSE 0 END
+       |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < gw AND y0 >= 0 AND y0 < gh
+       |         THEN fx * (1 - fy) ELSE 0 END)
+       |     + CASE WHEN x0 >= 0 AND x0 < gw AND y0 + 1 >= 0 AND y0 + 1 < gh
+       |         THEN (1 - fx) * fy ELSE 0 END)
+       |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < gw AND y0 + 1 >= 0 AND y0 + 1 < gh
+       |         THEN fx * fy ELSE 0 END) AS wsum
+       |  FROM (SELECT *,
+       |      CASE WHEN i = 0 THEN 1 + (x0 * 7 + y0 * 13) % 199
+       |           ELSE 1 + (x0 * 11 + y0 * 5) % 173 END::DOUBLE AS v00,
+       |      CASE WHEN i = 0 THEN 1 + ((x0 + 1) * 7 + y0 * 13) % 199
+       |           ELSE 1 + ((x0 + 1) * 11 + y0 * 5) % 173 END::DOUBLE AS v10,
+       |      CASE WHEN i = 0 THEN 1 + (x0 * 7 + (y0 + 1) * 13) % 199
+       |           ELSE 1 + (x0 * 11 + (y0 + 1) * 5) % 173 END::DOUBLE AS v01,
+       |      CASE WHEN i = 0 THEN 1 + ((x0 + 1) * 7 + (y0 + 1) * 13) % 199
+       |           ELSE 1 + ((x0 + 1) * 11 + (y0 + 1) * 5) % 173 END::DOUBLE AS v11
+       |    FROM bil0))
+       |SELECT i AS img, 'near' AS krn, px, py,
+       |    (CASE WHEN i = 0 THEN 1 + (cx * 7 + cy * 13) % 199
+       |          ELSE 1 + (cx * 11 + cy * 5) % 173 END)::BIGINT AS q
+       |  FROM near WHERE cx >= 0 AND cx < gw AND cy >= 0 AND cy < gh
+       |UNION ALL
+       |SELECT i AS img, 'bil' AS krn, px, py,
+       |    floor(CAST(vsum / wsum AS FLOAT)::DOUBLE * ${WcQ} + 0.5)::BIGINT AS q
+       |  FROM bil WHERE wsum > 0""".stripMargin
+  }
 }

@@ -1,0 +1,87 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProjSpec extends AnyFunSuite {
+  private val cases: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "EPSG:32610" -> Seq((-123.0, 47.8), (-124.5, 40.0), (-121.2, 55.0)),
+    "EPSG:32633" -> Seq((15.0, 0.01), (12.5, 45.0), (17.9, 70.0)),
+    "EPSG:32760" -> Seq((177.0, -45.0), (174.1, -10.0), (179.9, -75.0)),
+    "EPSG:3413"  -> Seq((-45.0, 70.0), (10.0, 85.0), (-120.0, 60.0)),
+    "EPSG:3031"  -> Seq((0.0, -71.0), (90.0, -85.0), (-170.0, -60.0)))
+
+  test("inverse ∘ forward is identity (≤1e-9°) across the registered family") {
+    for ((crs, pts) <- cases; (lon, lat) <- pts) {
+      val p = Proj.of(crs)
+      val (x, y) = p.forward(lon, lat)
+      val (lo, la) = p.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"$crs ($lon, $lat) → ($x, $y) → ($lo, $la)")
+    }
+  }
+
+  test("UTM forward IS localtmerc scaled by k0 with false offsets (geolib.py:122-127)") {
+    // cross-check against the independently-tested Srs scalar
+    for ((lon, lat) <- Seq((-123.0, 47.8), (-124.7, 52.3), (-121.0, 40.1))) {
+      val (xl, yl) = Srs.localTmerc(-123.0, 0.0)(lon, lat)
+      val (x, y) = Proj.of("EPSG:32610").forward(lon, lat)
+      assert(math.abs(x - (500000.0 + 0.9996 * xl)) < 1e-6, s"x at ($lon,$lat)")
+      assert(math.abs(y - 0.9996 * yl) < 1e-6, s"y at ($lon,$lat)")
+    }
+  }
+
+  test("UTM zone parameters and known anchor points") {
+    // central meridian maps to the false easting; equator to FN
+    val (x0, y0) = Proj.of("EPSG:32633").forward(15.0, 0.0)
+    assert(math.abs(x0 - 500000.0) < 1e-9 && math.abs(y0) < 1e-9)
+    val (xs, ys) = Proj.of("EPSG:32760").forward(177.0, 0.0)
+    assert(math.abs(xs - 500000.0) < 1e-9 && math.abs(ys - 1e7) < 1e-9)
+    // zone number → lon0 (10 → −123, 33 → 15, 60 → 177): southern point west
+    // of lon0 lands west of FE
+    val (xw, _) = Proj.of("EPSG:32610").forward(-124.0, 47.0)
+    assert(xw < 500000.0)
+    intercept[IllegalArgumentException] { Proj.of("EPSG:9999") }
+  }
+
+  test("polar stereo: pole at origin, true scale at lat_ts, hemisphere mirror") {
+    val n = Proj.of("EPSG:3413")
+    val (px, py) = n.forward(-45.0, 90.0)
+    assert(math.hypot(px, py) < 1e-6)
+    // scale at the standard parallel: projected arc ≈ true arc (0.01%)
+    val dl = 0.01
+    val (x1, y1) = n.forward(30.0, 70.0); val (x2, y2) = n.forward(30.0 + dl, 70.0)
+    val trueArc = Proj.R * math.cos(math.toRadians(70)) * math.toRadians(dl)
+    assert(math.abs(math.hypot(x2 - x1, y2 - y1) / trueArc - 1.0) < 1e-4)
+    val s = Proj.of("EPSG:3031")
+    val (sx, sy) = s.forward(0.0, -90.0)
+    assert(math.hypot(sx, sy) < 1e-6)
+    val (a1, b1) = s.forward(45.0, -71.0); val (a2, b2) = s.forward(45.0 + dl, -71.0)
+    val trueArcS = Proj.R * math.cos(math.toRadians(71)) * math.toRadians(dl)
+    assert(math.abs(math.hypot(a2 - a1, b2 - b1) / trueArcS - 1.0) < 1e-4)
+  }
+
+  test("projectExtent covers every interior point (densified boundary bbox)") {
+    val e = Extent(500000.0, 5290000.0, 520000.0, 5310000.0) // 20 km UTM box
+    for (dst <- Seq("EPSG:4326", "EPSG:3413")) {
+      val pe = Proj.projectExtent(e, "EPSG:32610", dst)
+      val t = Proj.transform("EPSG:32610", dst)
+      for (i <- 0 to 10; j <- 0 to 10) {
+        val (x, y) = t(e.xmin + i * (e.xmax - e.xmin) / 10,
+                       e.ymin + j * (e.ymax - e.ymin) / 10)
+        assert(x >= pe.xmin - 1e-9 && x <= pe.xmax + 1e-9 &&
+               y >= pe.ymin - 1e-9 && y <= pe.ymax + 1e-9,
+          s"$dst interior point ($x, $y) escapes $pe")
+      }
+    }
+  }
+
+  test("resIn: projected pixel step matches the local degree/meter scale") {
+    val g = GridSpec(500000.0, 5300000.0, 100.0, "EPSG:32610", 50, 50)
+    val r4326 = Proj.resIn(g, "EPSG:4326")
+    // at the central meridian a 100 m east-step is ~100/(R·cosφ) degrees
+    val (_, latC) = Proj.of("EPSG:32610").inverse(g.pixelToMap(25, 25)._1, g.pixelToMap(25, 25)._2)
+    val want = 100.0 / (Proj.R * math.cos(math.toRadians(latC))) * 180.0 / math.Pi
+    assert(math.abs(r4326 / want - 1.0) < 1e-3, s"$r4326 vs $want")
+    assert(Proj.resIn(g, "EPSG:32610") == 100.0) // identity short-circuit
+  }
+}
