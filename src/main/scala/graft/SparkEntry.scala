@@ -154,6 +154,9 @@ object SparkEntry {
     // in DuckDB over integer decisions (WarpCrossOracleSpec certifies the
     // decision margins)
     "q102_warp_cross"        -> (EngineOracle.warpCross _),
+    // snapshot MERGE/upsert + row-level delete: file-level write
+    // amplification + delta-only CDC + exact final row set
+    "q103_snapshot_merge"    -> (Snap.snapshotMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,5 +267,6 @@ object SparkEntry {
     "q100_stream_file_sink"  -> Stream.streamFileSinkSql,
     "q101_snapshot_compact"  -> Snap.snapshotCompactSql,
     "q102_warp_cross"        -> EngineOracle.warpCrossSql,
+    "q103_snapshot_merge"    -> Snap.snapshotMergeSql,
   )
 }

@@ -124,4 +124,71 @@ object Snap {
       |UNION ALL SELECT 3, 'overwrite', c2::BIGINT, s2::BIGINT FROM s
       |UNION ALL SELECT 4, 'rollback', (c0 + c1)::BIGINT, (s0 + s1)::BIGINT FROM s
       |UNION ALL SELECT 5, 'append', (c0 + c1 + c5)::BIGINT, (s0 + s1 + s5)::BIGINT FROM s""".stripMargin
+
+  /** q103 — MERGE/upsert + row-level DELETE end-to-end (round 5): three
+    * 4-file base commits, an upsert (1,500 value updates + 500 inserts at
+    * id+1e6, all tagged event_type='upserted'), then a predicate delete.
+    * The twin pins: the file-level write-amplification bounds (8 of 12
+    * files rewritten by the merge — exactly the two commits whose key
+    * stats intersect the incoming envelope; 4 removed by the delete), the
+    * delta-only CDC stream (upserted rows only, never survivor-rewrite
+    * carriers, nothing from the delete), and the exact final row set via
+    * integer aggregates. File counts are an sf0.01-fixed contract (the
+    * q99 note); survivor-file counts are plan-dependent so only
+    * SET-DIFFERENCE counts are emitted. */
+  def snapshotMerge(s: SparkSession, d: String): DataFrame = {
+    import SnapshotTable.ColRange
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val root = s"/tmp/graft_snapmerge_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val slice = (lo: Int, hi: Int) =>
+        ev.filter(col("event_id") >= lo && col("event_id") < hi).repartition(4)
+      SnapshotTable.commit(s, root, slice(0, 3333))
+      SnapshotTable.commit(s, root, slice(3333, 6666))
+      SnapshotTable.commit(s, root, slice(6666, 1 << 30))
+      val v3files = SnapshotTable.snapshot(root, 3).files.toSet
+      val incoming = ev.filter(col("event_id").between(4000, 5499))
+          .withColumn("event_type", lit("upserted"))
+        .unionByName(ev.filter(col("event_id") < 500)
+          .withColumn("event_id", col("event_id") + 1000000L)
+          .withColumn("event_type", lit("upserted")))
+        .repartition(2)
+      val v4 = SnapshotTable.merge(s, root, incoming, Seq("event_id"))
+      val v4files = SnapshotTable.snapshot(root, v4).files.toSet
+      val v5 = SnapshotTable.delete(s, root,
+        col("event_id") % 7 === 3 && col("event_id") < 3333,
+        prune = Seq(ColRange("event_id", 0, 3332)))
+      val v5files = SnapshotTable.snapshot(root, v5).files.toSet
+      val cdc = SnapshotTable.changes(s, root, fromV = 3, toV = v5)
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      val fin = SnapshotTable.read(s, root)
+        .agg(count(lit(1)), sum(col("event_id")),
+             sum(when(col("event_type") === "upserted", 1L).otherwise(0L))).head()
+      import s.implicits._
+      Seq((v3files.size, (v3files -- v4files).size, (v4files -- v5files).size,
+           cdc.getLong(0), cdc.getLong(1),
+           fin.getLong(0), fin.getLong(2), fin.getLong(1)))
+        .toDF("n_files_base", "n_rewritten_by_merge", "n_removed_by_delete",
+              "cdc_rows", "cdc_sum_id", "n_rows", "n_upserted", "sum_event_id")
+    } finally SnapshotTable.deleteRecursively(root)
+  }
+
+  val snapshotMergeSql: String =
+    """WITH m AS (SELECT
+      |    count(*) FILTER (WHERE event_id BETWEEN 4000 AND 5499) AS u,
+      |    sum(event_id) FILTER (WHERE event_id BETWEEN 4000 AND 5499) AS su,
+      |    count(*) FILTER (WHERE event_id < 500) AS i5,
+      |    sum(event_id) FILTER (WHERE event_id < 500) AS si5,
+      |    count(*) FILTER (WHERE event_id % 7 = 3 AND event_id < 3333) AS dels,
+      |    sum(event_id) FILTER (WHERE event_id % 7 = 3 AND event_id < 3333) AS sdels,
+      |    count(*) AS n, sum(event_id) AS sn
+      |  FROM events)
+      |SELECT 12 AS n_files_base, 8 AS n_rewritten_by_merge,
+      |  4 AS n_removed_by_delete,
+      |  (u + i5)::BIGINT AS cdc_rows,
+      |  (su + si5 + 1000000 * i5)::BIGINT AS cdc_sum_id,
+      |  (n + i5 - dels)::BIGINT AS n_rows,
+      |  (u + i5)::BIGINT AS n_upserted,
+      |  (sn + si5 + 1000000 * i5 - sdels)::BIGINT AS sum_event_id
+      |FROM m""".stripMargin
 }

@@ -46,7 +46,8 @@ object SnapshotTable {
   final case class Snapshot(version: Int, parent: Int, op: String,
                             rows: Long, files: Seq[String],
                             stats: Map[String, FileStats] = Map.empty,
-                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            delta: Seq[String] = Nil)
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
@@ -113,6 +114,10 @@ object SnapshotTable {
       }.toMap
       case _ => Map.empty[String, FileStats]
     }
+    val delta = (j \ "delta") match {
+      case JArray(fs) => fs.collect { case JString(f) => f }
+      case _ => Nil
+    }
     val schema = (j \ "schema") match {
       case JNothing => None
       case sj =>
@@ -124,7 +129,7 @@ object SnapshotTable {
         }
     }
     Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
-             files, stats, schema)
+             files, stats, schema, delta)
   }
 
   /** Schema compatibility gate for append-family commits: the commit schema
@@ -192,6 +197,24 @@ object SnapshotTable {
     (newFiles, computeStats(spark, root, newFiles))
   }
 
+  /** Column expression whose min/max are the manifest-stat bounds for a
+    * field: epoch MICROS for timestamps (NTZ pinned as-if-UTC), the NATIVE
+    * value for long/decimal (directed-rounded on the driver), a double cast
+    * otherwise. Shared by commit-time stats and merge's key-envelope agg so
+    * the two sides of the pruning comparison can never diverge in units. */
+  private def statExpr(f: org.apache.spark.sql.types.StructField,
+                       sessionTz: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case TimestampType => unix_micros(col(f.name))
+      case TimestampNTZType =>
+        unix_micros(to_utc_timestamp(col(f.name).cast("timestamp"), sessionTz))
+      case LongType | _: DecimalType => col(f.name) // native: see dirDouble
+      case _ => col(f.name).cast("double")
+    }
+  }
+
   /** Exact-value → double with DIRECTED rounding: the nearest-rounded
     * double, nudged one ulp outward when the conversion moved the value
     * INWARD (toward the interval interior). Long and Decimal can exceed
@@ -232,13 +255,7 @@ object SnapshotTable {
     // exactly that offset) — otherwise a non-UTC committer writes shifted
     // bounds and a reader's pruning can silently drop matching files
     val sessionTz = spark.conf.get("spark.sql.session.timeZone")
-    def statExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
-      case TimestampType => unix_micros(col(f.name))
-      case TimestampNTZType =>
-        unix_micros(to_utc_timestamp(col(f.name).cast("timestamp"), sessionTz))
-      case LongType | _: DecimalType => col(f.name) // native: see dirDouble
-      case _ => col(f.name).cast("double")
-    }
+    def statExpr(f: StructField) = SnapshotTable.statExpr(f, sessionTz)
     val statFields = df.schema.fields.filter(f =>
       f.dataType.isInstanceOf[NumericType] ||
       f.dataType == TimestampType || f.dataType == TimestampNTZType).toSeq
@@ -263,7 +280,8 @@ object SnapshotTable {
 
   private def manifestJson(v: Int, parent: Int, op: String, rows: Long,
                            files: Seq[String], stats: Map[String, FileStats],
-                           schema: org.apache.spark.sql.types.StructType): String = {
+                           schema: org.apache.spark.sql.types.StructType,
+                           delta: Seq[String] = Nil): String = {
     def jd(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else d.toString
     val statsJson = files.filter(stats.contains).map { f =>
@@ -276,6 +294,7 @@ object SnapshotTable {
     s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,
        | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
        | "stats": {$statsJson},
+       | "delta": [${delta.map(f => s""""$f"""").mkString(", ")}],
        | "schema": ${schema.json}}""".stripMargin
   }
 
@@ -419,7 +438,13 @@ object SnapshotTable {
               snapshot(root, snap.parent).files.toSet
             } else Set.empty[String]
           snap.files.filterNot(parentFiles)
-        case _ => Nil // compact rewrite / rollback republish: no new data
+        // merge: ONLY its recorded delta files (the upserted rows); the
+        // survivor-rewrite carriers are not data changes — including them
+        // would replay untouched rows to CDC consumers after every merge
+        case "merge" => snap.delta
+        // compact/rollback rewrites + delete (rows REMOVED, none added):
+        // nothing for an adds stream
+        case _ => Nil
       }
     }.distinct
     val planned = planFiles(root, toV, prune).toSet ++
@@ -432,7 +457,8 @@ object SnapshotTable {
     // plans first — a mid-range overwrite that reshaped the table is a
     // LOUD error directing the caller to read per-version instead
     val schemas = (math.max(1, fromV + 1) to toV)
-      .map(snapshot(root, _)).filter(s => s.op == "append" || s.op == "overwrite")
+      .map(snapshot(root, _))
+      .filter(s => s.op == "append" || s.op == "overwrite" || s.op == "merge")
       .flatMap(_.schema)
     schemas.headOption.foreach { first =>
       val fm = first.fields.map(f => f.name -> f.dataType).toMap
@@ -453,6 +479,121 @@ object SnapshotTable {
         val schemaFrom = allAdded.headOption.getOrElse(live.head)
         spark.read.parquet(s"$root/$schemaFrom").limit(0)
     }
+  }
+
+  /** Row totals for a live file list: manifest stats where recorded, one
+    * counting scan for legacy files without stats. */
+  private def liveRows(spark: SparkSession, root: String, live: Seq[String],
+                       stats: Map[String, FileStats]): Long = {
+    val missing = live.filterNot(stats.contains)
+    val counted = if (missing.isEmpty) 0L
+      else spark.read.parquet(missing.map(f => s"$root/$f"): _*).count()
+    live.flatMap(stats.get).map(_.rows).sum + counted
+  }
+
+  /** MERGE / upsert (Iceberg's copy-on-write MERGE): rows of `df` REPLACE
+    * existing rows with equal `keyCols`, the rest append. Write
+    * amplification is bounded by the manifest stats: only files whose
+    * recorded key bounds intersect the incoming key envelope are rewritten
+    * (the q99 pruning machinery as the merge planner) — every other live
+    * file is carried forward UNTOUCHED, byte-for-byte. The incoming rows
+    * land in their own attempt dir, recorded as the snapshot's `delta`, so
+    * `changes()` streams exactly the upserted rows and none of the
+    * survivor-rewrite carriers. Incoming keys must be unique (the upsert
+    * contract); duplicate incoming keys are both kept, like an append. */
+  def merge(spark: SparkSession, root: String, df: DataFrame,
+            keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val base = currentVersion(root)
+    require(base >= 1, s"merge into an empty table at $root — commit first")
+    val prev = snapshot(root, base)
+    requireCompatible(prev.schema, df.schema, base)
+    val v = base + 1
+    // incoming key envelope → pruning conjuncts; key columns without stats
+    // support (strings, arrays) contribute no conjunct — planFiles then
+    // keeps more files, which is conservative, never wrong
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+    val statKeys = df.schema.fields.filter(f => keyCols.contains(f.name) &&
+      (f.dataType.isInstanceOf[NumericType] ||
+       f.dataType == TimestampType || f.dataType == TimestampNTZType)).toSeq
+    val ranges: Seq[ColRange] = if (statKeys.isEmpty) Nil else {
+      val aggs = statKeys.flatMap(f =>
+        Seq(min(statExpr(f, sessionTz)), max(statExpr(f, sessionTz))))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      statKeys.zipWithIndex.flatMap { case (f, i) =>
+        val lo = r.get(2 * i); val hi = r.get(2 * i + 1)
+        if (lo == null || hi == null) None
+        else Some(ColRange(f.name, dirDouble(lo, up = false), dirDouble(hi, up = true)))
+      }
+    }
+    val touched = planFiles(root, base, ranges)
+    val untouched = prev.files.filterNot(touched.toSet)
+    // the delta lands first; the anti-join reads it BACK from its own
+    // files so `df` is computed exactly once
+    val (deltaFiles, deltaStats) = writeAttempt(spark, root, v, df)
+    val (survFiles, survStats) =
+      if (touched.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
+      else {
+        val reader = prev.schema.fold(spark.read)(spark.read.schema)
+        val old = reader.parquet(touched.map(f => s"$root/$f"): _*)
+        val keys =
+          if (deltaFiles.nonEmpty)
+            spark.read.schema(df.schema).parquet(deltaFiles.map(f => s"$root/$f"): _*)
+              .select(keyCols.map(col): _*).distinct()
+          else df.select(keyCols.map(col): _*).distinct()
+        writeAttempt(spark, root, v, old.join(keys, keyCols, "left_anti"))
+      }
+    val live = untouched ++ survFiles ++ deltaFiles
+    val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++
+      survStats ++ deltaStats
+    publish(root, v, manifestJson(v, base, "merge",
+      liveRows(spark, root, live, stats), live, stats, df.schema,
+      delta = deltaFiles))
+    v
+  }
+
+  /** Row-level DELETE (copy-on-write): drop every row where `predicate` is
+    * TRUE (null-valued predicates keep the row — SQL DELETE semantics).
+    * Planning is two-stage: `prune` (caller-supplied stat ranges, as in
+    * `read`) bounds the candidate files, then ONE scan finds which
+    * candidates actually hold matching rows — only those are rewritten;
+    * match-free candidates and non-candidates are carried forward
+    * untouched. Contributes nothing to `changes()` (an adds stream). */
+  def delete(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             prune: Seq[ColRange] = Nil): Int = {
+    import org.apache.spark.sql.functions._
+    val base = currentVersion(root)
+    require(base >= 1, s"nothing to delete at $root")
+    val prev = snapshot(root, base)
+    val v = base + 1
+    val reader = prev.schema.fold(spark.read)(spark.read.schema)
+    val candidates = planFiles(root, base, prune)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val hit = reader.parquet(candidates.map(f => s"$root/$f"): _*)
+          .filter(predicate).groupBy(input_file_name().as("__f")).count().collect()
+        val rels = hit.flatMap(r => candidates.find(r.getString(0).endsWith)).toSet
+        candidates.filter(rels)
+      }
+    val untouched = prev.files.filterNot(touched.toSet)
+    val (newFiles, newStats) =
+      if (touched.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
+      else writeAttempt(spark, root, v,
+        reader.parquet(touched.map(f => s"$root/$f"): _*)
+          .filter(not(coalesce(predicate, lit(false)))))
+    val live = untouched ++ newFiles
+    val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++ newStats
+    val schema = prev.schema.getOrElse {
+      require(prev.files.nonEmpty, s"snapshot v$base has no files at $root")
+      spark.read.parquet(s"$root/${prev.files.head}").schema
+    }
+    publish(root, v, manifestJson(v, base, "delete",
+      liveRows(spark, root, live, stats), live, stats, schema))
+    v
   }
 
   /** Roll the table back to `toV` as a NEW snapshot (history stays intact,

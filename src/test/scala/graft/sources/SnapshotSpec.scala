@@ -346,4 +346,70 @@ class SnapshotSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("schema change"), e3.getMessage)
   }
+
+  test("merge: upserts exact; only key-range-intersecting files rewritten; delta-only CDC") {
+    import spark.implicits._
+    val root = freshRoot("merge")
+    import org.apache.spark.sql.functions.col
+    def mk(r: Range, tag: String) =
+      r.map(i => (i.toLong, s"$tag$i")).toDF("id", "s").coalesce(1)
+    commit(spark, root, mk(0 until 100, "base"))    // v1, one file
+    commit(spark, root, mk(100 until 200, "base"))  // v2
+    commit(spark, root, mk(200 until 300, "base"))  // v3
+    val before = snapshot(root, 3)
+    val f1 = before.files.find(_.startsWith("data/s1-")).get
+    // upsert 150..219 (hits files 2 and 3, never file 1) + insert 300..309
+    val incoming = (150 until 220).map(i => (i.toLong, s"new$i")) ++
+      (300 until 310).map(i => (i.toLong, s"new$i"))
+    val v = merge(spark, root, incoming.toDF("id", "s").coalesce(1), Seq("id"))
+    val after = snapshot(root, v)
+    assert(after.op == "merge")
+    // file 1 carried forward byte-for-byte (same path); files 2/3 rewritten
+    assert(after.files.contains(f1), "non-intersecting file must not be rewritten")
+    assert(!after.files.exists(_.startsWith("data/s2-")) &&
+           !after.files.exists(_.startsWith("data/s3-")),
+      "intersecting files must be replaced")
+    // upsert semantics: exact final row set
+    val got = read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 310 && after.rows == 310)
+    assert(got(0L) == "base0" && got(149L) == "base149")
+    assert(got(150L) == "new150" && got(219L) == "new219")
+    assert(got(220L) == "base220" && got(305L) == "new305")
+    // CDC: exactly the incoming rows, never the survivor-rewrite carriers
+    val cdc = changes(spark, root, fromV = 3, toV = v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdc == incoming.toMap.map { case (k, x) => k -> x }, s"cdc size ${cdc.size}")
+    // history intact: v3 still reads the pre-merge rows
+    assert(read(spark, root, asOf = 3).filter(col("id") === 150)
+      .head().getString(1) == "base150")
+  }
+
+  test("delete: predicate rows gone; match-free candidates and non-candidates untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("delete")
+    def mk(r: Range) = r.map(i => (i.toLong, s"row$i")).toDF("id", "s").coalesce(1)
+    commit(spark, root, mk(0 until 100))
+    commit(spark, root, mk(100 until 200))
+    commit(spark, root, mk(200 until 300))
+    val before = snapshot(root, 3)
+    val f2 = before.files.find(_.startsWith("data/s2-")).get
+    val f3 = before.files.find(_.startsWith("data/s3-")).get
+    // prune hint admits files 1+2; predicate only matches in file 1 —
+    // file 2 is a candidate with zero matches and must NOT be rewritten
+    val v = delete(spark, root, col("id") % 10 === 7 && col("id") < 100,
+      prune = Seq(ColRange("id", 0, 199)))
+    val after = snapshot(root, v)
+    assert(after.op == "delete")
+    assert(after.files.contains(f2), "match-free candidate must not be rewritten")
+    assert(after.files.contains(f3), "non-candidate must not be rewritten")
+    assert(!after.files.exists(_.startsWith("data/s1-")))
+    val ids = read(spark, root).select("id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 300L).toSet -- (0L until 100L).filter(_ % 10 == 7)
+    assert(ids == want && after.rows == want.size.toLong)
+    // deletes add nothing to the CDC stream
+    assert(changes(spark, root, fromV = 3, toV = v).count() == 0)
+    // time travel unaffected
+    assert(read(spark, root, asOf = 3).count() == 300)
+  }
 }
