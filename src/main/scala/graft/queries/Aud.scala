@@ -15,7 +15,8 @@ import graft.operators.Audio
   * only on the sf0.1 bench path. Shared so the audio and video contracts
   * cannot silently diverge. */
 private[queries] object FixtureScale {
-  def count(d: String): Int = if (d.contains("sf0.1")) 2000 else 200
+  def count(d: String): Int =
+    if (d.contains("sf1")) 20000 else if (d.contains("sf0.1")) 2000 else 200
 }
 
 object Aud {

@@ -16,7 +16,8 @@ object Engine {
     * efficiency criterion is meaningful (at 4k images every stage was
     * overhead-bound and 32 cores ran no faster than 8). */
   def nImages(d: String): Int =
-    if (d.contains("sf0.1")) 16000 else if (d.contains("sf0.01")) 800 else 120
+    if (d.contains("sf1")) 160000
+    else if (d.contains("sf0.1")) 16000 else if (d.contains("sf0.01")) 800 else 120
 
   // memoized per (session, dir): Verify/Bench invoke many queries in one
   // session; regenerating + re-rendering the image table per query would
@@ -62,7 +63,8 @@ object Engine {
   }
 
   def nPolys(d: String): Int =
-    if (d.contains("sf0.1")) 400 else if (d.contains("sf0.01")) 120 else 24
+    if (d.contains("sf1")) 1300
+    else if (d.contains("sf0.1")) 400 else if (d.contains("sf0.01")) 120 else 24
   def nPoints(d: String): Int = nImages(d) * 50
 
   /** clip_raster_by_shp.py trace (SURVEY.md §3.3): covering-cell prefilter +

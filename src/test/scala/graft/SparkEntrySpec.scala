@@ -12,7 +12,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("registry sizes match the documented counts") {
-    assert(SparkEntry.queries.size == 103, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 99, s"queries: ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 96, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
