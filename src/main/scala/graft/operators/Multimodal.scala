@@ -121,17 +121,30 @@ object Multimodal {
     *    emitted only from its lowest shared band (a predicate on the carried
     *    hashes), so no wide `distinct` shuffle is needed afterwards. */
   /** DISTINCT-hash near-dup pairs (p1 < p2, hamming ≤ maxDist, sharing a
-    * 16-bit band) — the contracted graph phashDedup expands back to images,
-    * and the right granularity for clustering (q91: run connected
-    * components here, where equal-payload cliques are already one node). */
-  def phashHashPairs(images: DataFrame, maxDist: Int): DataFrame = {
+    * (64/nBands)-bit band) — the contracted graph phashDedup expands back
+    * to images, and the right granularity for clustering (q91: run
+    * connected components here, where equal-payload cliques are already one
+    * node). `nBands` is the corpus-scale knob for the CANDIDATE stage:
+    * band-VALUE space must outgrow the distinct-hash count or
+    * Σ band-group² goes quadratic; fewer, wider bands only SHRINK the
+    * candidate set (sharing a 32-bit band implies sharing both constituent
+    * 16-bit bands — MultimodalSpec), trading recall at the high end of
+    * maxDist for bounded pair counts. Note the OTHER quadratic risk is the
+    * image-level pair EXPANSION itself on duplicate-heavy corpora (BENCH
+    * §10 measured 127× output rows at 10× images, distinct hashes flat) —
+    * at scale, cluster on THIS contracted hash graph (q91) and never
+    * materialize per-image pairs of exact-dup cliques. */
+  def phashHashPairs(images: DataFrame, maxDist: Int,
+                     nBands: Int = 4): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64: $nBands")
+    val bits = 64 / nBands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     def band(c: org.apache.spark.sql.Column, j: Int) =
-      shiftright(c, 16 * j).bitwiseAND(0xffffL)
+      shiftright(c, bits * j).bitwiseAND(mask)
     val hashes = images.select(col("phash")).distinct()
     val bands = hashes.select(col("phash"), posexplode(array(
-        band(col("phash"), 0), band(col("phash"), 1),
-        band(col("phash"), 2), band(col("phash"), 3))).as(Seq("bi", "bv")))
-    val noEarlierSharedBand = (0 until 3).map { j =>
+        (0 until nBands).map(j => band(col("phash"), j)): _*)).as(Seq("bi", "bv")))
+    val noEarlierSharedBand = (0 until nBands - 1).map { j =>
       when(col("bi") > j, band(col("p1"), j) =!= band(col("p2"), j)).otherwise(lit(true))
     }.reduce(_ && _)
     bands.select(col("phash").as("p1"), col("bi"), col("bv"))

