@@ -41,18 +41,35 @@ object Knn {
     (topk, resolvedIds)
   }
 
-  /** Scoped caches of a lazy [[knn]] call, pending release. Drained by
-    * [[releaseCaches]] once the caller has materialized the result —
-    * thread-safe (Bench/Verify run queries sequentially but a library user
-    * may not). */
-  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** Per-invocation handle over a lazy knn call's pass caches. */
+  final class KnnCaches private[Knn] (scoped: Seq[DataFrame]) {
+    def release(): Unit = scoped.foreach(_.unpersist(false))
+  }
 
-  /** Release every cache a `knn(eager = false)` call left alive. Call AFTER
-    * materializing the lazy results (count/write); the plans stay valid but
-    * re-execute the ring passes if materialized again. */
+  /** Pending handles of `knn(eager = false)` calls. The GLOBAL drain
+    * ([[releaseCaches]]) is for sequential drivers (Bench/Verify): it
+    * releases EVERY in-flight lazy call's caches, so concurrent library
+    * users must use [[knnLazy]] and release their own handle instead. */
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[KnnCaches]()
+
+  /** Release every cache any `knn(eager = false)` call left alive. Call
+    * AFTER materializing the lazy results (count/write); the plans stay
+    * valid but re-execute the ring passes if materialized again. */
   def releaseCaches(): Unit = {
-    var df = pending.poll()
-    while (df != null) { df.unpersist(false); df = pending.poll() }
+    var h = pending.poll()
+    while (h != null) { h.release(); h = pending.poll() }
+  }
+
+  /** Lazy form with a CALLER-SCOPED release handle — the concurrent-safe
+    * API (a global releaseCaches drain would drop other threads' pending
+    * caches and silently re-run their ring passes). */
+  def knnLazy(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+              k: Int, cellSize: Double = 0.0, r0: Int = 2,
+              maxRounds: Int = 3): (DataFrame, KnnCaches) = {
+    var handle: KnnCaches = null
+    val out = knn(spark, queries, candidates, k, cellSize, r0, maxRounds,
+      eager = false, register = h => handle = h)
+    (out, handle)
   }
 
   /** cellSize ≤ 0 → auto-size from candidate density so a radius-r0 ring
@@ -70,7 +87,8 @@ object Knn {
     * drain — the Bench/Verify shape. */
   def knn(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
           k: Int, cellSize: Double = 0.0, r0: Int = 2,
-          maxRounds: Int = 3, eager: Boolean = true): DataFrame = {
+          maxRounds: Int = 3, eager: Boolean = true,
+          register: KnnCaches => Unit = null): DataFrame = {
     import graft.functions.GraftFunctions.planarCell
     def finish(out: DataFrame, scoped: Seq[DataFrame]): DataFrame =
       if (eager) {
@@ -78,7 +96,8 @@ object Knn {
         scoped.foreach(_.unpersist(false))
         res
       } else {
-        scoped.foreach(pending.add)
+        val h = new KnnCaches(scoped)
+        if (register != null) register(h) else pending.add(h)
         out
       }
     val cs = if (cellSize > 0) cellSize else {

@@ -146,7 +146,7 @@ object Multimodal {
         (0 until nBands).map(j => band(col("phash"), j)): _*)).as(Seq("bi", "bv")))
     val noEarlierSharedBand = (0 until nBands - 1).map { j =>
       when(col("bi") > j, band(col("p1"), j) =!= band(col("p2"), j)).otherwise(lit(true))
-    }.reduce(_ && _)
+    }.foldLeft(lit(true))(_ && _) // foldLeft: nBands = 1 has no earlier bands
     bands.select(col("phash").as("p1"), col("bi"), col("bv"))
       .join(bands.select(col("phash").as("p2"), col("bi"), col("bv")), Seq("bi", "bv"))
       .filter(col("p1") < col("p2") && noEarlierSharedBand)

@@ -43,11 +43,6 @@ object Warp {
     * (the q40/q63 oracle arithmetic). */
   def analyze(images: DataFrame, resStrategy: String = "min",
               extentStrategy: String = "union", tSrs: String = "first"): GridSpec = {
-    val crsSet = images.select(col("crs")).distinct().collect().map(_.getString(0)).sorted
-    val firstCrs = images.agg(min_by(col("crs"), col("image_id"))).head().getString(0)
-    val targetCrs = if (tSrs == "first") firstCrs else tSrs
-    if (crsSet.exists(_ != targetCrs))
-      return analyzeCross(images, resStrategy, extentStrategy, targetCrs)
     val m = images.agg(
       min(col("res")).as("rmin"), max(col("res")).as("rmax"),
       avg(col("res")).as("rmean"), expr("percentile(res, 0.5)").as("rmed"),
@@ -56,8 +51,15 @@ object Warp {
       max(col("ulx")).as("i_xmin"), max(col("uly") - col("h") * col("res")).as("i_ymin"),
       min(col("ulx") + col("w") * col("res")).as("i_xmax"), min(col("uly")).as("i_ymax"),
       min_by(struct(col("ulx"), col("uly"), col("res"), col("w"), col("h"), col("crs")),
-             col("image_id")).as("first")
+             col("image_id")).as("first"),
+      collect_set(col("crs")).as("crs_set")
     ).head()
+    // CRS resolution rides the SAME single metadata agg (stage A stays one
+    // job); the cross-CRS path re-aggregates projected metadata — the rare
+    // branch pays, the uniform fast path does not
+    val targetCrs = if (tSrs == "first") m.getStruct(12).getString(5) else tSrs
+    if (m.getSeq[String](13).exists(_ != targetCrs))
+      return analyzeCross(images, resStrategy, extentStrategy, targetCrs)
 
     val res = resStrategy match {
       case "first" => m.getStruct(12).getDouble(2)
@@ -217,14 +219,14 @@ object Warp {
               val sx = px + offX; val sy = py + offY
               if (sx >= 0 && sx < img.w && sy >= 0 && sy < img.h) src(sy * img.w + sx) else ndv
             } else {
-              val (tx0, ty0m) = target.pixelToMap(px, py)
-              val (mx, my) = if (cross) toSrc(tx0, ty0m) else (tx0, ty0m)
+              val (tx0m, ty0m) = target.pixelToMap(px, py)
+              val (mx, my) = if (cross) toSrc(tx0m, ty0m) else (tx0m, ty0m)
               // pooled kernels need the target footprint in SOURCE units:
               // local step = distance to the next target center, projected
               val tRes =
                 if (!cross || !pooledKernel) target.res
                 else {
-                  val (nx, ny) = toSrc(tx0 + target.res, ty0m)
+                  val (nx, ny) = toSrc(tx0m + target.res, ty0m)
                   math.hypot(nx - mx, ny - my)
                 }
               Resample.sample(src, img.w, img.h, g, mx, my, kernel, ndv, tRes)

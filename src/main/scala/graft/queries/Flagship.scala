@@ -82,8 +82,23 @@ object Flagship {
     * re-invoking within one JVM invalidates any still-unread result of the
     * prior call, the standard trade of a deterministic scratch root. */
   def trainingPipeline(s: SparkSession, d: String): DataFrame = {
-    val root = s"/tmp/graft_flagship_${Integer.toHexString(d.hashCode)}"
-    SnapshotTable.deleteRecursively(root)
+    // per-(dataset, PROCESS) root: a dataset-only key lets two JVMs on one
+    // host (Bench ∥ Verify, two CI jobs) clobber each other's in-flight
+    // snapshot; the pid suffix isolates them, the exit hook cleans normal
+    // exits, and SIGKILL leftovers are swept here by any later run once
+    // their owning pid is dead (never while alive)
+    val pid = ProcessHandle.current().pid()
+    val tag = Integer.toHexString(d.hashCode)
+    val root = s"/tmp/graft_flagship_${tag}_$pid"
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"graft_flagship_${tag}_"))
+      .foreach { f =>
+        val owner = f.getName.stripPrefix(s"graft_flagship_${tag}_")
+        val dead = owner.toLongOption
+          .exists(p => p != pid && !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (dead) SnapshotTable.deleteRecursively(f.getPath)
+      }
+    SnapshotTable.deleteRecursively(root) // same-JVM re-invocation resets
     exitCleanup.add(root)
     val (_, v) = runStages(s, d, root)
     SnapshotTable.read(s, s"$root/snap", asOf = v).select(col("kind"), col("id"))

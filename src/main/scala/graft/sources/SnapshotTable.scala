@@ -105,8 +105,13 @@ object SnapshotTable {
             case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
           }
           val cols = (fj \ "cols") match {
+            // bounds widen one ulp outward ON LOAD: manifests written
+            // before directed-rounding stats may carry nearest-rounded
+            // bounds that shrank the true interval (silent pruning of a
+            // matching file); one ulp of extra keep-probability is free
             case JObject(cf) => cf.collect {
-              case (c, JArray(List(lo, hi))) => c -> (dbl(lo), dbl(hi))
+              case (c, JArray(List(lo, hi))) =>
+                c -> (Math.nextDown(dbl(lo)), Math.nextUp(dbl(hi)))
             }.toMap.filter { case (_, (lo, hi)) => !lo.isNaN && !hi.isNaN }
             case _ => Map.empty[String, (Double, Double)]
           }
@@ -315,6 +320,36 @@ object SnapshotTable {
       age > claimGraceMs
     } catch { case _: java.nio.file.NoSuchFileException => true }
 
+  private def tryCreateNew(p: Path): Boolean =
+    try {
+      Files.write(p, Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Break an expired claim lease, serialized through a create-exclusive
+    * BREAKER lock so two breakers can never both delete-and-reclaim (a
+    * naive delete+recreate is a TOCTOU: breaker B could delete breaker A's
+    * FRESH claim and both would publish — POSIX rename replaces, so the
+    * second move silently overwrites the first manifest and a committer
+    * that returned success loses its rows). Holding the breaker, the claim
+    * is re-checked and deleted; the breaker is removed afterwards. A crash
+    * INSIDE this window leaves a breaker file that blocks further
+    * auto-breaks (fail-safe: the table waits for maintenance — expire
+    * sweeps lease-expired breakers — rather than risking a double
+    * publish). Returns true iff this caller broke the lease and may try to
+    * re-claim. */
+  private def breakStaleClaim(root: String, v: Int): Boolean = {
+    val claim = metaDir(root).resolve(s"v$v.json.claim")
+    val breaker = metaDir(root).resolve(s"v$v.json.breaker")
+    if (!tryCreateNew(breaker)) return false // another breaker is live (or crashed: maintenance)
+    try {
+      if (claimIsStale(claim)) { Files.deleteIfExists(claim); true }
+      else false
+    } finally Files.deleteIfExists(breaker)
+  }
+
   /** Publish a snapshot manifest create-exclusively — this IS the
     * optimistic-concurrency gate: a racing committer of the same version
     * finds the target name taken and loses cleanly. NOT a rename: POSIX
@@ -348,18 +383,9 @@ object SnapshotTable {
         // (the claim→move gap holds no long operation) and is broken ONCE;
         // a fresh claim still loses cleanly to the in-flight owner.
         val claim = metaDir(root).resolve(s"v$v.json.claim")
-        def tryClaim(): Boolean =
-          try {
-            Files.write(claim, Array.emptyByteArray,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        val claimed = tryClaim() || {
-          if (!Files.exists(target) && claimIsStale(claim)) {
-            Files.deleteIfExists(claim) // break the abandoned lease
-            tryClaim()                  // lose if another breaker re-claimed first
-          } else false
+        val claimed = tryCreateNew(claim) || {
+          (!Files.exists(target) && claimIsStale(claim) &&
+            breakStaleClaim(root, v)) && tryCreateNew(claim)
         }
         if (!claimed) throw new ConcurrentCommitException(v)
         if (Files.exists(target)) throw new ConcurrentCommitException(v)
@@ -528,11 +554,15 @@ object SnapshotTable {
         else Some(ColRange(f.name, dirDouble(lo, up = false), dirDouble(hi, up = true)))
       }
     }
-    val touched = planFiles(root, base, ranges)
-    val untouched = prev.files.filterNot(touched.toSet)
     // the delta lands first; the anti-join reads it BACK from its own
     // files so `df` is computed exactly once
     val (deltaFiles, deltaStats) = writeAttempt(spark, root, v, df)
+    // an EMPTY incoming batch (or all-null keys → no stats) must not
+    // degrade to a full-table rewrite: zero delta rows replace nothing
+    val deltaRows = deltaStats.valuesIterator.map(_.rows).sum
+    val touched =
+      if (deltaRows == 0L) Nil else planFiles(root, base, ranges)
+    val untouched = prev.files.filterNot(touched.toSet)
     val (survFiles, survStats) =
       if (touched.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
       else {
@@ -670,14 +700,22 @@ object SnapshotTable {
       // claims AT OR ABOVE the window with no published manifest: a crashed
       // fallback publish (the common crash point — publish recovers these
       // lazily on the next commit of the same version; maintenance sweeps
-      // them too). Lease-gated, never an exists()-only probe: a FRESH claim
-      // belongs to an in-flight publish and must survive.
+      // them too). Lease-gated AND breaker-serialized (the same protocol as
+      // publish's recovery — an exists()/stat probe alone races a live
+      // breaker that just re-created a fresh claim); stale BREAKERS (a
+      // crash inside the break window) are lease-aged too, restoring
+      // auto-recovery after such a crash.
       residue.filter(_ >= keepFrom).foreach { rv =>
-        val p = metaDir(root).resolve(n)
         if (n.endsWith(".claim") &&
             !Files.exists(metaDir(root).resolve(s"v$rv.json")) &&
-            claimIsStale(p))
-          Files.deleteIfExists(p)
+            claimIsStale(metaDir(root).resolve(n)))
+          breakStaleClaim(root, rv)
+      }
+      val breakerV = "^v(\\d+)\\.json\\.breaker$".r
+        .findFirstMatchIn(n).map(_.group(1).toInt)
+      breakerV.foreach { _ =>
+        val p = metaDir(root).resolve(n)
+        if (claimIsStale(p)) Files.deleteIfExists(p)
       }
     }
     // GC attempt dirs no retained manifest references — but ONLY versions

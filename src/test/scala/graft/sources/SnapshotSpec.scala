@@ -313,7 +313,35 @@ class SnapshotSpec extends AnyFunSuite {
       java.nio.file.Files.write(c4, Array.emptyByteArray)
       expire(root, keepLast = 3)
       assert(java.nio.file.Files.exists(c4), "fresh claim must survive expire")
+      // a live BREAKER lock blocks auto-break even for a stale claim (the
+      // double-publish TOCTOU guard): the committer must lose cleanly
+      java.nio.file.Files.setLastModifiedTime(c4,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - SnapshotTable.claimGraceMs - 60000))
+      val brk = java.nio.file.Paths.get(root, "meta", "v3.json.breaker")
+      java.nio.file.Files.write(brk, Array.emptyByteArray)
+      intercept[ConcurrentCommitException] { commit(spark, root, df(8 until 9)) }
+      // …until the breaker itself ages out and maintenance sweeps it
+      java.nio.file.Files.setLastModifiedTime(brk,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - SnapshotTable.claimGraceMs - 60000))
+      expire(root, keepLast = 3)
+      assert(!java.nio.file.Files.exists(brk), "stale breaker must be swept")
+      assert(commit(spark, root, df(8 until 9)) == 3)
     } finally SnapshotTable.forceFallbackPublish = false
+  }
+
+  test("empty merge is a metadata-only commit: zero files rewritten") {
+    import spark.implicits._
+    val root = freshRoot("emptymerge")
+    commit(spark, root, df(0 until 100))
+    val before = snapshot(root, 1).files
+    val v = merge(spark, root, df(0 until 0), Seq("id"))
+    val after = snapshot(root, v)
+    assert(after.op == "merge" && after.rows == 100)
+    assert(before.forall(after.files.contains),
+      "an empty incoming batch must not rewrite any live file")
+    assert(read(spark, root).count() == 100)
   }
 
   test("manifest-recorded schema: pinned time travel, incompatible append rejected") {
