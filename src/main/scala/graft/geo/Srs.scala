@@ -3,9 +3,11 @@ package graft.geo
 /** CRS identifiers + deterministic coordinate scalar math (no PROJ/GDAL).
   *
   * The engine standardizes on string CRS ids (`"EPSG:4326"`, `"EPSG:326XX"`,
-  * …) and hierarchical cell ids as the spatial join key; full general-purpose
-  * reprojection is out of scope (the reference defers it to PROJ). What IS
-  * reproduced exactly: lon wrapping (`geolib.py:216-239`), DMS conversion
+  * …) and hierarchical cell ids as the spatial join key; invertible
+  * projections for the registered CRS family (cross-CRS warps) live in
+  * [[graft.geo.Proj]] — full general-purpose PROJ parity remains out of
+  * scope. What IS reproduced exactly here: lon wrapping
+  * (`geolib.py:216-239`), DMS conversion
   * (`geolib.py:242-291`), UTM zone selection with the Norway/Svalbard special
   * cases (`geolib.py:1917-1944`), ECEF (`geolib.py:107-111` semantics), and
   * the polar-stereographic area scale factor (`geolib.py:168-214`).
