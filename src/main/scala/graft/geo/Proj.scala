@@ -83,6 +83,17 @@ final case class PolarStereoSphere(north: Boolean, latTs: Double, lon0: Double)
   }
 }
 
+/** Spherical (web) Mercator — EPSG:3857's spherical form: x = R·Δλ(rad),
+  * y = R·ln tan(π/4 + φ/2); inverse φ = 2·atan(exp(y/R)) − π/2. */
+final case class MercatorSphere(lon0: Double) extends Proj {
+  def forward(lon: Double, lat: Double): (Double, Double) =
+    (Proj.R * math.toRadians(lon - lon0),
+     Proj.R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+  def inverse(x: Double, y: Double): (Double, Double) =
+    (lon0 + math.toDegrees(x / Proj.R),
+     math.toDegrees(2 * math.atan(math.exp(y / Proj.R)) - math.Pi / 2))
+}
+
 object Proj {
   /** WGS84 mean-sphere radius — shared with `Srs.localTmerc`/`haversineM`. */
   val R = 6371008.8
@@ -102,8 +113,39 @@ object Proj {
     case UtmS(z) => TmercSphere(z.toInt * 6 - 183, 0.9996, 500000.0, 1e7)
     case "EPSG:3413" => PolarStereoSphere(north = true, 70.0, -45.0)
     case "EPSG:3031" => PolarStereoSphere(north = false, -71.0, 0.0)
+    case "EPSG:3857" | "EPSG:900913" => MercatorSphere(0.0)
+    case p4 if p4.startsWith("+proj=") => fromProj4(p4)
     case other => throw new IllegalArgumentException(
       s"no deterministic projection registered for CRS '$other'")
+  }
+
+  /** Minimal proj4-string resolution — the `parse_srs` breadth the
+    * reference accepts (`warplib.py:264-310` hands proj4 to osr): the
+    * families this engine projects, with their standard parameters.
+    * Unknown `+proj=` values stay a loud error. */
+  private[geo] def fromProj4(p4: String): Proj = {
+    val kv = p4.trim.split("\\s+").collect {
+      case t if t.startsWith("+") && t.contains("=") =>
+        val Array(k, v) = t.stripPrefix("+").split("=", 2); k -> v
+      case t if t.startsWith("+") => t.stripPrefix("+") -> "" // bare flags (+south, +no_defs)
+    }.toMap
+    def d(k: String, dflt: Double) = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    kv.getOrElse("proj", "?") match {
+      case "longlat" | "latlong" => Geographic
+      case "utm" =>
+        val zone = kv.getOrElse("zone",
+          throw new IllegalArgumentException(s"proj4 utm needs +zone: $p4")).toInt
+        TmercSphere(zone * 6 - 183, 0.9996, 500000.0,
+          if (kv.contains("south")) 1e7 else 0.0)
+      case "tmerc" =>
+        TmercSphere(d("lon_0", 0), d("k_0", d("k", 1.0)), d("x_0", 0), d("y_0", 0))
+      case "stere" =>
+        val lat0 = d("lat_0", 90)
+        PolarStereoSphere(lat0 >= 0, d("lat_ts", lat0), d("lon_0", 0))
+      case "merc" => MercatorSphere(d("lon_0", 0))
+      case other => throw new IllegalArgumentException(
+        s"no deterministic projection for +proj=$other ('$p4')")
+    }
   }
 
   /** Point transform src → dst (identity short-circuit when equal). */

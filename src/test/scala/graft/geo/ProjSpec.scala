@@ -75,6 +75,26 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("web-Mercator and proj4-string resolution mirror the EPSG family") {
+    val m = Proj.of("EPSG:3857")
+    val (x, y) = m.forward(10.0, 45.0)
+    val (lo, la) = m.inverse(x, y)
+    assert(math.abs(lo - 10.0) < 1e-9 && math.abs(la - 45.0) < 1e-9)
+    assert(math.abs(m.forward(0, 0)._1) < 1e-9 && math.abs(m.forward(0, 0)._2) < 1e-9)
+    // proj4 strings resolve to the same projections as their EPSG twins
+    for ((p4, epsg, pt) <- Seq(
+        ("+proj=utm +zone=10 +datum=WGS84", "EPSG:32610", (-123.4, 47.1)),
+        ("+proj=utm +zone=60 +south", "EPSG:32760", (176.2, -41.0)),
+        ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45", "EPSG:3413", (-40.0, 75.0)),
+        ("+proj=stere +lat_0=-90 +lat_ts=-71", "EPSG:3031", (10.0, -80.0)),
+        ("+proj=longlat", "EPSG:4326", (5.0, 5.0)),
+        ("+proj=merc +lon_0=0", "EPSG:3857", (10.0, 45.0)))) {
+      assert(Proj.of(p4).forward(pt._1, pt._2) == Proj.of(epsg).forward(pt._1, pt._2),
+        s"$p4 vs $epsg")
+    }
+    intercept[IllegalArgumentException] { Proj.of("+proj=aea +lat_1=29.5") }
+  }
+
   test("resIn: projected pixel step matches the local degree/meter scale") {
     val g = GridSpec(500000.0, 5300000.0, 100.0, "EPSG:32610", 50, 50)
     val r4326 = Proj.resIn(g, "EPSG:4326")

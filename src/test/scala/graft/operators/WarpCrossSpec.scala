@@ -65,6 +65,20 @@ class WarpCrossSpec extends AnyFunSuite {
     }
   }
 
+  test("warp UTM→polar-stereo→UTM (both legs transcendental) is lossless for 'near'") {
+    val eC = Proj.projectExtent(gA.extent, gA.crs, "EPSG:3413")
+    val resC = Proj.resIn(gA, "EPSG:3413") / 4.0
+    val gC = GridSpec.fromExtentRes(
+      Extent(eC.xmin - 2 * resC, eC.ymin - 2 * resC,
+             eC.xmax + 2 * resC, eC.ymax + 2 * resC), resC, "EPSG:3413")
+    val tilesC = Warp.warpOne(imgA, gC, "near", Warp.TileSize,
+      (gC.w + Warp.TileSize - 1) / Warp.TileSize).toSeq
+    val imgC = mkImage("c", gC, assemble(tilesC, gC))
+    val back = assemble(Warp.warpOne(imgC, gA, "near", Warp.TileSize,
+      (gA.w + Warp.TileSize - 1) / Warp.TileSize).toSeq, gA)
+    assert(back.sameElements(pxA))
+  }
+
   test("cross-CRS bilinear stays within the local value envelope") {
     val eB0 = Proj.projectExtent(gA.extent, gA.crs, "EPSG:4326")
     val resB = Proj.resIn(gA, "EPSG:4326")
