@@ -47,7 +47,8 @@ object SnapshotTable {
                             rows: Long, files: Seq[String],
                             stats: Map[String, FileStats] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
-                            delta: Seq[String] = Nil)
+                            delta: Seq[String] = Nil,
+                            tsMs: Long = 0L)
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
@@ -123,6 +124,9 @@ object SnapshotTable {
       case JArray(fs) => fs.collect { case JString(f) => f }
       case _ => Nil
     }
+    val tsMs = (j \ "ts_ms") match {
+      case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+    }
     val schema = (j \ "schema") match {
       case JNothing => None
       case sj =>
@@ -134,7 +138,7 @@ object SnapshotTable {
         }
     }
     Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
-             files, stats, schema, delta)
+             files, stats, schema, delta, tsMs)
   }
 
   /** Schema compatibility gate for append-family commits: the commit schema
@@ -300,6 +304,7 @@ object SnapshotTable {
        | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
        | "stats": {$statsJson},
        | "delta": [${delta.map(f => s""""$f"""").mkString(", ")}],
+       | "ts_ms": ${System.currentTimeMillis()},
        | "schema": ${schema.json}}""".stripMargin
   }
 
@@ -410,6 +415,30 @@ object SnapshotTable {
         }
       }
     }
+  }
+
+  /** Version visible at wall-clock `tsMs` — the newest snapshot whose
+    * commit timestamp is ≤ tsMs (Iceberg's timestamp time travel). Commit
+    * timestamps are the PUBLISHER's clock at manifest-write time; they are
+    * monotone per table under the single-winner publish protocol up to
+    * clock skew between committers (document the skew, don't hide it —
+    * resolution walks versions, not timestamps, so a skewed pair only
+    * affects reads aimed INSIDE the skew window). 0 when no snapshot is
+    * old enough. */
+  def versionAsOfTime(root: String, tsMs: Long): Int = {
+    val cur = currentVersion(root)
+    (1 to cur).filter { v =>
+      Files.exists(metaDir(root).resolve(s"v$v.json")) &&
+        snapshot(root, v).tsMs <= tsMs
+    }.foldLeft(0)(math.max)
+  }
+
+  /** Read the table as of a wall-clock timestamp. */
+  def readAsOfTime(spark: SparkSession, root: String, tsMs: Long,
+                   prune: Seq[ColRange] = Nil): DataFrame = {
+    val v = versionAsOfTime(root, tsMs)
+    require(v >= 1, s"no snapshot at or before ts=$tsMs at $root")
+    read(spark, root, asOf = v, prune)
   }
 
   /** Read the table at `asOf` (default: latest). Empty table → empty DF is

@@ -440,4 +440,21 @@ class SnapshotSpec extends AnyFunSuite {
     // time travel unaffected
     assert(read(spark, root, asOf = 3).count() == 300)
   }
+
+  test("timestamp time travel: newest snapshot at-or-before the clock instant") {
+    val root = freshRoot("tstravel")
+    commit(spark, root, df(0 until 10))
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    commit(spark, root, df(10 until 30))
+    assert(snapshot(root, 1).tsMs > 0 &&
+           snapshot(root, 2).tsMs >= snapshot(root, 1).tsMs)
+    assert(versionAsOfTime(root, mid) == 1)
+    assert(readAsOfTime(spark, root, mid).count() == 10)
+    assert(readAsOfTime(spark, root, System.currentTimeMillis()).count() == 30)
+    intercept[IllegalArgumentException] {
+      readAsOfTime(spark, root, snapshot(root, 1).tsMs - 1000)
+    }
+  }
 }
