@@ -119,4 +119,56 @@ object GeoPropertySpec extends Properties("geo") {
       val t = Srs.lon360to180(w)
       w >= 0 && w < 360 && t >= -180 && t <= 180
     }
+
+  // --- round 5: projection family (geo/Proj.scala) ---
+  private val projCrs: Gen[String] = Gen.oneOf(
+    "EPSG:32610", "EPSG:32633", "EPSG:32760", "EPSG:3413", "EPSG:3031",
+    "EPSG:3857", "EPSG:4326")
+  /** Keep points inside each projection's well-conditioned domain: TM
+    * within ±30° of its central meridian, polar stereo on its pole side,
+    * Mercator off the poles. */
+  private def domainPoint(crs: String): Gen[(Double, Double)] = crs match {
+    case "EPSG:32610" => Gen.zip(Gen.choose(-153.0, -93.0), Gen.choose(-80.0, 84.0))
+    case "EPSG:32633" => Gen.zip(Gen.choose(-15.0, 45.0), Gen.choose(-80.0, 84.0))
+    case "EPSG:32760" => Gen.zip(Gen.choose(147.0, 180.0), Gen.choose(-80.0, 84.0))
+    case "EPSG:3413"  => Gen.zip(Gen.choose(-180.0, 180.0), Gen.choose(30.0, 89.9))
+    case "EPSG:3031"  => Gen.zip(Gen.choose(-180.0, 180.0), Gen.choose(-89.9, -30.0))
+    case _            => Gen.zip(Gen.choose(-179.9, 179.9), Gen.choose(-85.0, 85.0))
+  }
+
+  /** Longitude distance modulo 360 — inverse projections return Δλ in
+    * (−180, 180], so a point >180° from the central meridian round-trips
+    * to the SAME meridian expressed with the opposite sign. */
+  private def dLon(a: Double, b: Double): Double = {
+    val d = math.abs(a - b) % 360.0
+    math.min(d, 360.0 - d)
+  }
+
+  property("Proj: inverse . forward == id within 1e-7 deg across the family") =
+    forAll(projCrs.flatMap(c => domainPoint(c).map(p => (c, p)))) {
+      case (crs, (lo, la)) =>
+        val p = Proj.of(crs)
+        val (x, y) = p.forward(lo, la)
+        val (lo2, la2) = p.inverse(x, y)
+        dLon(lo2, lo) < 1e-7 && math.abs(la2 - la) < 1e-7
+    }
+
+  property("Proj: transform A->B then B->A is id within 1e-6 map units") =
+    forAll(Gen.zip(projCrs, projCrs).suchThat(t => t._1 != t._2)
+        .flatMap { case (a, b) => domainPoint(a).flatMap(p0 =>
+          domainPoint(b).map(_ => (a, b, p0))) }) {
+      case (a, b, (lo, la)) =>
+        // start from a lon/lat in BOTH domains or the composition leaves the
+        // target's conditioning region; intersect by probing through b
+        val (bx, by) = Proj.of(b).forward(lo, la)
+        val (lo1, la1) = Proj.of(b).inverse(bx, by)
+        if (math.abs(lo1 - lo) > 1e-7 || math.abs(la1 - la) > 1e-7) true // outside b's domain: vacuous
+        else {
+          val (ax, ay) = Proj.of(a).forward(lo, la)
+          val fwd = Proj.transform(a, b)
+          val back = Proj.transform(b, a)
+          val (x2, y2) = back.tupled(fwd(ax, ay))
+          math.abs(x2 - ax) < 1e-6 && math.abs(y2 - ay) < 1e-6
+        }
+    }
 }
