@@ -161,15 +161,21 @@ object Snap {
       val v5files = SnapshotTable.snapshot(root, v5).files.toSet
       val cdc = SnapshotTable.changes(s, root, fromV = 3, toV = v5)
         .agg(count(lit(1)), sum(col("event_id"))).head()
+      // full CDC: deletes = merge pre-images (the 1,500 replaced rows) +
+      // the predicate-deleted rows, from the manifest tombstones
+      val cdcDel = SnapshotTable.changesCdc(s, root, fromV = 3, toV = v5)
+        .filter(col("_change_type") === "delete")
+        .agg(count(lit(1)), sum(col("event_id"))).head()
       val fin = SnapshotTable.read(s, root)
         .agg(count(lit(1)), sum(col("event_id")),
              sum(when(col("event_type") === "upserted", 1L).otherwise(0L))).head()
       import s.implicits._
       Seq((v3files.size, (v3files -- v4files).size, (v4files -- v5files).size,
-           cdc.getLong(0), cdc.getLong(1),
+           cdc.getLong(0), cdc.getLong(1), cdcDel.getLong(0), cdcDel.getLong(1),
            fin.getLong(0), fin.getLong(2), fin.getLong(1)))
         .toDF("n_files_base", "n_rewritten_by_merge", "n_removed_by_delete",
-              "cdc_rows", "cdc_sum_id", "n_rows", "n_upserted", "sum_event_id")
+              "cdc_rows", "cdc_sum_id", "cdc_del_rows", "cdc_del_sum_id",
+              "n_rows", "n_upserted", "sum_event_id")
     } finally SnapshotTable.deleteRecursively(root)
   }
 
@@ -187,6 +193,8 @@ object Snap {
       |  4 AS n_removed_by_delete,
       |  (u + i5)::BIGINT AS cdc_rows,
       |  (su + si5 + 1000000 * i5)::BIGINT AS cdc_sum_id,
+      |  (u + dels)::BIGINT AS cdc_del_rows,
+      |  (su + sdels)::BIGINT AS cdc_del_sum_id,
       |  (n + i5 - dels)::BIGINT AS n_rows,
       |  (u + i5)::BIGINT AS n_upserted,
       |  (sn + si5 + 1000000 * i5 - sdels)::BIGINT AS sum_event_id

@@ -48,7 +48,8 @@ object SnapshotTable {
                             stats: Map[String, FileStats] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             delta: Seq[String] = Nil,
-                            tsMs: Long = 0L)
+                            tsMs: Long = 0L,
+                            removed: Seq[String] = Nil)
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
@@ -127,6 +128,10 @@ object SnapshotTable {
     val tsMs = (j \ "ts_ms") match {
       case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
     }
+    val removed = (j \ "removed") match {
+      case JArray(fs) => fs.collect { case JString(f) => f }
+      case _ => Nil
+    }
     val schema = (j \ "schema") match {
       case JNothing => None
       case sj =>
@@ -138,7 +143,7 @@ object SnapshotTable {
         }
     }
     Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
-             files, stats, schema, delta, tsMs)
+             files, stats, schema, delta, tsMs, removed)
   }
 
   /** Schema compatibility gate for append-family commits: the commit schema
@@ -290,7 +295,8 @@ object SnapshotTable {
   private def manifestJson(v: Int, parent: Int, op: String, rows: Long,
                            files: Seq[String], stats: Map[String, FileStats],
                            schema: org.apache.spark.sql.types.StructType,
-                           delta: Seq[String] = Nil): String = {
+                           delta: Seq[String] = Nil,
+                           removed: Seq[String] = Nil): String = {
     def jd(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else d.toString
     val statsJson = files.filter(stats.contains).map { f =>
@@ -304,6 +310,7 @@ object SnapshotTable {
        | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
        | "stats": {$statsJson},
        | "delta": [${delta.map(f => s""""$f"""").mkString(", ")}],
+       | "removed": [${removed.map(f => s""""$f"""").mkString(", ")}],
        | "ts_ms": ${System.currentTimeMillis()},
        | "schema": ${schema.json}}""".stripMargin
   }
@@ -592,8 +599,8 @@ object SnapshotTable {
     val touched =
       if (deltaRows == 0L) Nil else planFiles(root, base, ranges)
     val untouched = prev.files.filterNot(touched.toSet)
-    val (survFiles, survStats) =
-      if (touched.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
+    val (survFiles, survStats, tombFiles) =
+      if (touched.isEmpty) (Seq.empty[String], Map.empty[String, FileStats], Seq.empty[String])
       else {
         val reader = prev.schema.fold(spark.read)(spark.read.schema)
         val old = reader.parquet(touched.map(f => s"$root/$f"): _*)
@@ -602,14 +609,19 @@ object SnapshotTable {
             spark.read.schema(df.schema).parquet(deltaFiles.map(f => s"$root/$f"): _*)
               .select(keyCols.map(col): _*).distinct()
           else df.select(keyCols.map(col): _*).distinct()
-        writeAttempt(spark, root, v, old.join(keys, keyCols, "left_anti"))
+        val (sf, ss) = writeAttempt(spark, root, v, old.join(keys, keyCols, "left_anti"))
+        // CDC tombstones: the REPLACED rows (pre-images of the upsert) —
+        // recorded under `removed`, outside the live file list, so
+        // changesCdc can stream deletes without diffing row sets
+        val (tf, _) = writeAttempt(spark, root, v, old.join(keys, keyCols, "left_semi"))
+        (sf, ss, tf)
       }
     val live = untouched ++ survFiles ++ deltaFiles
     val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++
       survStats ++ deltaStats
     publish(root, v, manifestJson(v, base, "merge",
       liveRows(spark, root, live, stats), live, stats, df.schema,
-      delta = deltaFiles))
+      delta = deltaFiles, removed = tombFiles))
     v
   }
 
@@ -639,11 +651,18 @@ object SnapshotTable {
         candidates.filter(rels)
       }
     val untouched = prev.files.filterNot(touched.toSet)
-    val (newFiles, newStats) =
-      if (touched.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
-      else writeAttempt(spark, root, v,
-        reader.parquet(touched.map(f => s"$root/$f"): _*)
-          .filter(not(coalesce(predicate, lit(false)))))
+    val (newFiles, newStats, tombFiles) =
+      if (touched.isEmpty)
+        (Seq.empty[String], Map.empty[String, FileStats], Seq.empty[String])
+      else {
+        val (nf, ns) = writeAttempt(spark, root, v,
+          reader.parquet(touched.map(f => s"$root/$f"): _*)
+            .filter(not(coalesce(predicate, lit(false)))))
+        // CDC tombstones: exactly the rows this delete removed
+        val (tf, _) = writeAttempt(spark, root, v,
+          reader.parquet(touched.map(f => s"$root/$f"): _*).filter(predicate))
+        (nf, ns, tf)
+      }
     val live = untouched ++ newFiles
     val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++ newStats
     val schema = prev.schema.getOrElse {
@@ -651,8 +670,65 @@ object SnapshotTable {
       spark.read.parquet(s"$root/${prev.files.head}").schema
     }
     publish(root, v, manifestJson(v, base, "delete",
-      liveRows(spark, root, live, stats), live, stats, schema))
+      liveRows(spark, root, live, stats), live, stats, schema,
+      removed = tombFiles))
     v
+  }
+
+  /** Full CDC stream over (fromV, toV]: every row change with a
+    * `_change_type` column — 'insert' for appended/upserted rows, 'delete'
+    * for rows a DELETE removed or a MERGE replaced (the pre-images, from
+    * the manifest's tombstone files — written in the same touched-file
+    * pass, so no row-set diffing ever runs) or an OVERWRITE dropped (the
+    * parent's live files, read lazily). Updates appear as the standard
+    * delete(pre-image) + insert(post-image) pair keyed by the caller.
+    * compact/rollback contribute nothing. The adds-only [[changes]]
+    * remains the cheap path when deletes don't matter. */
+  def changesCdc(spark: SparkSession, root: String, fromV: Int,
+                 toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(toV > fromV && toV >= 1, s"bad change range v$fromV..v$toV")
+    val snaps = (math.max(1, fromV + 1) to toV).map { v =>
+      require(Files.exists(metaDir(root).resolve(s"v$v.json")),
+        s"changesCdc(v$fromV, v$toV) needs manifest v$v, which is expired")
+      snapshot(root, v)
+    }
+    val schemas = snaps.filter(sn => sn.op != "compact" && sn.op != "rollback")
+      .flatMap(_.schema)
+    schemas.headOption.foreach { first =>
+      val fm = first.fields.map(f => f.name -> f.dataType).toMap
+      schemas.foreach { st =>
+        require(st.fields.map(f => f.name -> f.dataType).toMap == fm,
+          s"changesCdc(v$fromV, v$toV) spans a schema change; read per-version")
+      }
+    }
+    val reader = schemas.headOption.fold(spark.read)(spark.read.schema)
+    def scan(files: Seq[String], kind: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(reader.parquet(files.map(f => s"$root/$f"): _*)
+        .withColumn("_change_type", lit(kind)))
+    val parts = snaps.flatMap { sn =>
+      sn.op match {
+        case "append" =>
+          val parentFiles = if (sn.parent >= 1) snapshot(root, sn.parent).files.toSet
+                            else Set.empty[String]
+          scan(sn.files.filterNot(parentFiles), "insert").toSeq
+        case "overwrite" =>
+          val dels = if (sn.parent >= 1)
+            scan(snapshot(root, sn.parent).files, "delete") else None
+          dels.toSeq ++ scan(sn.files, "insert").toSeq
+        case "merge" =>
+          scan(sn.removed, "delete").toSeq ++ scan(sn.delta, "insert").toSeq
+        case "delete" => scan(sn.removed, "delete").toSeq
+        case _ => Nil // compact / rollback: rewrites, not data changes
+      }
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      val live = snapshot(root, toV).files
+      require(live.nonEmpty, s"snapshot v$toV has no files at $root")
+      reader.parquet(s"$root/${live.head}")
+        .withColumn("_change_type", lit("insert")).limit(0)
+    }
   }
 
   /** Roll the table back to `toV` as a NEW snapshot (history stays intact,
@@ -709,7 +785,7 @@ object SnapshotTable {
     val retained = (keepFrom to cur)
       .filter(v => Files.exists(metaDir(root).resolve(s"v$v.json")))
       .map(snapshot(root, _))
-    val liveDirs = retained.flatMap(_.files)
+    val liveDirs = retained.flatMap(sn => sn.files ++ sn.removed)
       .map(f => f.split("/")(1)).toSet // "data/<attempt>/<file>" → attempt
     // drop expired manifests; claims and publish tmp residue are deleted by
     // the SAME version rule (< keepFrom), never by a point-in-time

@@ -407,6 +407,13 @@ class SnapshotSpec extends AnyFunSuite {
     val cdc = changes(spark, root, fromV = 3, toV = v)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(cdc == incoming.toMap.map { case (k, x) => k -> x }, s"cdc size ${cdc.size}")
+    // FULL CDC: inserts = incoming; deletes = the 70 replaced pre-images
+    // (upserted EXISTING keys only — fresh inserts have no pre-image)
+    val full = changesCdc(spark, root, fromV = 3, toV = v).collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+    assert(full.count(_._1 == "insert") == 80)
+    val pre = full.collect { case ("delete", id, x) => id -> x }.toMap
+    assert(pre.keySet == (150L until 220L).toSet && pre(150L) == "base150")
     // history intact: v3 still reads the pre-merge rows
     assert(read(spark, root, asOf = 3).filter(col("id") === 150)
       .head().getString(1) == "base150")
@@ -435,8 +442,14 @@ class SnapshotSpec extends AnyFunSuite {
     val ids = read(spark, root).select("id").collect().map(_.getLong(0)).toSet
     val want = (0L until 300L).toSet -- (0L until 100L).filter(_ % 10 == 7)
     assert(ids == want && after.rows == want.size.toLong)
-    // deletes add nothing to the CDC stream
+    // deletes add nothing to the adds-only CDC stream…
     assert(changes(spark, root, fromV = 3, toV = v).count() == 0)
+    // …and appear as 'delete' rows (the exact removed set) in the full one
+    val cdcDel = changesCdc(spark, root, fromV = 3, toV = v).collect()
+      .map(r => (r.getString(2), r.getLong(0)))
+    assert(cdcDel.forall(_._1 == "delete"))
+    assert(cdcDel.map(_._2).toSet ==
+      (0L until 100L).filter(_ % 10 == 7).toSet)
     // time travel unaffected
     assert(read(spark, root, asOf = 3).count() == 300)
   }
