@@ -52,12 +52,18 @@ object Warp {
       min(col("ulx") + col("w") * col("res")).as("i_xmax"), min(col("uly")).as("i_ymax"),
       min_by(struct(col("ulx"), col("uly"), col("res"), col("w"), col("h"), col("crs")),
              col("image_id")).as("first"),
-      collect_set(col("crs")).as("crs_set")
+      collect_set(col("crs")).as("crs_set"),
+      max_by(col("crs"), col("image_id")).as("last_crs")
     ).head()
     // CRS resolution rides the SAME single metadata agg (stage A stays one
     // job); the cross-CRS path re-aggregates projected metadata — the rare
-    // branch pays, the uniform fast path does not
-    val targetCrs = if (tSrs == "first") m.getStruct(12).getString(5) else tSrs
+    // branch pays, the uniform fast path does not. tSrs: "first"/"last"
+    // (parse_srs list order, warplib.py:264-310) or an explicit CRS id.
+    val targetCrs = tSrs match {
+      case "first" => m.getStruct(12).getString(5)
+      case "last"  => m.getString(14)
+      case s => s
+    }
     if (m.getSeq[String](13).exists(_ != targetCrs))
       return analyzeCross(images, resStrategy, extentStrategy, targetCrs)
 

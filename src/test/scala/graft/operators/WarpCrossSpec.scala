@@ -116,5 +116,8 @@ class WarpCrossSpec extends AnyFunSuite {
     val uni = spark.createDataset(Seq(imgA)).toDF()
     val tFirst = Warp.analyze(uni, "min", "union")
     assert(tFirst.crs == "EPSG:32610" && tFirst.ulx == gA.ulx && tFirst.res == gA.res)
+    // tSrs="last" resolves the highest-id image's CRS (parse_srs list order)
+    val tLast = Warp.analyze(images, "min", "union", tSrs = "last")
+    assert(tLast.crs == "EPSG:4326")
   }
 }
