@@ -109,7 +109,8 @@ object GraftFunctions {
     ("hexcell", es => HexCellEncode(cd(es(0)), cd(es(1)), ci(es(2)))),
     ("s2cell", es => S2CellEncode(cd(es(0)), cd(es(1)), ci(es(2)))),
     ("planar_cell", es => PlanarCellEncode(cd(es(0)), cd(es(1)), cd(es(2)))),
-    ("planar_kring", es => PlanarKRing(cl(es(0)), ci(es(1)))))
+    ("planar_kring", es => PlanarKRing(cl(es(0)), ci(es(1)))),
+    ("vec_dot", es => VecDot(es(0), es(1))))
 
   /** Register on a live session (SQL-callable: `SELECT zcell(lon, lat, 9)`). */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
@@ -140,6 +141,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("planar_kring"),
       new ExpressionInfo(classOf[PlanarKRing].getName, "planar_kring"),
       (es: Seq[Expression]) => PlanarKRing(cl(es(0)), ci(es(1)))))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
     // custom whole-operator plan: nearest-time as-of join (graft.plans)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -136,4 +136,12 @@ class PipExpressionSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("vec_dot is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").selectExpr("vec_dot(a, b) AS d").head().getDouble(0)
+    assert(got == 32.0)
+  }
 }
