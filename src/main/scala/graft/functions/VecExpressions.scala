@@ -114,6 +114,11 @@ object AnnKernels {
     * float element promoted to double, then · double hyperplane term). */
   def lshKeys(v: ArrayData, hp: Array[Double], dims: Int,
               tables: Int, planes: Int): ArrayData = {
+    // Loud failure on dimension mismatch (matches the ScalaUDF path this
+    // replaced): an UnsafeArrayData read past numElements() is unchecked
+    // and would produce nondeterministic bucket keys instead of an error.
+    require(v.numElements() == dims,
+      s"lsh_bucket_keys: vector has ${v.numElements()} elements, expected $dims")
     val keys = new Array[Long](tables)
     var t = 0
     while (t < tables) {

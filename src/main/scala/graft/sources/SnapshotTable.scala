@@ -107,13 +107,14 @@ object SnapshotTable {
             case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
           }
           val cols = (fj \ "cols") match {
-            // bounds widen one ulp outward ON LOAD: manifests written
-            // before directed-rounding stats may carry nearest-rounded
-            // bounds that shrank the true interval (silent pruning of a
-            // matching file); one ulp of extra keep-probability is free
+            // bounds are loaded VERBATIM — the one-ulp outward widening for
+            // legacy (nearest-rounded) manifests is applied at COMPARISON
+            // time in planFiles, not here: widening on load would be
+            // re-serialized for carried-forward files by every
+            // commit/merge/delete and drift the persisted bounds one ulp
+            // outward per commit, blurring the directed-rounded invariant
             case JObject(cf) => cf.collect {
-              case (c, JArray(List(lo, hi))) =>
-                c -> (Math.nextDown(dbl(lo)), Math.nextUp(dbl(hi)))
+              case (c, JArray(List(lo, hi))) => c -> (dbl(lo), dbl(hi))
             }.toMap.filter { case (_, (lo, hi)) => !lo.isNaN && !hi.isNaN }
             case _ => Map.empty[String, (Double, Double)]
           }
@@ -209,6 +210,34 @@ object SnapshotTable {
       .filter(_.endsWith(".parquet"))
       .sorted.map(f => s"data/$attempt/$f")
     (newFiles, computeStats(spark, root, newFiles))
+  }
+
+  /** Single-pass copy-on-write split for merge/delete: one scan of the
+    * touched files writes BOTH the survivor rewrite and the CDC tombstone
+    * pre-images, routed by the boolean `keptCol` through a
+    * `partitionBy` dynamic write (kept=true → survivors, kept=false →
+    * tombstones) — the touched data is read ONCE per commit, where an
+    * anti-join + semi-join pair read it twice. `partitionBy` drops the
+    * routing column from the data files, so both halves keep the exact
+    * table schema. Stats run over the SURVIVOR files only: tombstones
+    * live under `removed`, never in the live list, so their stats would
+    * be computed and thrown away (one wasted scan per merge/delete). */
+  private def writeSplit(spark: SparkSession, root: String, v: Int,
+                         df: DataFrame, keptCol: String)
+      : (Seq[String], Map[String, FileStats], Seq[String]) = {
+    val attempt = s"s$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = Paths.get(root, "data", attempt)
+    df.write.mode(SaveMode.Overwrite).partitionBy(keptCol)
+      .parquet(dataDir.toString)
+    def half(kept: Boolean): Seq[String] = {
+      val sub = dataDir.resolve(s"$keptCol=$kept")
+      if (!Files.isDirectory(sub)) Nil
+      else listNames(sub).filter(_.endsWith(".parquet"))
+        .sorted.map(f => s"data/$attempt/$keptCol=$kept/$f")
+    }
+    val survivors = half(kept = true)
+    val tombstones = half(kept = false)
+    (survivors, computeStats(spark, root, survivors), tombstones)
   }
 
   /** Column expression whose min/max are the manifest-stat bounds for a
@@ -332,9 +361,9 @@ object SnapshotTable {
       age > claimGraceMs
     } catch { case _: java.nio.file.NoSuchFileException => true }
 
-  private def tryCreateNew(p: Path): Boolean =
+  private def tryCreateNew(p: Path, content: Array[Byte] = Array.emptyByteArray): Boolean =
     try {
-      Files.write(p, Array.emptyByteArray,
+      Files.write(p, content,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
       true
@@ -350,14 +379,24 @@ object SnapshotTable {
     * INSIDE this window leaves a breaker file that blocks further
     * auto-breaks (fail-safe: the table waits for maintenance — expire
     * sweeps lease-expired breakers — rather than risking a double
-    * publish). Returns true iff this caller broke the lease and may try to
-    * re-claim. */
+    * publish). Before deleting the claim, its owner token is recorded in a
+    * FENCE file (`v<N>.json.fence.<token>`): a broken claimant that was
+    * merely PAUSED (not crashed) re-reads its claim before moving and
+    * checks its fence after moving, so a break can never silently orphan
+    * a resumed mover — see [[publish]]. Returns true iff this caller
+    * broke the lease and may try to re-claim. */
   private def breakStaleClaim(root: String, v: Int): Boolean = {
     val claim = metaDir(root).resolve(s"v$v.json.claim")
     val breaker = metaDir(root).resolve(s"v$v.json.breaker")
     if (!tryCreateNew(breaker)) return false // another breaker is live (or crashed: maintenance)
     try {
-      if (claimIsStale(claim)) { Files.deleteIfExists(claim); true }
+      if (claimIsStale(claim)) {
+        val token = try Files.readString(claim).trim
+                    catch { case _: java.io.IOException => "" }
+        if (token.nonEmpty)
+          tryCreateNew(metaDir(root).resolve(s"v$v.json.fence.$token"))
+        Files.deleteIfExists(claim); true
+      }
       else false
     } finally Files.deleteIfExists(breaker)
   }
@@ -394,14 +433,40 @@ object SnapshotTable {
         // `claimGraceMs` with no published manifest is a definite crash
         // (the claim→move gap holds no long operation) and is broken ONCE;
         // a fresh claim still loses cleanly to the in-flight owner.
+        // claims carry an owner TOKEN so a break is fenced, not silent:
+        // (1) the claim file's content identifies its owner; (2) a breaker
+        // records that token in a fence file BEFORE deleting the claim;
+        // (3) the owner re-reads its claim immediately before moving — a
+        // broken-and-reclaimed claim has a different token and the paused
+        // owner loses loudly instead of replacing the new winner's
+        // manifest (POSIX rename replaces); (4) after the move the owner
+        // checks for its own fence — if present, the break raced the move
+        // itself and the clobber is DETECTED (loud error naming the lost
+        // version) rather than a silent lost commit. The residual window
+        // is the single move syscall; a pause longer than claimGraceMs
+        // between two adjacent metadata ops is required to reach it.
+        val token = java.util.UUID.randomUUID().toString
         val claim = metaDir(root).resolve(s"v$v.json.claim")
-        val claimed = tryCreateNew(claim) || {
+        val fence = metaDir(root).resolve(s"v$v.json.fence.$token")
+        val tokenBytes = token.getBytes("UTF-8")
+        val claimed = tryCreateNew(claim, tokenBytes) || {
           (!Files.exists(target) && claimIsStale(claim) &&
-            breakStaleClaim(root, v)) && tryCreateNew(claim)
+            breakStaleClaim(root, v)) && tryCreateNew(claim, tokenBytes)
         }
         if (!claimed) throw new ConcurrentCommitException(v)
         if (Files.exists(target)) throw new ConcurrentCommitException(v)
+        val owned = try Files.readString(claim).trim == token
+                    catch { case _: java.io.IOException => false }
+        if (!owned) throw new ConcurrentCommitException(v)
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(fence)) {
+          Files.deleteIfExists(fence)
+          throw new IllegalStateException(
+            s"snapshot v$v: this publish's claim was lease-broken during " +
+              "the move; the manifest may have replaced a concurrently " +
+              "committed one — manual reconciliation required (republish " +
+              "from the surviving attempt dirs)")
+        }
     }
     finally Files.deleteIfExists(tmp)
   }
@@ -417,7 +482,14 @@ object SnapshotTable {
       val st = snap.stats.get(f)
       prune.forall { p =>
         st.flatMap(_.cols.get(p.colName)) match {
-          case Some((lo, hi)) => hi >= p.lo && lo <= p.hi
+          // recorded bounds widen one ulp outward AT COMPARISON TIME:
+          // manifests written before directed-rounding stats may carry
+          // nearest-rounded bounds one ulp too tight (silent pruning of a
+          // matching file). Widening here instead of on load keeps the
+          // PERSISTED bounds byte-stable across carried-forward
+          // re-serialization (no per-commit ulp drift); one ulp of extra
+          // keep-probability per read is free.
+          case Some((lo, hi)) => Math.nextUp(hi) >= p.lo && Math.nextDown(lo) <= p.hi
           case None => true
         }
       }
@@ -609,11 +681,18 @@ object SnapshotTable {
             spark.read.schema(df.schema).parquet(deltaFiles.map(f => s"$root/$f"): _*)
               .select(keyCols.map(col): _*).distinct()
           else df.select(keyCols.map(col): _*).distinct()
-        val (sf, ss) = writeAttempt(spark, root, v, old.join(keys, keyCols, "left_anti"))
-        // CDC tombstones: the REPLACED rows (pre-images of the upsert) —
-        // recorded under `removed`, outside the live file list, so
-        // changesCdc can stream deletes without diffing row sets
-        val (tf, _) = writeAttempt(spark, root, v, old.join(keys, keyCols, "left_semi"))
+        // ONE pass over the touched files: a left join against the
+        // (distinct, broadcastable) incoming keys routes each row to the
+        // survivor rewrite (no key match) or the CDC tombstone pre-images
+        // (key match, i.e. the rows this upsert replaces — recorded under
+        // `removed`, outside the live list, so changesCdc streams deletes
+        // without diffing row sets). Replaces an anti-join + semi-join
+        // pair that scanned the touched set twice.
+        val marked = keys.withColumn("__hit", lit(1))
+        val routed = old.join(marked, keyCols, "left")
+          .withColumn("__kept", col("__hit").isNull)
+          .drop("__hit")
+        val (sf, ss, tf) = writeSplit(spark, root, v, routed, "__kept")
         (sf, ss, tf)
       }
     val live = untouched ++ survFiles ++ deltaFiles
@@ -655,12 +734,13 @@ object SnapshotTable {
       if (touched.isEmpty)
         (Seq.empty[String], Map.empty[String, FileStats], Seq.empty[String])
       else {
-        val (nf, ns) = writeAttempt(spark, root, v,
-          reader.parquet(touched.map(f => s"$root/$f"): _*)
-            .filter(not(coalesce(predicate, lit(false)))))
-        // CDC tombstones: exactly the rows this delete removed
-        val (tf, _) = writeAttempt(spark, root, v,
-          reader.parquet(touched.map(f => s"$root/$f"): _*).filter(predicate))
+        // ONE pass over the touched files: the predicate routes each row
+        // to the survivor rewrite (false/null — SQL DELETE keeps
+        // null-valued rows) or the CDC tombstone pre-images (true).
+        // Replaces a filter + negated-filter pair that scanned twice.
+        val routed = reader.parquet(touched.map(f => s"$root/$f"): _*)
+          .withColumn("__kept", not(coalesce(predicate, lit(false))))
+        val (nf, ns, tf) = writeSplit(spark, root, v, routed, "__kept")
         (nf, ns, tf)
       }
     val live = untouched ++ newFiles
@@ -693,11 +773,20 @@ object SnapshotTable {
         s"changesCdc(v$fromV, v$toV) needs manifest v$v, which is expired")
       snapshot(root, v)
     }
+    // the agreement set includes the PARENT schema of every in-range
+    // overwrite: its delete pre-images are the parent's files, scanned
+    // below with the common reader — when the range starts AT the
+    // overwrite's parent (fromV = parent) that schema is otherwise
+    // outside the range, and a reshaping overwrite would silently
+    // null-pad / drop pre-image columns instead of the loud error
+    val preImageSchemas = snaps
+      .filter(sn => sn.op == "overwrite" && sn.parent >= 1)
+      .flatMap(sn => snapshot(root, sn.parent).schema)
     val schemas = snaps.filter(sn => sn.op != "compact" && sn.op != "rollback")
       .flatMap(_.schema)
     schemas.headOption.foreach { first =>
       val fm = first.fields.map(f => f.name -> f.dataType).toMap
-      schemas.foreach { st =>
+      (schemas ++ preImageSchemas).foreach { st =>
         require(st.fields.map(f => f.name -> f.dataType).toMap == fm,
           s"changesCdc(v$fromV, v$toV) spans a schema change; read per-version")
       }
@@ -749,13 +838,27 @@ object SnapshotTable {
     * versions keep reading their old files until `expire` reclaims them —
     * the small-files problem is the first maintenance job any snapshot
     * catalog needs at 100 TB ingest rates. */
-  def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Int = {
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1,
+              sortCols: Seq[String] = Nil): Int = {
     val base = currentVersion(root)
     require(base >= 1, s"nothing to compact at $root")
     val v = base + 1
     val cur = read(spark, root)
-    val (newFiles, stats) =
-      writeAttempt(spark, root, v, cur.repartition(targetFiles))
+    // sort-ordered rewrite (Iceberg's sort `rewrite_data_files` strategy):
+    // range-partition on the sort key then sort within partitions, so the
+    // rewritten files hold DISJOINT key ranges and the fresh manifest
+    // stats are tight — planFiles on a key range then plans ~1 file
+    // instead of every file (a hash repartition smears each key range
+    // across all files, making the per-file [min, max] span the table)
+    val arranged =
+      if (sortCols.isEmpty) cur.repartition(targetFiles)
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = sortCols.map(col)
+        cur.repartitionByRange(targetFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      }
+    val (newFiles, stats) = writeAttempt(spark, root, v, arranged)
     publish(root, v, manifestJson(v, base, "compact",
       stats.valuesIterator.map(_.rows).sum, newFiles, stats, cur.schema))
     v
@@ -795,7 +898,7 @@ object SnapshotTable {
     var dropped = 0
     listNames(metaDir(root)).foreach { n =>
       val man = "^v(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
-      val residue = "^\\.?v(\\d+)\\.json(\\.claim|\\.tmp)$".r
+      val residue = "^\\.?v(\\d+)\\.json(\\.claim|\\.tmp|\\.fence\\.[A-Za-z0-9._-]+)$".r
         .findFirstMatchIn(n).map(_.group(1).toInt)
       if (man.exists(_ < keepFrom)) {
         Files.delete(metaDir(root).resolve(n)); dropped += 1

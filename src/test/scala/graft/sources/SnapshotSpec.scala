@@ -470,4 +470,162 @@ class SnapshotSpec extends AnyFunSuite {
       readAsOfTime(spark, root, snapshot(root, 1).tsMs - 1000)
     }
   }
+
+  /** Sum of parquet input records across all jobs in `body` (listener
+    * drained by polling to a stable value — fixed sleeps undercount on a
+    * loaded host). */
+  private def recordsReadDuring(body: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        acc.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1L; var stable = 0
+      while (System.nanoTime() < deadline && stable < 5) {
+        val cur = acc.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100)
+      }
+      acc.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("merge and delete scan the touched files ONCE per commit (single-pass split)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("singlepass")
+    def mk(r: Range) = r.map(i => (i.toLong, s"row$i")).toDF("id", "s").coalesce(1)
+    commit(spark, root, mk(0 until 1000))
+    commit(spark, root, mk(1000 until 2000))
+    commit(spark, root, mk(2000 until 3000))
+    // upsert keys 0..99: envelope hits ONLY file 1 (1000 rows touched).
+    // Input-record accounting for the merge, all parquet scans:
+    //   delta stats scan        100   (the freshly written incoming rows)
+    //   keys read-back          100   (delta files -> distinct key join side)
+    //   touched scan            1000  (ONE pass: split write routes rows)
+    //   survivor stats scan      900  (tombstones skip stats by design)
+    // = 2100. The previous anti+semi shape added a second 1000-row touched
+    // scan plus a 100-row tombstone stats scan (~3200). Bound at 2600:
+    // fails loudly if either the double scan or tombstone stats return.
+    val rr = recordsReadDuring {
+      merge(spark, root, mk(0 until 100), Seq("id"))
+    }
+    assert(rr <= 2600, s"merge read $rr records; touched set must be scanned once")
+    assert(read(spark, root).count() == 3000)
+    // delete in file 2 only: candidates via prune = file 2 (1000 rows).
+    //   hit-count scan          1000  (which candidates hold matches)
+    //   touched scan            1000  (ONE pass split write)
+    //   survivor stats           900
+    // = 2900; the old shape re-scanned touched for tombstones (+1000) and
+    // ran tombstone stats (+100).
+    val rrDel = recordsReadDuring {
+      delete(spark, root, col("id") % 10 === 3 && col("id") < 2000,
+        prune = Seq(ColRange("id", 1000, 1999)))
+    }
+    assert(rrDel <= 3400, s"delete read $rrDel records; touched set must be scanned once")
+    assert(read(spark, root).count() == 2900)
+  }
+
+  test("sort-ordered compact: disjoint key ranges prune to strictly fewer files") {
+    import spark.implicits._
+    import scala.util.Random
+    val root = freshRoot("sortcompact")
+    val rnd = new Random(7)
+    val ids = rnd.shuffle((0 until 4000).toList)
+    ids.grouped(1000).foreach { g =>
+      commit(spark, root, g.map(i => (i.toLong, s"r$i")).toDF("id", "s").repartition(2))
+    }
+    // unsorted rewrite: every file's [min, max] spans ~the whole id domain
+    compact(spark, root, targetFiles = 8)
+    val unsorted = planFiles(root, currentVersion(root),
+      Seq(ColRange("id", 100, 299))).size
+    // sort rewrite: range partition + sortWithinPartitions -> disjoint files
+    compact(spark, root, targetFiles = 8, sortCols = Seq("id"))
+    val sorted = planFiles(root, currentVersion(root),
+      Seq(ColRange("id", 100, 299))).size
+    assert(sorted < unsorted,
+      s"sorted compact planned $sorted files vs unsorted $unsorted")
+    assert(sorted <= 2, s"a 200-id slice of 4000 ids over 8 disjoint files " +
+      s"must plan at most 2 files, planned $sorted")
+    // the rewrite is still the identical row set
+    assert(read(spark, root).count() == 4000)
+  }
+
+  test("changesCdc: reshaping overwrite fails loudly even when the range starts at its parent") {
+    import spark.implicits._
+    val root = freshRoot("cdcreshape")
+    commit(spark, root, df(0 until 10))                         // v1 (id, s)
+    commit(spark, root,
+      Seq((1L, "x", 2.5)).toDF("id", "s", "extra"), op = "overwrite") // v2 reshapes
+    // range (1, 2]: only v2 is IN range, but its delete pre-images are
+    // v1's files — the parent schema must join the agreement check, else
+    // the pre-image scan silently null-pads the dropped column
+    val e = intercept[IllegalArgumentException] {
+      changesCdc(spark, root, fromV = 1, toV = 2).collect()
+    }
+    assert(e.getMessage.contains("spans a schema change"))
+    // same-shape overwrite stays readable
+    val root2 = freshRoot("cdcsame")
+    commit(spark, root2, df(0 until 10))
+    commit(spark, root2, df(100 until 104), op = "overwrite")
+    val full = changesCdc(spark, root2, fromV = 1, toV = 2).collect()
+    assert(full.count(_.getString(2) == "delete") == 10)
+    assert(full.count(_.getString(2) == "insert") == 4)
+  }
+
+  test("carried-forward stats are byte-stable: no per-commit ulp drift") {
+    val root = freshRoot("ulpdrift")
+    commit(spark, root, df(0 until 50))
+    val f1 = snapshot(root, 1).files.head
+    val s1 = snapshot(root, 1).stats(f1)
+    // every later append re-serializes v1's carried-forward stats; the
+    // recorded bounds must stay EXACTLY the directed-rounded interval
+    (0 until 5).foreach(i => commit(spark, root, df((i + 1) * 50 until (i + 2) * 50)))
+    val s6 = snapshot(root, 6).stats(f1)
+    assert(s6 == s1, s"stats drifted across carries: $s1 -> $s6")
+    // legacy one-ulp tolerance now lives at comparison time: a probe AT
+    // the exact recorded bound still plans the file
+    val (lo, hi) = s1.cols("id")
+    assert(planFiles(root, 6, Seq(ColRange("id", hi, hi + 5))).contains(f1))
+    assert(planFiles(root, 6, Seq(ColRange("id", lo - 5, lo))).contains(f1))
+  }
+
+  test("fallback publish: broken claims are fenced; a foreign-token claim loses pre-move") {
+    val root = freshRoot("fence")
+    commit(spark, root, df(0 until 5)) // v1 (hard-link path)
+    SnapshotTable.forceFallbackPublish = true
+    try {
+      // a stale claim with a recorded owner token: the breaker must leave
+      // that token's fence behind before deleting the claim, so the paused
+      // owner can detect the break when it resumes
+      val claim = java.nio.file.Paths.get(root, "meta", "v2.json.claim")
+      java.nio.file.Files.writeString(claim, "tok-paused-owner")
+      java.nio.file.Files.setLastModifiedTime(claim,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - SnapshotTable.claimGraceMs - 60000))
+      assert(commit(spark, root, df(5 until 8)) == 2)
+      val fence = java.nio.file.Paths.get(root, "meta",
+        "v2.json.fence.tok-paused-owner")
+      assert(java.nio.file.Files.exists(fence),
+        "breaking a tokened claim must leave its owner's fence")
+      // a FRESH claim owned by someone else: the committer can neither
+      // create nor break it, and must lose BEFORE any move (the paused
+      // owner's pre-move token re-read is the same check from its side)
+      val c3 = java.nio.file.Paths.get(root, "meta", "v3.json.claim")
+      java.nio.file.Files.writeString(c3, "tok-other-live")
+      intercept[ConcurrentCommitException] { commit(spark, root, df(8 until 9)) }
+      java.nio.file.Files.delete(c3)
+      // fences are publish residue: swept once their version leaves the
+      // retention window
+      (0 until 4).foreach(i => commit(spark, root, df((i + 2) * 10 until (i + 3) * 10)))
+      expire(root, keepLast = 2)
+      assert(!java.nio.file.Files.exists(fence),
+        "expired-version fence residue must be swept")
+    } finally SnapshotTable.forceFallbackPublish = false
+  }
 }
