@@ -132,14 +132,14 @@ object Similarity {
     candCached.unpersist()
 
     val cs = centroids
-    // final inverted-list assignment: same narrow map, still UDF-free
-    val listSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("list_id",
-        org.apache.spark.sql.types.IntegerType, nullable = false) +: cand.schema.fields)
-    val lists = spark.createDataFrame(
-      cand.rdd.mapPartitions { it =>
-        it.map(r => org.apache.spark.sql.Row.fromSeq(nearest(cs)(r.getSeq[Float](1)) +: r.toSeq))
-      }, listSchema)
+    // final inverted-list assignment = the probe expression at nProbe=1:
+    // ivfProbe orders by (squared distance, index), so element 1 is the
+    // lowest-index argmin — the exact tie-break of the `nearest` closure.
+    // Keeps the projection in Tungsten rows (the RDD mapPartitions + Row
+    // boxing this replaced was the last non-codegen hop in the ANN paths;
+    // bit-compat gated by q94).
+    val lists = cand.withColumn("list_id",
+      element_at(graft.functions.AnnFunctions.ivfProbe(col("cv"), cs, 1), 1))
     // probe = codegen Expression (centroids ride as a reference object) —
     // no ScalaUDF row-conversion fence in the probe projection (the VecDot
     // pattern; bit-compat with the closure it replaced is gated by q94)

@@ -147,5 +147,9 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.ivfCosine(spark, df, df.toDF("c_id", "embedding"), k = 2, nLists = 4)
     assert(!ivf.queryExecution.executedPlan.toString.contains("UDF"),
       "ivfCosine plan must not contain ScalaUDF")
+    // the inverted-list assignment is the nProbe=1 probe expression, not
+    // an RDD mapPartitions: no ExistingRDD scan anywhere in the plan
+    assert(!ivf.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "ivfCosine lists side must stay in Tungsten rows (no RDD scan node)")
   }
 }
