@@ -39,20 +39,37 @@ object Bench {
     val points = PolygonTable.points(spark, Engine.nPoints(sfDir)).cache()
     points.count()
 
-    val tP0 = System.nanoTime()
-    val target = Warp.analyze(images, "min", "union")
-    // not persisted: re-running the narrow warp per consumer is cheaper
-    // than serializing the payloads into the block manager (BENCH.md §4)
-    val tiles = Warp.warpToTiles(spark, images, target, "bilinear")
-    val nTiles = tiles.count()
-    val nStats = StackOps.stackStats(tiles).count()
-    val nTrend = StackOps.trend(tiles).count()
-    val nPip = SpatialJoin.pipJoin(spark, points, polys).count()
-    val nHeat = SpatialJoin.heatmap(spark, polys).count()
-    val nq = math.max(200, Engine.nPoints(sfDir) / 40)
-    val queriesDf = points.filter(org.apache.spark.sql.functions.col("pt_id") < f"pt_$nq%07d")
-    val nKnn = Knn.knn(spark, queriesDf, points, k = 5).count()
-    val pipelineSec = (System.nanoTime() - tP0) / 1e9
+    def runPipeline(): (Double, (Long, Long, Long, Long, Long, Long)) = {
+      val tP0 = System.nanoTime()
+      val target = Warp.analyze(images, "min", "union")
+      // not persisted: re-running the narrow warp per consumer is cheaper
+      // than serializing the payloads into the block manager (BENCH.md §4)
+      val tiles = Warp.warpToTiles(spark, images, target, "bilinear")
+      val nTiles = tiles.count()
+      val nStats = StackOps.stackStats(tiles).count()
+      val nTrend = StackOps.trend(tiles).count()
+      val nPip = SpatialJoin.pipJoin(spark, points, polys).count()
+      val nHeat = SpatialJoin.heatmap(spark, polys).count()
+      val nq = math.max(200, Engine.nPoints(sfDir) / 40)
+      val queriesDf = points.filter(org.apache.spark.sql.functions.col("pt_id") < f"pt_$nq%07d")
+      val nKnn = Knn.knn(spark, queriesDf, points, k = 5).count()
+      ((System.nanoTime() - tP0) / 1e9,
+        (nTiles, nStats, nTrend, nPip, nHeat, nKnn))
+    }
+
+    // ---- interleaved best-of-N (default 2) ----
+    // This box is shared: a single-run artifact once reported six 10-30x
+    // phantom "regressions" that were pure host contention (BENCH.md §7 —
+    // the same query measured 4.4 s and 133 s across identical
+    // invocations). Running the WHOLE inventory per pass (not per-query
+    // back-to-back repeats) decorrelates a contention burst from any one
+    // query, and the per-query MIN across passes is the contention-robust
+    // statistic; the raw per-pass timings ride in a `runs` side field so
+    // the spread itself stays observable.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    val pipelineRuns = Seq.fill(passes)(runPipeline())
+    val pipelineSec = pipelineRuns.map(_._1).min
+    val (nTiles, nStats, nTrend, nPip, nHeat, nKnn) = pipelineRuns.head._2
     val imagesPerSec = nImages / pipelineSec
 
     // ---- per-query timings over the registered inventory ----
@@ -62,30 +79,46 @@ object Bench {
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
     // SPARK_GRAFT_ONLY=q28,q56 limits the per-query loop (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = (if (pipelineOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-                   else SparkEntry.queries)
+    val inventory = (if (pipelineOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+                     else SparkEntry.queries)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // failures must be LOUD: a swallowed exception would report a normal-
-      // looking (small) timing for a query that never ran (observed with a
-      // q91 analysis bug — 2.8 s "timing" for a failure)
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      .toSeq.sortBy(_._1)
+    val perPass: Seq[Seq[(String, Double, Boolean)]] =
+      (0 until passes).map { _ =>
+        inventory.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          // failures must be LOUD: a swallowed exception would report a
+          // normal-looking (small) timing for a query that never ran
+          // (observed with a q91 analysis bug — 2.8 s "timing" for a failure)
+          val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+          (name, (System.nanoTime() - t0) / 1e9, ok)
+        }
+      }
+    // best = min over SUCCESSFUL passes; a query is failed only if every
+    // pass failed. Failed queries are ALSO marked in the JSON itself
+    // (negative timing + a "failed" array): a driver that parses only the
+    // JSON line must still see the failure, not a normal-looking timing.
+    val results = inventory.map(_._1).zipWithIndex.map { case (name, i) =>
+      val runs = perPass.map(_(i))
+      val okRuns = runs.filter(_._3).map(_._2)
+      val ok = okRuns.nonEmpty
+      (name, if (ok) okRuns.min else runs.map(_._2).min, ok,
+        runs.map(_._2))
     }
-    // failed queries are ALSO marked in the JSON itself (negative timing +
-    // a "failed" array): a driver that parses only the JSON line must still
-    // see the failure, not a normal-looking timing
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else f"${-v}%.3f") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val runsJson = results.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum + pipelineSec
+    val pipelineRunsJson = pipelineRuns.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"pipeline_sec":$pipelineSec%.3f,"images_per_sec":$imagesPerSec%.1f,"pipeline_counts":{"tiles":$nTiles,"stats":$nStats,"trend":$nTrend,"pip":$nPip,"heat":$nHeat,"knn":$nKnn}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"passes":$passes,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"pipeline_sec":$pipelineSec%.3f,"pipeline_runs":$pipelineRunsJson,"images_per_sec":$imagesPerSec%.1f,"pipeline_counts":{"tiles":$nTiles,"stats":$nStats,"trend":$nTrend,"pip":$nPip,"heat":$nHeat,"knn":$nKnn}}""")
     Engine.clearImageCache()
     spark.stop()
   }
