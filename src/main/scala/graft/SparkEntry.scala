@@ -161,6 +161,10 @@ object SparkEntry {
     // snapshot MERGE/upsert + row-level delete: file-level write
     // amplification + delta-only CDC + exact final row set
     "q103_snapshot_merge"    -> (Snap.snapshotMerge _),
+    // round-6: 'source' res/extent strategies (per-image passthrough,
+    // warplib.py:330-333/390-393) — source-everything is a full no-op
+    // (all tiles elided), res-normalized keeps per-image extents
+    "q104_warp_source"       -> (Engine.warpSourceTiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -272,5 +276,6 @@ object SparkEntry {
     "q101_snapshot_compact"  -> Snap.snapshotCompactSql,
     "q102_warp_cross"        -> EngineOracle.warpCrossSql,
     "q103_snapshot_merge"    -> Snap.snapshotMergeSql,
+    "q104_warp_source"       -> EngineOracle.warpSourceTilesSql,
   )
 }

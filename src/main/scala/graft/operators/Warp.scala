@@ -167,6 +167,46 @@ object Warp {
     }
   }
 
+  /** `source` res/extent strategies (`parse_res` warplib.py:330-333,
+    * `parse_extent` warplib.py:390-393): 'source' = each image KEEPS its
+    * own value for that axis and only the axes the caller fixed are
+    * normalized — warp_multi's res=None / extent=None passthrough. The
+    * target grid is therefore PER-IMAGE (the reference returns a list of
+    * differently-shaped datasets); `tile_id`/`tx`/`ty` index each image's
+    * own grid, not a shared lattice. res='source'+extent='source' on a
+    * same-CRS input is a FULL no-op: every image is grid-aligned with
+    * itself, so every tile comes out `elided`. Still one narrow map stage:
+    * the fixed axes resolve through the same single metadata aggregation
+    * as [[analyze]] (driver scalars, broadcast as plan literals), and the
+    * per-image grid is derived inside the flatMap — no extra shuffle, no
+    * per-image driver loop. */
+  def warpToTilesSource(spark: SparkSession, images: DataFrame,
+                        resStrategy: String, extentStrategy: String,
+                        tSrs: String = "first", kernel: String = "near",
+                        tileSize: Int = TileSize): Dataset[TileRow] = {
+    import spark.implicits._
+    require(resStrategy == "source" || extentStrategy == "source",
+      "use warpToTiles(analyze(...)) when no axis is 'source'")
+    // one analyze pass resolves every NON-source axis + the target CRS;
+    // 'source' axes borrow a placeholder strategy whose result is unused
+    val g0 = analyze(images,
+      if (resStrategy == "source") "min" else resStrategy,
+      if (extentStrategy == "source") "union" else extentStrategy, tSrs)
+    val fixedRes = if (resStrategy == "source") None else Some(g0.res)
+    val fixedExtent = if (extentStrategy == "source") None else Some(g0.extent)
+    val crs = g0.crs
+    images.as[ImageRow].flatMap { img =>
+      val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
+      val sameCrs = g.crs == crs
+      val res = fixedRes.getOrElse(if (sameCrs) g.res else Proj.resIn(g, crs))
+      val ext = fixedExtent.getOrElse(
+        if (sameCrs) g.extent else Proj.projectExtent(g.extent, g.crs, crs))
+      val target = GridSpec.fromExtentRes(ext, res, crs)
+      val ntx = (target.w + tileSize - 1) / tileSize
+      warpOne(img, target, kernel, tileSize, ntx)
+    }
+  }
+
   /** Target-pixel bounds of an image grid's overlap with the target
     * (clamped), or None when disjoint — the tile-assignment arithmetic of
     * warpOne, exposed for the SQL-twinned assignment oracle (q63). The

@@ -49,6 +49,32 @@ object Engine {
               col("n_valid"), col("elided").cast("int").as("elided"))
   }
 
+  /** q104 — `source` res/extent strategies (`parse_res` warplib.py:330-333,
+    * `parse_extent` warplib.py:390-393): per-image passthrough of the axes
+    * the caller left unfixed. Two configurations per image:
+    * `source_all` (res+extent both 'source') must be a FULL no-op — every
+    * tile elided, valid count = the image's own non-NDV pixel count; and
+    * `res_min` (res normalized to the global min, extent kept per-image)
+    * resamples onto an own-anchored grid, where res-2 images stay elided
+    * (lattice-aligned with themselves) and the rest go through bilinear.
+    * The twin replays both closed-form: the no-op from the fixture's
+    * margin arithmetic, the resample from the separable bilinear-validity
+    * argument of the q40 twin with tulx=ulx. */
+  def warpSourceTiles(s: SparkSession, d: String): DataFrame = {
+    val imgs = images(s, d)
+    def summarize(df: DataFrame, cfg: String) =
+      df.groupBy(col("image_id"))
+        .agg(count(lit(1)).as("n_tiles"), sum(col("n_valid")).as("n_valid_px"),
+             sum(col("elided").cast("long")).as("n_elided"))
+        .withColumn("cfg", lit(cfg))
+    summarize(Warp.warpToTilesSource(s, imgs, "source", "source",
+        "first", "bilinear").toDF(), "source_all")
+      .unionByName(summarize(Warp.warpToTilesSource(s, imgs, "min", "source",
+        "first", "bilinear").toDF(), "res_min"))
+      .select(col("cfg"), col("image_id"), col("n_tiles"),
+              col("n_valid_px"), col("n_elided"))
+  }
+
   /** make_stack.py trace (SURVEY.md §3.2): per-pixel stack stats via the
     * vector aggregator; per-tile scalar summary row. */
   def stackStatsTiles(s: SparkSession, d: String): DataFrame = {

@@ -1035,6 +1035,55 @@ object EngineOracle {
       |GROUP BY image_id, ns, x // 64, y // 64
       |""".stripMargin
 
+  /** DuckDB twin of q104 (`source` strategies): `source_all` is closed-form
+    * no-op arithmetic (valid rect = the NDV-margin interior; tile count =
+    * the 64-tiling of the full grid restricted to tiles holding valid
+    * pixels; every tile elided). `res_min` rebuilds each image's
+    * own-anchored target grid at the global min res (tres=2, exact) and
+    * replays the q40 twin's separable bilinear-validity argument with
+    * tulx=ulx / tuly=uly: res-2 images take the elided copy path, others
+    * count pixels whose positive-weight bilinear support intersects the
+    * valid interior in BOTH axes. */
+  val warpSourceTilesSql: String =
+    s"""${imSql()},
+      |src_all AS (
+      |  SELECT 'source_all' AS cfg, image_id,
+      |    ((((w - marg - 1) // 64) + 1) * (((h - marg - 1) // 64) + 1))::BIGINT AS n_tiles,
+      |    ((w - 2 * marg) * (h - 2 * marg))::BIGINT AS n_valid_px,
+      |    ((((w - marg - 1) // 64) + 1) * (((h - marg - 1) // 64) + 1))::BIGINT AS n_elided
+      |  FROM im),
+      |g AS (SELECT i, image_id, res, w, h, marg,
+      |        round(w * res / 2)::INT AS ns2, round(h * res / 2)::INT AS nl2 FROM im),
+      |gx AS (SELECT g.*, unnest(generate_series(0, ns2 - 1)) AS x FROM g),
+      |gxy AS (SELECT gx.*, unnest(generate_series(0, nl2 - 1)) AS y FROM gx),
+      |f AS (
+      |  SELECT i, image_id, marg, w, h, x, y,
+      |    (x + 0.5::DOUBLE) * 2 / res - 0.5::DOUBLE AS pxf,
+      |    (y + 0.5::DOUBLE) * 2 / res - 0.5::DOUBLE AS pyf
+      |  FROM gxy),
+      |v AS (
+      |  SELECT i, image_id, x, y,
+      |    CASE WHEN i % 3 = 0
+      |         THEN x >= marg AND x < w - marg AND y >= marg AND y < h - marg
+      |         ELSE
+      |           ((floor(pxf)::INT >= marg AND floor(pxf)::INT < w - marg)
+      |            OR (pxf - floor(pxf) > 0 AND floor(pxf)::INT + 1 >= marg AND floor(pxf)::INT + 1 < w - marg))
+      |           AND
+      |           ((floor(pyf)::INT >= marg AND floor(pyf)::INT < h - marg)
+      |            OR (pyf - floor(pyf) > 0 AND floor(pyf)::INT + 1 >= marg AND floor(pyf)::INT + 1 < h - marg))
+      |    END AS ok
+      |  FROM f),
+      |res_min AS (
+      |  SELECT 'res_min' AS cfg, image_id,
+      |    count(DISTINCT (x // 64, y // 64))::BIGINT AS n_tiles,
+      |    count(*)::BIGINT AS n_valid_px,
+      |    (CASE WHEN min(i) % 3 = 0 THEN count(DISTINCT (x // 64, y // 64)) ELSE 0 END)::BIGINT AS n_elided
+      |  FROM v WHERE ok GROUP BY image_id)
+      |SELECT cfg, image_id, n_tiles, n_valid_px, n_elided FROM src_all
+      |UNION ALL
+      |SELECT cfg, image_id, n_tiles, n_valid_px, n_elided FROM res_min
+      |""".stripMargin
+
   /** DuckDB twin of q67: on per-image warped masks the valid region is a
     * single rectangle, so remove_islands (closing of the invalid mask) is
     * the IDENTITY and the counts are pure warp-coverage arithmetic — the

@@ -245,4 +245,43 @@ class WarpSpec extends AnyFunSuite {
       assert(x.payload.sameElements(y.payload))
     }
   }
+
+  test("'source' strategies: source-everything is a full pass-through; fixed axes normalize") {
+    val spark = TestSpark.spark
+    val imgs = ImageTable.generate(spark, 24)
+    // res=source + extent=source on a same-CRS stack: EVERY image is
+    // aligned with its own grid -> every tile elided, payloads preserved
+    val all = Warp.warpToTilesSource(spark, imgs, "source", "source",
+      kernel = "bilinear").collect()
+    assert(all.nonEmpty && all.forall(_.elided),
+      "source-everything must elide every tile (warp_multi res/extent=None)")
+    // per-image valid counts equal the source's own non-NDV pixel count
+    val validByImg = all.groupBy(_.image_id).view.mapValues(_.map(_.n_valid).sum)
+    (0 until 24).foreach { i =>
+      val g = ImageTable.gridOf(i)
+      val px = ImageTable.renderPixels(i)
+      val want = px.count(_ != ImageTable.Ndv)
+      assert(validByImg(ImageTable.imageIdOf(i)) == want, s"i=$i")
+    }
+    // res='min' + extent='source': each image keeps its OWN extent but the
+    // grid res is the global min (2.0) -> res-2 images stay elided, a
+    // res-4 image doubles its pixel dims
+    val mixed = Warp.warpToTilesSource(spark, imgs, "min", "source",
+      kernel = "bilinear").collect()
+    val byImg = mixed.groupBy(_.image_id)
+    (0 until 24).foreach { i =>
+      val g = ImageTable.gridOf(i)
+      val rows = byImg(ImageTable.imageIdOf(i))
+      assert(rows.forall(_.elided) == (g.res == 2.0), s"i=$i elision")
+      // tiles never extend past the image's own extent at res 2
+      val ns = math.rint(g.w * g.res / 2.0).toInt
+      val maxTx = rows.map(_.tx).max
+      assert(maxTx == (ns - 1) / Warp.TileSize, s"i=$i extent kept per-image")
+    }
+    // both axes fixed is warpToTiles(analyze(...)) — loud error, not a
+    // silent second code path
+    intercept[IllegalArgumentException] {
+      Warp.warpToTilesSource(spark, imgs, "min", "union")
+    }
+  }
 }
