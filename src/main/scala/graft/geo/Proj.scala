@@ -1,9 +1,13 @@
 package graft.geo
 
-/** Deterministic spherical map projections with CLOSED-FORM inverses — the
-  * engine's reprojection kernel for cross-CRS warps (the reference defers
-  * this to PROJ via `gdal.ReprojectImage`, `warplib.py:196`, with the target
-  * SRS resolved by `parse_srs`, `warplib.py:264-310`).
+/** Deterministic map projections with CLOSED-FORM inverses — the engine's
+  * reprojection kernel for cross-CRS warps (the reference defers this to
+  * PROJ via `gdal.ReprojectImage`, `warplib.py:196`, with the target SRS
+  * resolved by `parse_srs`, `warplib.py:264-310`). Two datum families
+  * behind one trait: the WGS84-ELLIPSOID forms ([[TmercKruger]],
+  * [[PolarStereoEll]] — the default, matching the reference's PROJ-backed
+  * placements to sub-micrometer) and the mean-sphere forms below (the
+  * documented fallback; <0.3 % positional error that cancels in A→B→A).
   *
   * Design constraints, in order:
   *   1. DETERMINISTIC — same bits on every executor, partition-stable, and
@@ -94,9 +98,173 @@ final case class MercatorSphere(lon0: Double) extends Proj {
      math.toDegrees(2 * math.atan(math.exp(y / Proj.R)) - math.Pi / 2))
 }
 
+/** WGS84 ellipsoid constants + the series shared by the ellipsoidal
+  * projections. All coefficients are closed-form polynomials in the third
+  * flattening n (Krüger 1912; the order-n⁶ tabulation in Karney,
+  * "Transverse Mercator with an accuracy of a few nanometers", J. Geodesy
+  * 85 (2011), eqs 35-36) — public textbook content, re-derived here.
+  * ProjSpec anchors the whole family against INDEPENDENT computations:
+  * the rectifying radius against the published WGS84 quarter-meridian,
+  * central-meridian northings against direct numerical quadrature of the
+  * meridian-arc integrand, and the χ→φ series against the exact
+  * atanh-form conformal latitude. */
+object Ellipsoid {
+  val a = 6378137.0                    // WGS84 semi-major axis (m)
+  val f = 1.0 / 298.257223563          // WGS84 flattening
+  val e2 = f * (2.0 - f)               // first eccentricity squared
+  val e = math.sqrt(e2)
+  val n = f / (2.0 - f)                // third flattening
+
+  /** Rectifying radius A: meridian quadrant = A·π/2. */
+  val A = {
+    val n2 = n * n
+    a / (1.0 + n) * (1.0 + n2 / 4.0 + n2 * n2 / 64.0 + n2 * n2 * n2 / 256.0)
+  }
+
+  private def poly(c: Double*) = c.zipWithIndex.map { case (ci, k) =>
+    ci * math.pow(n, k) }.sum
+
+  /** Forward Krüger series ξ/η ← ξ'/η' (α₁..α₆, each × nʲ..n⁶). */
+  val alpha: Array[Double] = Array(
+    n * poly(1.0 / 2, -2.0 / 3, 5.0 / 16, 41.0 / 180, -127.0 / 288, 7891.0 / 37800),
+    n * n * poly(13.0 / 48, -3.0 / 5, 557.0 / 1440, 281.0 / 630, -1983433.0 / 1935360),
+    math.pow(n, 3) * poly(61.0 / 240, -103.0 / 140, 15061.0 / 26880, 167603.0 / 181440),
+    math.pow(n, 4) * poly(49561.0 / 161280, -179.0 / 168, 6601661.0 / 7257600),
+    math.pow(n, 5) * poly(34729.0 / 80640, -3418889.0 / 1995840),
+    math.pow(n, 6) * poly(212378941.0 / 319334400))
+
+  /** Inverse Krüger series ξ'/η' ← ξ/η (β₁..β₆). */
+  val beta: Array[Double] = Array(
+    n * poly(1.0 / 2, -2.0 / 3, 37.0 / 96, -1.0 / 360, -81.0 / 512, 96199.0 / 604800),
+    n * n * poly(1.0 / 48, 1.0 / 15, -437.0 / 1440, 46.0 / 105, -1118711.0 / 3870720),
+    math.pow(n, 3) * poly(17.0 / 480, -37.0 / 840, -209.0 / 4480, 5569.0 / 90720),
+    math.pow(n, 4) * poly(4397.0 / 161280, -11.0 / 504, -830251.0 / 7257600),
+    math.pow(n, 5) * poly(4583.0 / 161280, -108847.0 / 3991680),
+    math.pow(n, 6) * poly(20648693.0 / 638668800))
+
+  /** Conformal → geodetic latitude series φ = χ + Σ δⱼ sin 2jχ (δ₁..δ₆) —
+    * shared by the Krüger inverse and the ellipsoidal polar-stereo inverse
+    * (both land on χ first; Snyder's eq 3-5 is the e²-power form of the
+    * same series). */
+  val delta: Array[Double] = Array(
+    n * poly(2.0, -2.0 / 3, -2.0, 116.0 / 45, 26.0 / 45, -2854.0 / 675),
+    n * n * poly(7.0 / 3, -8.0 / 5, -227.0 / 45, 2704.0 / 315, 2323.0 / 945),
+    math.pow(n, 3) * poly(56.0 / 15, -136.0 / 35, -1262.0 / 105, 73814.0 / 2835),
+    math.pow(n, 4) * poly(4279.0 / 630, -332.0 / 35, -399572.0 / 14175),
+    math.pow(n, 5) * poly(4174.0 / 315, -144838.0 / 6237),
+    math.pow(n, 6) * poly(601676.0 / 22275))
+
+  def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
+
+  /** Exact conformal latitude: tan χ = sinh(atanh sinφ − e·atanh(e sinφ)). */
+  def conformalTan(phi: Double): Double = {
+    val s = math.sin(phi)
+    math.sinh(atanh(s) - e * atanh(e * s))
+  }
+
+  /** Geodetic latitude from conformal latitude via the δ series. */
+  def geodeticLat(chi: Double): Double = {
+    var phi = chi
+    var j = 1
+    while (j <= 6) { phi += delta(j - 1) * math.sin(2.0 * j * chi); j += 1 }
+    phi
+  }
+
+  /** Snyder 15-9: the polar-stereo half-angle function
+    * t = tan(π/4 − φ/2) / [(1 − e sinφ)/(1 + e sinφ)]^(e/2). */
+  def psT(phi: Double): Double = {
+    val s = e * math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1.0 - s) / (1.0 + s), e / 2)
+  }
+}
+
+/** Ellipsoidal (WGS84) transverse Mercator — the Krüger n-series to order
+  * n⁶ (sub-micrometer within a UTM zone), forward AND inverse in closed
+  * form (series of sinh/cosh/atan2, no iteration): the engine's fidelity
+  * match for the reference's PROJ-backed UTM warps (`warplib.py:196`).
+  * Forward: conformal latitude (exact atanh form) → ξ' = atan2(t, cos Δλ),
+  * η' = atanh(sin Δλ / √(1+t²)) → Krüger α series → E/N. Inverse: β series
+  * → χ = asin(sin ξ'/cosh η') → δ series → φ. */
+final case class TmercKruger(lon0: Double, k0: Double, fe: Double, fn: Double)
+    extends Proj {
+  import Ellipsoid._
+  private val kA = k0 * A
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val dl = math.toRadians(lon - lon0); val phi = math.toRadians(lat)
+    val t = conformalTan(phi)
+    val xip = math.atan2(t, math.cos(dl))
+    val etap = atanh(math.sin(dl) / math.sqrt(1.0 + t * t))
+    var xi = xip; var eta = etap
+    var j = 1
+    while (j <= 6) {
+      xi += alpha(j - 1) * math.sin(2.0 * j * xip) * math.cosh(2.0 * j * etap)
+      eta += alpha(j - 1) * math.cos(2.0 * j * xip) * math.sinh(2.0 * j * etap)
+      j += 1
+    }
+    (fe + kA * eta, fn + kA * xi)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val xi = (y - fn) / kA; val eta = (x - fe) / kA
+    var xip = xi; var etap = eta
+    var j = 1
+    while (j <= 6) {
+      xip -= beta(j - 1) * math.sin(2.0 * j * xi) * math.cosh(2.0 * j * eta)
+      etap -= beta(j - 1) * math.cos(2.0 * j * xi) * math.sinh(2.0 * j * eta)
+      j += 1
+    }
+    val chi = math.asin(math.sin(xip) / math.cosh(etap))
+    (lon0 + math.toDegrees(math.atan2(math.sinh(etap), math.cos(xip))),
+     math.toDegrees(geodeticLat(chi)))
+  }
+}
+
+/** Ellipsoidal (WGS84) polar stereographic, true at `latTs` — Snyder
+  * 21-27..21-40 (USGS PP 1395): ρ = a·m_c·t/t_c with m = cos φ/√(1−e²sin²φ),
+  * x = ρ sin Δλ, y = −ρ cos Δλ (north aspect; south mirrors φ and y, the
+  * same convention as [[PolarStereoSphere]]). Inverse: t = ρ·t_c/(a·m_c),
+  * χ = π/2 − 2 atan t, then the shared δ series → φ. latTs = ±90 uses the
+  * Snyder 21-39 pole-true limit 2a/√((1+e)^(1+e)(1−e)^(1−e)). */
+final case class PolarStereoEll(north: Boolean, latTs: Double, lon0: Double)
+    extends Proj {
+  import Ellipsoid._
+  private val phiC = math.toRadians(math.abs(latTs))
+  /** a·m_c/t_c — the single constant the per-point chain needs. */
+  val aMoverT: Double =
+    if (math.abs(latTs) >= 90.0 - 1e-9)
+      2.0 * a / math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+    else {
+      val mC = math.cos(phiC) / math.sqrt(1.0 - e2 * math.sin(phiC) * math.sin(phiC))
+      a * mC / psT(phiC)
+    }
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val dl = math.toRadians(lon - lon0)
+    val phi = math.toRadians(if (north) lat else -lat)
+    val rho = aMoverT * psT(phi)
+    val x = rho * math.sin(dl); val y = -rho * math.cos(dl)
+    (x, if (north) y else -y)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val yn = if (north) y else -y
+    val rho = math.hypot(x, yn)
+    val chi = math.Pi / 2 - 2.0 * math.atan(rho / aMoverT)
+    val lat = math.toDegrees(Ellipsoid.geodeticLat(chi))
+    (lon0 + math.toDegrees(math.atan2(x, -yn)), if (north) lat else -lat)
+  }
+}
+
 object Proj {
   /** WGS84 mean-sphere radius — shared with `Srs.localTmerc`/`haversineM`. */
   val R = 6371008.8
+
+  /** Datum modes: `Wgs84` (default) projects on the WGS84 ellipsoid —
+    * Krüger-series transverse Mercator, Snyder ellipsoidal polar stereo —
+    * matching the reference's PROJ-backed placements; `Sphere` is the
+    * r4/r5 mean-sphere family, kept as the documented fallback (exact
+    * closed forms, the q102 oracle chain). Geographic and EPSG:3857 are
+    * datum-invariant (3857 is spherical BY DEFINITION). */
+  val Wgs84 = "wgs84"
+  val Sphere = "sphere"
 
   private val UtmN = "EPSG:326(\\d\\d)".r
   private val UtmS = "EPSG:327(\\d\\d)".r
@@ -105,43 +273,63 @@ object Proj {
     * zones (326xx/327xx; lon0 = zone·6 − 183, k0 = 0.9996, FE = 500 km,
     * FN = 0/10 000 km), and the two polar-stereo workhorses the reference's
     * data lives in (3413 north lat_ts 70 lon0 −45; 3031 south lat_ts −71).
-    * Anything else is a LOUD error — a silent identity would warp pixels
-    * into the wrong hemisphere. */
-  def of(crs: String): Proj = crs match {
-    case c if Srs.isGeographic(c) => Geographic
-    case UtmN(z) => TmercSphere(z.toInt * 6 - 183, 0.9996, 500000.0, 0.0)
-    case UtmS(z) => TmercSphere(z.toInt * 6 - 183, 0.9996, 500000.0, 1e7)
-    case "EPSG:3413" => PolarStereoSphere(north = true, 70.0, -45.0)
-    case "EPSG:3031" => PolarStereoSphere(north = false, -71.0, 0.0)
-    case "EPSG:3857" | "EPSG:900913" => MercatorSphere(0.0)
-    case p4 if p4.startsWith("+proj=") => fromProj4(p4)
-    case other => throw new IllegalArgumentException(
-      s"no deterministic projection registered for CRS '$other'")
+    * `datum` picks the WGS84-ellipsoid forms (default) or the mean-sphere
+    * fallback. Anything else is a LOUD error — a silent identity would warp
+    * pixels into the wrong hemisphere. */
+  def of(crs: String, datum: String = Wgs84): Proj = {
+    val ell = datum match {
+      case Wgs84 | "ellipsoidal" => true
+      case Sphere => false
+      case d => throw new IllegalArgumentException(s"unknown datum '$d'")
+    }
+    def tmerc(lon0: Double, k0: Double, fe: Double, fn: Double): Proj =
+      if (ell) TmercKruger(lon0, k0, fe, fn) else TmercSphere(lon0, k0, fe, fn)
+    def stere(north: Boolean, latTs: Double, lon0: Double): Proj =
+      if (ell) PolarStereoEll(north, latTs, lon0)
+      else PolarStereoSphere(north, latTs, lon0)
+    crs match {
+      case c if Srs.isGeographic(c) => Geographic
+      case UtmN(z) => tmerc(z.toInt * 6 - 183, 0.9996, 500000.0, 0.0)
+      case UtmS(z) => tmerc(z.toInt * 6 - 183, 0.9996, 500000.0, 1e7)
+      case "EPSG:3413" => stere(north = true, 70.0, -45.0)
+      case "EPSG:3031" => stere(north = false, -71.0, 0.0)
+      case "EPSG:3857" | "EPSG:900913" => MercatorSphere(0.0)
+      case p4 if p4.startsWith("+proj=") => fromProj4(p4, ell)
+      case other => throw new IllegalArgumentException(
+        s"no deterministic projection registered for CRS '$other'")
+    }
   }
 
   /** Minimal proj4-string resolution — the `parse_srs` breadth the
     * reference accepts (`warplib.py:264-310` hands proj4 to osr): the
-    * families this engine projects, with their standard parameters.
+    * families this engine projects, with their standard parameters. An
+    * explicit `+ellps=sphere` or `+R=` pins the spherical form regardless
+    * of the datum mode (PROJ semantics); otherwise `ell` decides.
     * Unknown `+proj=` values stay a loud error. */
-  private[geo] def fromProj4(p4: String): Proj = {
+  private[geo] def fromProj4(p4: String, ellDefault: Boolean = true): Proj = {
     val kv = p4.trim.split("\\s+").collect {
       case t if t.startsWith("+") && t.contains("=") =>
         val Array(k, v) = t.stripPrefix("+").split("=", 2); k -> v
       case t if t.startsWith("+") => t.stripPrefix("+") -> "" // bare flags (+south, +no_defs)
     }.toMap
+    val ell = !(kv.get("ellps").contains("sphere") || kv.contains("R")) &&
+      ellDefault
     def d(k: String, dflt: Double) = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    def tmerc(lon0: Double, k0: Double, fe: Double, fn: Double): Proj =
+      if (ell) TmercKruger(lon0, k0, fe, fn) else TmercSphere(lon0, k0, fe, fn)
     kv.getOrElse("proj", "?") match {
       case "longlat" | "latlong" => Geographic
       case "utm" =>
         val zone = kv.getOrElse("zone",
           throw new IllegalArgumentException(s"proj4 utm needs +zone: $p4")).toInt
-        TmercSphere(zone * 6 - 183, 0.9996, 500000.0,
+        tmerc(zone * 6 - 183, 0.9996, 500000.0,
           if (kv.contains("south")) 1e7 else 0.0)
       case "tmerc" =>
-        TmercSphere(d("lon_0", 0), d("k_0", d("k", 1.0)), d("x_0", 0), d("y_0", 0))
+        tmerc(d("lon_0", 0), d("k_0", d("k", 1.0)), d("x_0", 0), d("y_0", 0))
       case "stere" =>
         val lat0 = d("lat_0", 90)
-        PolarStereoSphere(lat0 >= 0, d("lat_ts", lat0), d("lon_0", 0))
+        if (ell) PolarStereoEll(lat0 >= 0, d("lat_ts", lat0), d("lon_0", 0))
+        else PolarStereoSphere(lat0 >= 0, d("lat_ts", lat0), d("lon_0", 0))
       case "merc" => MercatorSphere(d("lon_0", 0))
       case other => throw new IllegalArgumentException(
         s"no deterministic projection for +proj=$other ('$p4')")
@@ -149,19 +337,21 @@ object Proj {
   }
 
   /** Point transform src → dst (identity short-circuit when equal). */
-  def transform(src: String, dst: String): (Double, Double) => (Double, Double) =
+  def transform(src: String, dst: String,
+                datum: String = Wgs84): (Double, Double) => (Double, Double) =
     if (src == dst) (x, y) => (x, y)
     else {
-      val s = of(src); val d = of(dst)
+      val s = of(src, datum); val d = of(dst, datum)
       (x, y) => { val (lon, lat) = s.inverse(x, y); d.forward(lon, lat) }
     }
 
   /** Bounding box of `e` seen in `dst`: min/max over a DENSIFIED boundary
     * (n samples per edge) — projected edges curve, so corners alone
     * under-cover (the standard `gdal.Warp` bbox densification idea). */
-  def projectExtent(e: Extent, src: String, dst: String, n: Int = 21): Extent = {
+  def projectExtent(e: Extent, src: String, dst: String, n: Int = 21,
+                    datum: String = Wgs84): Extent = {
     if (src == dst) return e
-    val t = transform(src, dst)
+    val t = transform(src, dst, datum)
     var xmin = Double.MaxValue; var ymin = Double.MaxValue
     var xmax = -Double.MaxValue; var ymax = -Double.MaxValue
     var i = 0
@@ -189,9 +379,9 @@ object Proj {
     * strategies (the reference's `geolib.get_res` with `t_srs`,
     * geolib.py:1118-1133: GDAL reprojects the geotransform; here it is the
     * projected x-step at the center pixel, deterministic and replayable). */
-  def resIn(g: GridSpec, dst: String): Double = {
+  def resIn(g: GridSpec, dst: String, datum: String = Wgs84): Double = {
     if (g.crs == dst) return g.res
-    val t = transform(g.crs, dst)
+    val t = transform(g.crs, dst, datum)
     val (cx, cy) = g.pixelToMap(g.w / 2, g.h / 2)
     val (x0, y0) = t(cx, cy)
     val (x1, y1) = t(cx + g.res, cy)

@@ -42,7 +42,8 @@ object Warp {
     * single-CRS fast path is bit-identical to the pre-cross-CRS analyze
     * (the q40/q63 oracle arithmetic). */
   def analyze(images: DataFrame, resStrategy: String = "min",
-              extentStrategy: String = "union", tSrs: String = "first"): GridSpec = {
+              extentStrategy: String = "union", tSrs: String = "first",
+              datum: String = Proj.Wgs84): GridSpec = {
     val m = images.agg(
       min(col("res")).as("rmin"), max(col("res")).as("rmax"),
       avg(col("res")).as("rmean"), expr("percentile(res, 0.5)").as("rmed"),
@@ -65,7 +66,7 @@ object Warp {
       case s => s
     }
     if (m.getSeq[String](13).exists(_ != targetCrs))
-      return analyzeCross(images, resStrategy, extentStrategy, targetCrs)
+      return analyzeCross(images, resStrategy, extentStrategy, targetCrs, datum)
 
     val res = resStrategy match {
       case "first" => m.getStruct(12).getDouble(2)
@@ -99,15 +100,16 @@ object Warp {
     * aggregation. Distributed (no per-image driver collect): the metadata
     * row is ~50 B, so this scales to any image count. */
   private def analyzeCross(images: DataFrame, resStrategy: String,
-                           extentStrategy: String, targetCrs: String): GridSpec = {
+                           extentStrategy: String, targetCrs: String,
+                           datum: String): GridSpec = {
     val spark = images.sparkSession
     val projRdd = images.select(col("image_id"), col("ulx"), col("uly"),
         col("res"), col("w"), col("h"), col("crs")).rdd
       .map { r =>
         val g = GridSpec(r.getDouble(1), r.getDouble(2), r.getDouble(3),
           r.getString(6), r.getInt(4), r.getInt(5))
-        val e = Proj.projectExtent(g.extent, g.crs, targetCrs)
-        (r.getString(0), Proj.resIn(g, targetCrs), e.xmin, e.ymin, e.xmax, e.ymax)
+        val e = Proj.projectExtent(g.extent, g.crs, targetCrs, datum = datum)
+        (r.getString(0), Proj.resIn(g, targetCrs, datum), e.xmin, e.ymin, e.xmax, e.ymax)
       }
     val proj = spark.createDataFrame(projRdd)
       .toDF("image_id", "res", "xmin", "ymin", "xmax", "ymax")
@@ -159,11 +161,12 @@ object Warp {
   /** Stages B+C: align every image to `target`, emitting per-tile rows.
     * Narrow (map-only); tiles without a single valid pixel are dropped. */
   def warpToTiles(spark: SparkSession, images: DataFrame, target: GridSpec,
-                  kernel: String = "near", tileSize: Int = TileSize): Dataset[TileRow] = {
+                  kernel: String = "near", tileSize: Int = TileSize,
+                  datum: String = Proj.Wgs84): Dataset[TileRow] = {
     import spark.implicits._
     val ntx = (target.w + tileSize - 1) / tileSize
     images.as[ImageRow].flatMap { img =>
-      warpOne(img, target, kernel, tileSize, ntx)
+      warpOne(img, target, kernel, tileSize, ntx, datum)
     }
   }
 
@@ -183,7 +186,8 @@ object Warp {
   def warpToTilesSource(spark: SparkSession, images: DataFrame,
                         resStrategy: String, extentStrategy: String,
                         tSrs: String = "first", kernel: String = "near",
-                        tileSize: Int = TileSize): Dataset[TileRow] = {
+                        tileSize: Int = TileSize,
+                        datum: String = Proj.Wgs84): Dataset[TileRow] = {
     import spark.implicits._
     require(resStrategy == "source" || extentStrategy == "source",
       "use warpToTiles(analyze(...)) when no axis is 'source'")
@@ -191,19 +195,19 @@ object Warp {
     // 'source' axes borrow a placeholder strategy whose result is unused
     val g0 = analyze(images,
       if (resStrategy == "source") "min" else resStrategy,
-      if (extentStrategy == "source") "union" else extentStrategy, tSrs)
+      if (extentStrategy == "source") "union" else extentStrategy, tSrs, datum)
     val fixedRes = if (resStrategy == "source") None else Some(g0.res)
     val fixedExtent = if (extentStrategy == "source") None else Some(g0.extent)
     val crs = g0.crs
     images.as[ImageRow].flatMap { img =>
       val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
       val sameCrs = g.crs == crs
-      val res = fixedRes.getOrElse(if (sameCrs) g.res else Proj.resIn(g, crs))
+      val res = fixedRes.getOrElse(if (sameCrs) g.res else Proj.resIn(g, crs, datum))
       val ext = fixedExtent.getOrElse(
-        if (sameCrs) g.extent else Proj.projectExtent(g.extent, g.crs, crs))
+        if (sameCrs) g.extent else Proj.projectExtent(g.extent, g.crs, crs, datum = datum))
       val target = GridSpec.fromExtentRes(ext, res, crs)
       val ntx = (target.w + tileSize - 1) / tileSize
-      warpOne(img, target, kernel, tileSize, ntx)
+      warpOne(img, target, kernel, tileSize, ntx, datum)
     }
   }
 
@@ -212,10 +216,11 @@ object Warp {
     * warpOne, exposed for the SQL-twinned assignment oracle (q63). The
     * source footprint is projected into the target CRS first (identity
     * short-circuit keeps the same-CRS arithmetic byte-stable). */
-  def pixelBounds(g: GridSpec, target: GridSpec): Option[(Int, Int, Int, Int)] = {
+  def pixelBounds(g: GridSpec, target: GridSpec,
+                  datum: String = Proj.Wgs84): Option[(Int, Int, Int, Int)] = {
     val srcExt =
       if (g.crs == target.crs) g.extent
-      else Proj.projectExtent(g.extent, g.crs, target.crs)
+      else Proj.projectExtent(g.extent, g.crs, target.crs, datum = datum)
     val inter = srcExt.intersection(target.extent).getOrElse(return None)
     val px0 = math.max(0, math.floor((inter.xmin - target.ulx) / target.res).toInt)
     val px1 = math.min(target.w - 1, math.ceil((inter.xmax - target.ulx) / target.res).toInt - 1)
@@ -226,9 +231,11 @@ object Warp {
 
   /** Warp one image onto the target grid, cut into tiles. */
   def warpOne(img: ImageRow, target: GridSpec, kernel: String,
-              tileSize: Int, ntx: Int): Iterator[TileRow] = {
+              tileSize: Int, ntx: Int,
+              datum: String = Proj.Wgs84): Iterator[TileRow] = {
     val g = GridSpec(img.ulx, img.uly, img.res, img.crs, img.w, img.h)
-    val (px0, px1, py0, py1) = pixelBounds(g, target).getOrElse(return Iterator.empty)
+    val (px0, px1, py0, py1) =
+      pixelBounds(g, target, datum).getOrElse(return Iterator.empty)
     val src = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
     val ndv = img.ndv.toFloat
     val aligned = isAligned(g, target)
@@ -236,7 +243,7 @@ object Warp {
     // coordinate into the source CRS, then sample as usual (ReprojectImage
     // parity, warplib.py:196); same-CRS keeps the identity fast path
     val cross = g.crs != target.crs
-    val toSrc = if (cross) Proj.transform(target.crs, g.crs) else null
+    val toSrc = if (cross) Proj.transform(target.crs, g.crs, datum) else null
     val pooledKernel = kernel == "average" || kernel == "mode"
     val tsUs = img.ts.getTime * 1000L
 

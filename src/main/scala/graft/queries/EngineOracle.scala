@@ -1847,9 +1847,10 @@ object EngineOracle {
     * WarpCrossOracleSpec asserts it equals the Spark analyze exactly. */
   private[graft] def wcTarget: graft.geo.GridSpec = {
     val tcrs = "EPSG:4326"
-    val res = wcGrids.map(g => graft.geo.Proj.resIn(g, tcrs)).min
+    val res = wcGrids.map(g => graft.geo.Proj.resIn(g, tcrs, "sphere")).min
     val ext = graft.geo.Extent.unionAll(
-      wcGrids.map(g => graft.geo.Proj.projectExtent(g.extent, g.crs, tcrs)))
+      wcGrids.map(g =>
+        graft.geo.Proj.projectExtent(g.extent, g.crs, tcrs, datum = "sphere")))
     graft.geo.GridSpec.fromExtentRes(ext, res, tcrs)
   }
 
@@ -1859,9 +1860,10 @@ object EngineOracle {
     * the float32 payload). (px, py) presence IS the tile-assignment check. */
   def warpCross(s: SparkSession, d: String): DataFrame = {
     val imgs = wcImages(s)
-    val target = Warp.analyze(imgs, "min", "union", tSrs = "EPSG:4326")
+    val target = Warp.analyze(imgs, "min", "union", tSrs = "EPSG:4326",
+      datum = "sphere")
     def cells(kernel: String): DataFrame =
-      Warp.warpToTiles(s, imgs, target, kernel).toDF()
+      Warp.warpToTiles(s, imgs, target, kernel, datum = "sphere").toDF()
         .select(col("image_id"), col("tx"), col("ty"),
                 posexplode(col("payload")).as(Seq("pidx", "v")))
         .filter(col("v") =!= graft.sources.ImageTable.Ndv)

@@ -145,9 +145,10 @@ object GeoPropertySpec extends Properties("geo") {
   }
 
   property("Proj: inverse . forward == id within 1e-7 deg across the family") =
-    forAll(projCrs.flatMap(c => domainPoint(c).map(p => (c, p)))) {
-      case (crs, (lo, la)) =>
-        val p = Proj.of(crs)
+    forAll(Gen.zip(Gen.oneOf(Proj.Wgs84, Proj.Sphere),
+        projCrs.flatMap(c => domainPoint(c).map(p => (c, p))))) {
+      case (datum, (crs, (lo, la))) =>
+        val p = Proj.of(crs, datum)
         val (x, y) = p.forward(lo, la)
         val (lo2, la2) = p.inverse(x, y)
         dLon(lo2, lo) < 1e-7 && math.abs(la2 - la) < 1e-7
@@ -159,16 +160,26 @@ object GeoPropertySpec extends Properties("geo") {
           domainPoint(b).map(_ => (a, b, p0))) }) {
       case (a, b, (lo, la)) =>
         // start from a lon/lat in BOTH domains or the composition leaves the
-        // target's conditioning region; intersect by probing through b
-        val (bx, by) = Proj.of(b).forward(lo, la)
-        val (lo1, la1) = Proj.of(b).inverse(bx, by)
+        // target's conditioning region; intersect by probing through b.
+        // The Krüger series (unlike the globally-exact spherical closed
+        // forms) converges within ~±30° of the zone meridian, so points
+        // outside EITHER zone's convergence band are vacuous:
+        def inBand(crs: String): Boolean =
+          !(crs.startsWith("EPSG:326") || crs.startsWith("EPSG:327")) ||
+            dLon(lo, crs.takeRight(2).toInt * 6 - 183) <= 30.0
+        if (!inBand(a) || !inBand(b)) true else {
+        // Datum choice derives from the point (deterministic, no extra gen):
+        val datum = if (((lo + la) * 16).toInt % 2 == 0) Proj.Wgs84 else Proj.Sphere
+        val (bx, by) = Proj.of(b, datum).forward(lo, la)
+        val (lo1, la1) = Proj.of(b, datum).inverse(bx, by)
         if (math.abs(lo1 - lo) > 1e-7 || math.abs(la1 - la) > 1e-7) true // outside b's domain: vacuous
         else {
-          val (ax, ay) = Proj.of(a).forward(lo, la)
-          val fwd = Proj.transform(a, b)
-          val back = Proj.transform(b, a)
+          val (ax, ay) = Proj.of(a, datum).forward(lo, la)
+          val fwd = Proj.transform(a, b, datum)
+          val back = Proj.transform(b, a, datum)
           val (x2, y2) = back.tupled(fwd(ax, ay))
           math.abs(x2 - ax) < 1e-6 && math.abs(y2 - ay) < 1e-6
+        }
         }
     }
 }

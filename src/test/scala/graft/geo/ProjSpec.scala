@@ -11,8 +11,9 @@ class ProjSpec extends AnyFunSuite {
     "EPSG:3031"  -> Seq((0.0, -71.0), (90.0, -85.0), (-170.0, -60.0)))
 
   test("inverse ∘ forward is identity (≤1e-9°) across the registered family") {
-    for ((crs, pts) <- cases; (lon, lat) <- pts) {
-      val p = Proj.of(crs)
+    for (datum <- Seq(Proj.Wgs84, Proj.Sphere);
+         (crs, pts) <- cases; (lon, lat) <- pts) {
+      val p = Proj.of(crs, datum)
       val (x, y) = p.forward(lon, lat)
       val (lo, la) = p.inverse(x, y)
       assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
@@ -24,7 +25,7 @@ class ProjSpec extends AnyFunSuite {
     // cross-check against the independently-tested Srs scalar
     for ((lon, lat) <- Seq((-123.0, 47.8), (-124.7, 52.3), (-121.0, 40.1))) {
       val (xl, yl) = Srs.localTmerc(-123.0, 0.0)(lon, lat)
-      val (x, y) = Proj.of("EPSG:32610").forward(lon, lat)
+      val (x, y) = Proj.of("EPSG:32610", Proj.Sphere).forward(lon, lat)
       assert(math.abs(x - (500000.0 + 0.9996 * xl)) < 1e-6, s"x at ($lon,$lat)")
       assert(math.abs(y - 0.9996 * yl) < 1e-6, s"y at ($lon,$lat)")
     }
@@ -44,20 +45,29 @@ class ProjSpec extends AnyFunSuite {
   }
 
   test("polar stereo: pole at origin, true scale at lat_ts, hemisphere mirror") {
-    val n = Proj.of("EPSG:3413")
-    val (px, py) = n.forward(-45.0, 90.0)
-    assert(math.hypot(px, py) < 1e-6)
-    // scale at the standard parallel: projected arc ≈ true arc (0.01%)
+    // parallel radius at φ: R·cosφ on the sphere, ν·cosφ on the ellipsoid
+    def parRad(datum: String, latDeg: Double): Double = {
+      val phi = math.toRadians(math.abs(latDeg))
+      if (datum == Proj.Sphere) Proj.R * math.cos(phi)
+      else Ellipsoid.a / math.sqrt(1 - Ellipsoid.e2 * math.sin(phi) * math.sin(phi)) *
+        math.cos(phi)
+    }
     val dl = 0.01
-    val (x1, y1) = n.forward(30.0, 70.0); val (x2, y2) = n.forward(30.0 + dl, 70.0)
-    val trueArc = Proj.R * math.cos(math.toRadians(70)) * math.toRadians(dl)
-    assert(math.abs(math.hypot(x2 - x1, y2 - y1) / trueArc - 1.0) < 1e-4)
-    val s = Proj.of("EPSG:3031")
-    val (sx, sy) = s.forward(0.0, -90.0)
-    assert(math.hypot(sx, sy) < 1e-6)
-    val (a1, b1) = s.forward(45.0, -71.0); val (a2, b2) = s.forward(45.0 + dl, -71.0)
-    val trueArcS = Proj.R * math.cos(math.toRadians(71)) * math.toRadians(dl)
-    assert(math.abs(math.hypot(a2 - a1, b2 - b1) / trueArcS - 1.0) < 1e-4)
+    for (datum <- Seq(Proj.Wgs84, Proj.Sphere)) {
+      val n = Proj.of("EPSG:3413", datum)
+      val (px, py) = n.forward(-45.0, 90.0)
+      assert(math.hypot(px, py) < 1e-6)
+      // scale at the standard parallel: projected arc ≈ true arc (0.01%)
+      val (x1, y1) = n.forward(30.0, 70.0); val (x2, y2) = n.forward(30.0 + dl, 70.0)
+      val trueArc = parRad(datum, 70.0) * math.toRadians(dl)
+      assert(math.abs(math.hypot(x2 - x1, y2 - y1) / trueArc - 1.0) < 1e-4, datum)
+      val s = Proj.of("EPSG:3031", datum)
+      val (sx, sy) = s.forward(0.0, -90.0)
+      assert(math.hypot(sx, sy) < 1e-6)
+      val (a1, b1) = s.forward(45.0, -71.0); val (a2, b2) = s.forward(45.0 + dl, -71.0)
+      val trueArcS = parRad(datum, -71.0) * math.toRadians(dl)
+      assert(math.abs(math.hypot(a2 - a1, b2 - b1) / trueArcS - 1.0) < 1e-4, datum)
+    }
   }
 
   test("projectExtent covers every interior point (densified boundary bbox)") {
@@ -97,11 +107,82 @@ class ProjSpec extends AnyFunSuite {
 
   test("resIn: projected pixel step matches the local degree/meter scale") {
     val g = GridSpec(500000.0, 5300000.0, 100.0, "EPSG:32610", 50, 50)
-    val r4326 = Proj.resIn(g, "EPSG:4326")
+    val r4326 = Proj.resIn(g, "EPSG:4326", Proj.Sphere)
     // at the central meridian a 100 m east-step is ~100/(R·cosφ) degrees
-    val (_, latC) = Proj.of("EPSG:32610").inverse(g.pixelToMap(25, 25)._1, g.pixelToMap(25, 25)._2)
+    val (_, latC) = Proj.of("EPSG:32610", Proj.Sphere)
+      .inverse(g.pixelToMap(25, 25)._1, g.pixelToMap(25, 25)._2)
     val want = 100.0 / (Proj.R * math.cos(math.toRadians(latC))) * 180.0 / math.Pi
     assert(math.abs(r4326 / want - 1.0) < 1e-3, s"$r4326 vs $want")
     assert(Proj.resIn(g, "EPSG:32610") == 100.0) // identity short-circuit
+  }
+
+  // ------------------------------------------------------------------
+  // WGS84 ellipsoidal anchors — every check is INDEPENDENT of the Krüger
+  // series under test: published geodetic constants, direct numerical
+  // quadrature, and the exact atanh-form conformal latitude.
+  // ------------------------------------------------------------------
+
+  test("ellipsoid: rectifying radius reproduces the published WGS84 quarter meridian") {
+    // meridian quadrant = A·π/2; the published WGS84 value is
+    // 10 001 965.7293 m (e.g. Snyder PP 1395 table 5 lineage)
+    assert(math.abs(Ellipsoid.A * math.Pi / 2 - 10001965.7293) < 1e-3)
+  }
+
+  test("ellipsoid: central-meridian northing equals the quadrature meridian arc") {
+    // N(φ) on the central meridian must be k0·M(φ) with
+    // M(φ) = ∫ a(1−e²)/(1−e²sin²t)^{3/2} dt — computed here by composite
+    // Simpson, a derivation the Krüger α series never touches. At η = 0 the
+    // series is ξ = ξ' + Σ αⱼ sin 2jξ', so this validates every αⱼ.
+    val p = TmercKruger(-123.0, 0.9996, 500000.0, 0.0)
+    val e2 = Ellipsoid.e2
+    def integrand(t: Double) =
+      Ellipsoid.a * (1 - e2) / math.pow(1 - e2 * math.sin(t) * math.sin(t), 1.5)
+    for (latDeg <- Seq(5.0, 31.0, 47.6, 64.2, 83.0)) {
+      val n = 20000; val h = math.toRadians(latDeg) / n
+      var m = 0.0; var i = 0
+      while (i < n) {
+        val a0 = i * h
+        m += h / 6 * (integrand(a0) + 4 * integrand(a0 + h / 2) + integrand(a0 + h))
+        i += 1
+      }
+      val (x, y) = p.forward(-123.0, latDeg)
+      assert(math.abs(x - 500000.0) < 1e-9, s"CM easting at $latDeg")
+      assert(math.abs(y - 0.9996 * m) < 1e-6, s"northing vs quadrature at $latDeg: $y vs ${0.9996 * m}")
+    }
+  }
+
+  test("ellipsoid: δ series inverts the exact conformal latitude to <1e-12 rad") {
+    for (k <- 0 to 48) {
+      val phi = math.toRadians(-89.0 + k * 3.7)
+      val chi = math.atan(Ellipsoid.conformalTan(phi))
+      assert(math.abs(Ellipsoid.geodeticLat(chi) - phi) < 1e-12, s"phi $phi")
+    }
+  }
+
+  test("ellipsoid vs sphere placements differ by the documented <0.6 % bound") {
+    // the mean-sphere radius sits between the WGS84 meridian radii
+    // (6 335 439 m at the equator, 6 399 594 m at the poles), so spherical
+    // placements drift from ellipsoidal ones by at most ~0.56 % of the
+    // distance from the projection origin
+    for ((crs, pts) <- cases; (lon, lat) <- pts) {
+      val pe = Proj.of(crs, Proj.Wgs84); val ps = Proj.of(crs, Proj.Sphere)
+      val (xe, ye) = pe.forward(lon, lat); val (xs, ys) = ps.forward(lon, lat)
+      val d = math.hypot(xe - xs, ye - ys)
+      val rho = math.hypot(xe - (if (crs.startsWith("EPSG:326") || crs.startsWith("EPSG:327")) 500000.0 else 0.0),
+                           ye - (if (crs == "EPSG:32760") 1e7 else 0.0))
+      assert(d <= 0.006 * math.max(rho, 1e5),
+        s"$crs ($lon,$lat): ell-sphere gap $d vs origin distance $rho")
+    }
+  }
+
+  test("ellipsoid: Krüger roundtrip holds at 1e-9° and PS-ell at the pole-true limit") {
+    // the +lat_ts=90 limit form (Snyder 21-39) must agree with the
+    // lat_ts→90 continuous limit
+    val pole = PolarStereoEll(north = true, 90.0, 0.0)
+    val near = PolarStereoEll(north = true, 89.9999, 0.0)
+    val (x1, y1) = pole.forward(33.0, 75.0); val (x2, y2) = near.forward(33.0, 75.0)
+    assert(math.hypot(x1 - x2, y1 - y2) / math.hypot(x1, y1) < 1e-8)
+    val (lo, la) = pole.inverse(x1, y1)
+    assert(math.abs(lo - 33.0) < 1e-9 && math.abs(la - 75.0) < 1e-9)
   }
 }

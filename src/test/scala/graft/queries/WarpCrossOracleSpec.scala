@@ -25,8 +25,8 @@ class WarpCrossOracleSpec extends AnyFunSuite {
     val text = t.extent
     val out = scala.collection.mutable.Set.empty[(Int, String, Int, Int, Long)]
     for ((g, i) <- EngineOracle.wcGrids.zipWithIndex) {
-      val inv = Proj.transform(g.crs, t.crs)
-      val fwd = Proj.transform(t.crs, g.crs)
+      val inv = Proj.transform(g.crs, t.crs, "sphere")
+      val fwd = Proj.transform(t.crs, g.crs, "sphere")
       // densified footprint bbox (Proj.projectExtent, n = 21)
       var bxmin = Double.MaxValue; var bymin = Double.MaxValue
       var bxmax = -Double.MaxValue; var bymax = -Double.MaxValue
@@ -89,7 +89,7 @@ class WarpCrossOracleSpec extends AnyFunSuite {
 
   test("embedded target grid equals the Spark analyze exactly") {
     val t = Warp.analyze(EngineOracle.wcImages(spark), "min", "union",
-      tSrs = "EPSG:4326")
+      tSrs = "EPSG:4326", datum = "sphere")
     assert(t == EngineOracle.wcTarget)
   }
 
