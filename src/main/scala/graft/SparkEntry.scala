@@ -165,6 +165,10 @@ object SparkEntry {
     // warplib.py:330-333/390-393) — source-everything is a full no-op
     // (all tiles elided), res-normalized keeps per-image extents
     "q104_warp_source"       -> (Engine.warpSourceTiles _),
+    // round-6: ELLIPSOIDAL cross-CRS warp — the Krüger TM + Snyder
+    // polar-stereo series chains replayed independently in DuckDB
+    // (WarpEllOracleSpec certifies the decision margins)
+    "q105_warp_cross_ell"    -> (EngineOracle.warpCrossEll _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -277,5 +281,6 @@ object SparkEntry {
     "q102_warp_cross"        -> EngineOracle.warpCrossSql,
     "q103_snapshot_merge"    -> Snap.snapshotMergeSql,
     "q104_warp_source"       -> EngineOracle.warpSourceTilesSql,
+    "q105_warp_cross_ell"    -> EngineOracle.warpCrossEllSql,
   )
 }

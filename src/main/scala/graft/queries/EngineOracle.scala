@@ -1973,4 +1973,223 @@ object EngineOracle {
        |    floor(CAST(vsum / wsum AS FLOAT)::DOUBLE * ${WcQ} + 0.5)::BIGINT AS q
        |  FROM bil WHERE wsum > 0""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q105 — ELLIPSOIDAL cross-CRS warp oracle (VERDICT r5 #1): the Krüger
+  // transverse-Mercator and Snyder ellipsoidal polar-stereo chains
+  // replayed INDEPENDENTLY in DuckDB
+  // ---------------------------------------------------------------------
+
+  /** Two-CRS fixture — one image in EPSG:32623 (UTM 23N, Krüger series)
+    * and one in EPSG:3413 (NSIDC polar stereo, Snyder ellipsoidal forms),
+    * both over the same ~73°N patch on the zone-23 central meridian,
+    * warped to a common EPSG:4326 grid. Same integer-decision technique
+    * as q102 (closed-form integer payloads, WarpEllOracleSpec certifies
+    * every decision's ±1e-9 perturbation margin); the oracle recomputes
+    * BOTH series chains — conformal latitude, α/β/δ sums, the 15-9
+    * half-angle function — with DuckDB's own libm, the series
+    * coefficients entering as embedded constants exactly like q102's
+    * k0·R. */
+  private[graft] val weGrids: Seq[graft.geo.GridSpec] = Seq(
+    graft.geo.GridSpec(497952.0, 8110000.0, 64.0, "EPSG:32623", 64, 48),
+    graft.geo.GridSpec(-1920.0, -1853568.0, 96.0, "EPSG:3413", 48, 40))
+
+  private[graft] def weValue(i: Int, cx: Int, cy: Int): Int =
+    if (i == 0) 1 + (cx * 7 + cy * 13) % 199 else 1 + (cx * 11 + cy * 5) % 173
+
+  private[graft] def weImages(s: SparkSession): DataFrame = {
+    val rows = weGrids.zipWithIndex.map { case (g, i) =>
+      val px = Array.tabulate(g.w * g.h)(idx => weValue(i, idx % g.w, idx / g.w).toFloat)
+      graft.sources.ImageRow(s"we$i", graft.sources.Codec.encode(px, g.w, g.h, "raw"),
+        g.w, g.h, "raw", "", 0L, g.ulx, g.uly, g.res, g.crs,
+        graft.sources.ImageTable.Ndv.toDouble,
+        new java.sql.Timestamp(86400000L * (i + 1)))
+    }
+    import s.implicits._
+    s.createDataset(rows).toDF()
+  }
+
+  /** Pure-Scala replica of the ELLIPSOIDAL `Warp.analyze("min", "union",
+    * tSrs = 4326)` (default datum) — embedded into the SQL twin as
+    * literals; WarpEllOracleSpec asserts it equals the Spark analyze. */
+  private[graft] def weTarget: graft.geo.GridSpec = {
+    val tcrs = "EPSG:4326"
+    val res = weGrids.map(g => graft.geo.Proj.resIn(g, tcrs)).min
+    val ext = graft.geo.Extent.unionAll(
+      weGrids.map(g => graft.geo.Proj.projectExtent(g.extent, g.crs, tcrs)))
+    graft.geo.GridSpec.fromExtentRes(ext, res, tcrs)
+  }
+
+  /** q105 engine side: ellipsoidal analyze → cross-CRS warp (near +
+    * bilinear) → the q102 integer decisions. */
+  def warpCrossEll(s: SparkSession, d: String): DataFrame = {
+    val imgs = weImages(s)
+    val target = Warp.analyze(imgs, "min", "union", tSrs = "EPSG:4326")
+    def cells(kernel: String): DataFrame =
+      Warp.warpToTiles(s, imgs, target, kernel).toDF()
+        .select(col("image_id"), col("tx"), col("ty"),
+                posexplode(col("payload")).as(Seq("pidx", "v")))
+        .filter(col("v") =!= graft.sources.ImageTable.Ndv)
+        .select(substring(col("image_id"), 3, 1).cast("int").as("img"),
+          (col("tx") * T + col("pidx") % T).cast("int").as("px"),
+          (col("ty") * T + expr(s"cast(pidx div $T as int)")).cast("int").as("py"),
+          col("v"))
+    cells("near").select(col("img"), lit("near").as("krn"), col("px"), col("py"),
+        floor(col("v").cast("double") + 0.5).cast("long").as("q"))
+      .unionByName(cells("bilinear").select(col("img"), lit("bil").as("krn"),
+        col("px"), col("py"),
+        floor(col("v").cast("double") * WcQ + 0.5).cast("long").as("q")))
+  }
+
+  /** q105 oracle: both ellipsoidal chains in DuckDB SQL. Per image:
+    * densified footprint boundary → INVERSE chain (Krüger β/δ series for
+    * the UTM image; ρ→χ→δ series for the polar-stereo image) → bbox →
+    * pixel bounds → per-pixel FORWARD chain (conformal latitude + α
+    * series; 15-9 half-angle ρ) → fractional source pixel → the exact
+    * q102 near/bilinear integer decisions. sinh/cosh/atanh are spelled in
+    * exp/ln form (DuckDB has none of the three); all series coefficients
+    * and the target grid enter as embedded literals. */
+  val warpCrossEllSql: String = {
+    import graft.geo.Ellipsoid
+    def dlit(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+    val t = weTarget
+    val (tulx, tuly, tres) = (dlit(t.ulx), dlit(t.uly), dlit(t.res))
+    val eE = dlit(Ellipsoid.e)
+    val kA = dlit(0.9996 * Ellipsoid.A)
+    // SQL fragment builders (hyperbolics in exp form, atanh in ln form)
+    def sinhS(u: String) = s"((exp($u) - exp(-($u))) / 2)"
+    def coshS(u: String) = s"((exp($u) + exp(-($u))) / 2)"
+    def atanhS(u: String) = s"(0.5 * ln((1 + ($u)) / (1 - ($u))))"
+    def ser(cs: Array[Double], f: Int => String): String =
+      (1 to 6).map(j => s"${dlit(cs(j - 1))} * ${f(j)}").mkString(" + ")
+    val deltaSer = ser(Ellipsoid.delta, j => s"sin(${2 * j} * chi)")
+
+    /** Stages for one image; `inv` maps (bx, by) columns → (lon, lat)
+      * CTE chain, `fwd` maps (lon, lat) → (pxf, pyf). */
+    def imageSql(i: Int): String = {
+      val g = weGrids(i)
+      val (gulx, guly, gres) = (dlit(g.ulx), dlit(g.uly), dlit(g.res))
+      val inv =
+        if (i == 0) {
+          // inverse Krüger: xi/eta → xi'/eta' (β series) → χ (exact) → φ (δ)
+          s"""ll$i AS (
+             |  SELECT degrees(atan2(${sinhS("etap")}, cos(xip))) - 45.0 AS lon,
+             |         degrees(chi + $deltaSer) AS lat
+             |  FROM (SELECT xip, etap, asin(sin(xip) / ${coshS("etap")}) AS chi
+             |        FROM (SELECT
+             |            xi - (${ser(Ellipsoid.beta, j => s"sin(${2 * j} * xi) * ${coshS(s"${2 * j} * eta")}")}) AS xip,
+             |            eta - (${ser(Ellipsoid.beta, j => s"cos(${2 * j} * xi) * ${sinhS(s"${2 * j} * eta")}")}) AS etap
+             |          FROM (SELECT by / $kA AS xi, (bx - 500000.0) / $kA AS eta
+             |                FROM e$i))))""".stripMargin
+        } else {
+          // inverse PS-ell: ρ → χ → φ (δ series); lon via atan2 (north)
+          val aMoverT = dlit(graft.geo.PolarStereoEll(north = true, 70.0, -45.0).aMoverT)
+          s"""ll$i AS (
+             |  SELECT -45.0 + degrees(atan2(bx, -by)) AS lon,
+             |         degrees(chi + $deltaSer) AS lat
+             |  FROM (SELECT bx, by,
+             |          pi() / 2 - 2 * atan(sqrt(bx * bx + by * by) / $aMoverT) AS chi
+             |        FROM e$i))""".stripMargin
+        }
+      val fwd =
+        if (i == 0) {
+          // forward Krüger: conformal lat (atanh form) → xi'/eta' → α series
+          s"""f$i AS (
+             |  SELECT px, py,
+             |      (500000.0 + $kA * (etap + (${ser(Ellipsoid.alpha, j => s"cos(${2 * j} * xip) * ${sinhS(s"${2 * j} * etap")}")}))
+             |        - $gulx) / $gres - 0.5 AS pxf,
+             |      ($guly - ($kA * (xip + (${ser(Ellipsoid.alpha, j => s"sin(${2 * j} * xip) * ${coshS(s"${2 * j} * etap")}")})))
+             |        ) / $gres - 0.5 AS pyf
+             |  FROM (SELECT px, py,
+             |          atan2(tt, cos(dl)) AS xip,
+             |          ${atanhS("sin(dl) / sqrt(1 + tt * tt)")} AS etap
+             |        FROM (SELECT px, py, dl,
+             |                ${sinhS(s"${atanhS("sphi")} - $eE * ${atanhS(s"$eE * sphi")}")} AS tt
+             |              FROM (SELECT px, py, radians(lon - -45.0) AS dl,
+             |                      sin(radians(lat)) AS sphi FROM p$i))))""".stripMargin
+        } else {
+          val aMoverT = dlit(graft.geo.PolarStereoEll(north = true, 70.0, -45.0).aMoverT)
+          // forward PS-ell: 15-9 half-angle t → ρ → (x, y)
+          s"""f$i AS (
+             |  SELECT px, py,
+             |      (rho * sin(dl) - $gulx) / $gres - 0.5 AS pxf,
+             |      ($guly - (-rho * cos(dl))) / $gres - 0.5 AS pyf
+             |  FROM (SELECT px, py, dl,
+             |          $aMoverT * tan(pi() / 4 - phi / 2)
+             |            / power((1 - $eE * sin(phi)) / (1 + $eE * sin(phi)), $eE / 2) AS rho
+             |        FROM (SELECT px, py, radians(lon - -45.0) AS dl,
+             |                radians(lat) AS phi FROM p$i)))""".stripMargin
+        }
+      // densified boundary (22 per edge), bbox, pixel bounds, pixel grid
+      // with per-pixel lon/lat of the TARGET cell center (4326: identity)
+      s"""e$i AS (SELECT $gulx + CASE WHEN e.f IN (0, 1) THEN s.t / 21.0 * ${g.w} * $gres
+         |                            WHEN e.f = 2 THEN 0 ELSE ${g.w} * $gres END AS bx,
+         |               ($guly - ${g.h} * $gres)
+         |                 + CASE WHEN e.f IN (2, 3) THEN s.t / 21.0 * ${g.h} * $gres
+         |                        WHEN e.f = 0 THEN 0 ELSE ${g.h} * $gres END AS by
+         |  FROM generate_series(0, 21) s(t), (VALUES (0), (1), (2), (3)) e(f)),
+         |$inv,
+         |bb$i AS (SELECT min(lon) AS bxmin, min(lat) AS bymin,
+         |                max(lon) AS bxmax, max(lat) AS bymax FROM ll$i),
+         |pb$i AS (SELECT
+         |    greatest(0, floor((greatest(bxmin, tulx) - tulx) / tres)::INT) AS px0,
+         |    least(tw - 1, ceil((least(bxmax, tulx + tw * tres) - tulx) / tres)::INT - 1) AS px1,
+         |    greatest(0, floor((tuly - least(bymax, tuly)) / tres)::INT) AS py0,
+         |    least(th - 1, ceil((tuly - greatest(bymin, tuly - th * tres)) / tres)::INT - 1) AS py1
+         |  FROM bb$i, tgt),
+         |p$i AS (SELECT gx.px, gy.py,
+         |               tulx + (gx.px + 0.5) * tres AS lon,
+         |               tuly - (gy.py + 0.5) * tres AS lat
+         |  FROM pb$i, tgt, generate_series(0, ${t.w - 1}) gx(px),
+         |       generate_series(0, ${t.h - 1}) gy(py)
+         |  WHERE gx.px BETWEEN px0 AND px1 AND gy.py BETWEEN py0 AND py1),
+         |$fwd""".stripMargin
+    }
+
+    /** near + bilinear decisions for one image over its f$i fractional
+      * pixels — identical arithmetic to the q102 twin, per-image value
+      * formula embedded. */
+    def decisionSql(i: Int): String = {
+      val g = weGrids(i)
+      def v(cx: String, cy: String) =
+        if (i == 0) s"(1 + (($cx) * 7 + ($cy) * 13) % 199)"
+        else s"(1 + (($cx) * 11 + ($cy) * 5) % 173)"
+      s"""SELECT $i AS img, 'near' AS krn, px, py,
+         |    ${v("cx", "cy")}::BIGINT AS q
+         |  FROM (SELECT px, py, floor(pxf + 0.5)::INT AS cx,
+         |               floor(pyf + 0.5)::INT AS cy FROM f$i)
+         |  WHERE cx >= 0 AND cx < ${g.w} AND cy >= 0 AND cy < ${g.h}
+         |UNION ALL
+         |SELECT $i AS img, 'bil' AS krn, px, py,
+         |    floor(CAST(vsum / wsum AS FLOAT)::DOUBLE * ${WcQ} + 0.5)::BIGINT AS q
+         |FROM (SELECT px, py,
+         |    (((CASE WHEN x0 >= 0 AND x0 < ${g.w} AND y0 >= 0 AND y0 < ${g.h}
+         |         THEN ${v("x0", "y0")}::DOUBLE * ((1 - fx) * (1 - fy)) ELSE 0 END
+         |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < ${g.w} AND y0 >= 0 AND y0 < ${g.h}
+         |         THEN ${v("x0 + 1", "y0")}::DOUBLE * (fx * (1 - fy)) ELSE 0 END)
+         |     + CASE WHEN x0 >= 0 AND x0 < ${g.w} AND y0 + 1 >= 0 AND y0 + 1 < ${g.h}
+         |         THEN ${v("x0", "y0 + 1")}::DOUBLE * ((1 - fx) * fy) ELSE 0 END)
+         |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < ${g.w} AND y0 + 1 >= 0 AND y0 + 1 < ${g.h}
+         |         THEN ${v("x0 + 1", "y0 + 1")}::DOUBLE * (fx * fy) ELSE 0 END) AS vsum,
+         |    (((CASE WHEN x0 >= 0 AND x0 < ${g.w} AND y0 >= 0 AND y0 < ${g.h}
+         |         THEN (1 - fx) * (1 - fy) ELSE 0 END
+         |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < ${g.w} AND y0 >= 0 AND y0 < ${g.h}
+         |         THEN fx * (1 - fy) ELSE 0 END)
+         |     + CASE WHEN x0 >= 0 AND x0 < ${g.w} AND y0 + 1 >= 0 AND y0 + 1 < ${g.h}
+         |         THEN (1 - fx) * fy ELSE 0 END)
+         |     + CASE WHEN x0 + 1 >= 0 AND x0 + 1 < ${g.w} AND y0 + 1 >= 0 AND y0 + 1 < ${g.h}
+         |         THEN fx * fy ELSE 0 END) AS wsum
+         |  FROM (SELECT px, py, floor(pxf)::INT AS x0, floor(pyf)::INT AS y0,
+         |               pxf - floor(pxf) AS fx, pyf - floor(pyf) AS fy FROM f$i))
+         |WHERE wsum > 0""".stripMargin
+    }
+
+    s"""WITH tgt AS (SELECT $tulx AS tulx, $tuly AS tuly, $tres AS tres,
+       |               ${t.w} AS tw, ${t.h} AS th),
+       |${imageSql(0)},
+       |${imageSql(1)}
+       |${decisionSql(0)}
+       |UNION ALL
+       |${decisionSql(1)}""".stripMargin
+  }
 }
