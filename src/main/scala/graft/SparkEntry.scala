@@ -169,6 +169,9 @@ object SparkEntry {
     // polar-stereo series chains replayed independently in DuckDB
     // (WarpEllOracleSpec certifies the decision margins)
     "q105_warp_cross_ell"    -> (EngineOracle.warpCrossEll _),
+    // round-6: multi-band tiles — per-band warp + per-band stack stats
+    // (warplib.py:146-153 band loop distributed; bands never mix)
+    "q106_stack_bands"       -> (EngineOracle.stackBandCells _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -282,5 +285,6 @@ object SparkEntry {
     "q103_snapshot_merge"    -> Snap.snapshotMergeSql,
     "q104_warp_source"       -> EngineOracle.warpSourceTilesSql,
     "q105_warp_cross_ell"    -> EngineOracle.warpCrossEllSql,
+    "q106_stack_bands"       -> EngineOracle.stackBandCellsSql,
   )
 }

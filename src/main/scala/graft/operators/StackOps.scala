@@ -23,6 +23,11 @@ object StackOps {
                              mean: Array[Float], std: Array[Float],
                              vmin: Array[Float], vmax: Array[Float])
 
+  final case class BandTileStats(band: Int, tile_id: Long, n_layers: Int,
+                                 count: Array[Int], mean: Array[Float],
+                                 std: Array[Float], vmin: Array[Float],
+                                 vmax: Array[Float])
+
   /** count/mean/std/min/max per pixel; std masked (NaN) where count ≤ 1
     * (`malib.py:569`); everything masked where count == 0. */
   class TileStatsAgg(tileLen: Int, ndv: Float)
@@ -132,6 +137,28 @@ object StackOps {
     import spark.implicits._
     val agg = new TileStatsAgg(tileSize * tileSize, ndv)
     partialFold(tiles, agg, maxLiveBuffers)((tid, b) => agg.finish(b).copy(tile_id = tid))
+  }
+
+  /** Per-band, per-pixel stack stats over multi-band tiles. The band folds
+    * into the aggregation key (band-composite tile id: tile_id·nBands +
+    * band), so the SAME bounded partial-fold + TileStatsAgg path serves
+    * every band and bands aggregate independently — the distributed form
+    * of running malib's stack stats once per band (`malib.py:559-587`
+    * driven by the `warplib.py:146-153` band loop). One shuffle keyed on
+    * (band, tile); no cross-band traffic by construction. */
+  def stackStatsBands(tiles: Dataset[BandTileRow], nBands: Int,
+                      tileSize: Int = Warp.TileSize,
+                      ndv: Float = ImageTable.Ndv,
+                      maxLiveBuffers: Int = 2048): Dataset[BandTileStats] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    require(nBands >= 1, s"nBands $nBands")
+    val keyed = tiles.map(b => TileRow(b.image_id, b.ts_us,
+      b.tile_id * nBands + b.band, b.tx, b.ty, b.payload, b.n_valid, b.elided))
+    stackStats(keyed, tileSize, ndv, maxLiveBuffers).map { st =>
+      BandTileStats((st.tile_id % nBands).toInt, st.tile_id / nBands,
+        st.n_layers, st.count, st.mean, st.std, st.vmin, st.vmax)
+    }
   }
 
   /** Reduce a multi-layer stack to ONE composite layer per tile (per-pixel

@@ -13,6 +13,15 @@ final case class TileRow(
   image_id: String, ts_us: Long, tile_id: Long, tx: Int, ty: Int,
   payload: Array[Float], n_valid: Int, elided: Boolean)
 
+/** One aligned tile of one BAND of one multi-band image — `band` is part
+  * of the tile key, so per-band pipelines (stack stats, diffs) group on
+  * (band, tile_id) and bands never mix (the reference warps and NDV-fills
+  * every band of a dataset: the `ds.RasterCount` loop `warplib.py:146-153`
+  * over `b_getma(ds, band)` `iolib.py:126-142`). */
+final case class BandTileRow(
+  image_id: String, band: Int, ts_us: Long, tile_id: Long, tx: Int, ty: Int,
+  payload: Array[Float], n_valid: Int, elided: Boolean)
+
 /** The warp operator family — grid alignment, re-expressed Spark-first:
   *
   *   stage A (analyze):  one metadata aggregation over (res, extent) →
@@ -167,6 +176,33 @@ object Warp {
     val ntx = (target.w + tileSize - 1) / tileSize
     images.as[ImageRow].flatMap { img =>
       warpOne(img, target, kernel, tileSize, ntx, datum)
+    }
+  }
+
+  /** Multi-band stages B+C: align every band of every image to `target`.
+    * Input rows carry band-sequential raw-float payloads (`bytes` =
+    * nBands × w × h float32); each band slices out and runs the SAME
+    * per-tile kernel loop as the single-band path — the distributed form
+    * of the reference's per-band warp loop (`warplib.py:146-153`), with
+    * per-band NDV fill falling out of the shared kernel. Still one narrow
+    * map stage (images × bands fan out inside the flatMap; no shuffle);
+    * at 10¹²-image scale bands multiply rows, not shuffle width, and the
+    * later (band, tile_id) groupBys shuffle each band independently. */
+  def warpToTilesBands(spark: SparkSession, images: DataFrame, target: GridSpec,
+                       nBands: Int, kernel: String = "near",
+                       tileSize: Int = TileSize,
+                       datum: String = Proj.Wgs84): Dataset[BandTileRow] = {
+    import spark.implicits._
+    require(nBands >= 1, s"nBands $nBands")
+    val ntx = (target.w + tileSize - 1) / tileSize
+    images.as[ImageRow].flatMap { img =>
+      (0 until nBands).iterator.flatMap { b =>
+        val bandImg = img.copy(
+          bytes = Codec.bandSlice(img.bytes, img.w, img.h, img.fmt, b, nBands))
+        warpOne(bandImg, target, kernel, tileSize, ntx, datum).map(t =>
+          BandTileRow(t.image_id, b, t.ts_us, t.tile_id, t.tx, t.ty,
+            t.payload, t.n_valid, t.elided))
+      }
     }
   }
 

@@ -2192,4 +2192,120 @@ object EngineOracle {
        |UNION ALL
        |${decisionSql(1)}""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q106 — multi-band warp + per-band stack stats (VERDICT r5 #2): the
+  // warplib.py:146-153 band loop distributed, q41's exact-sum technique
+  // with a band column
+  // ---------------------------------------------------------------------
+
+  private[graft] val MbBands = 3
+  private[graft] val MbImgs = 12
+
+  /** Per-band closed-form integer payload — distinct coefficient/modulus
+    * triples per band, so any cross-band contamination (a band-b sample
+    * aggregated under band-b') shifts an exact integer sum and fails the
+    * hash. */
+  private[graft] def mbValue(i: Int, band: Int, sx: Int, sy: Int): Int = band match {
+    case 0 => 1 + (sx * 7 + sy * 13 + i) % 199
+    case 1 => 1 + (sx * 11 + sy * 5 + i * 3) % 193
+    case _ => 1 + (sx * 3 + sy * 17 + i * 7) % 181
+  }
+
+  /** 12 images on the standard ImageTable grid layout (res {2,3,4} mix →
+    * both the elided fast path and the resampling near chain), 3-band raw
+    * BSQ payloads, NDV margins on every 5th image IN ALL BANDS (the
+    * per-band NDV fill of `warplib.py:146-153`). */
+  private[graft] def mbImages(s: SparkSession): DataFrame = {
+    val rows = (0 until MbImgs).map { i =>
+      val g = graft.sources.ImageTable.gridOf(i)
+      val marg = if (i % 5 == 0) 3 else 0
+      val px = new Array[Float](MbBands * g.w * g.h)
+      for (b <- 0 until MbBands; sy <- 0 until g.h; sx <- 0 until g.w)
+        px(b * g.w * g.h + sy * g.w + sx) =
+          if (sx < marg || sy < marg || sx >= g.w - marg || sy >= g.h - marg)
+            graft.sources.ImageTable.Ndv
+          else mbValue(i, b, sx, sy).toFloat
+      graft.sources.ImageRow(f"mb_$i%08d", graft.sources.Codec.encode(px, g.w, g.h, "raw"),
+        g.w, g.h, "raw", "", 0L, g.ulx, g.uly, g.res, g.crs,
+        graft.sources.ImageTable.Ndv.toDouble,
+        new java.sql.Timestamp(86400000L * (i + 1)))
+    }
+    import s.implicits._
+    s.createDataset(rows).toDF()
+  }
+
+  /** q106 engine side: multi-band warp → per-band stack stats via the
+    * production band-composite fold → per-(band, pixel) rows. */
+  def stackBandCells(s: SparkSession, d: String): DataFrame = {
+    val imgs = mbImages(s)
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val stats = graft.operators.StackOps.stackStatsBands(
+      Warp.warpToTilesBands(s, imgs, target, MbBands, "near"), MbBands).toDF()
+    val fields = Seq("count", "mean", "std", "vmin", "vmax")
+    val zipped = stats.select(col("band"), col("tile_id"),
+      posexplode(arrays_zip(fields.map(col): _*)).as(Seq("pidx", "z")))
+    zipped.select(Seq(col("band"),
+      ((col("tile_id") % ntx) * T + col("pidx") % T).cast("int").as("px"),
+      (expr(s"cast(tile_id div $ntx as int)") * T +
+        expr(s"cast(pidx div $T as int)")).as("py"),
+      col("z.count").as("n")) ++
+      fields.filter(_ != "count").map(f => col(s"z.$f").cast("double").as(f)): _*)
+      .filter(col("n") > 0)
+  }
+
+  /** DuckDB twin of q106 — the cellSql warp-assignment chain restated for
+    * the 12-image fixture, crossed with a band dimension carrying each
+    * band's value formula, then q41's exact-integer-sum → float32
+    * mean/std emission grouped by (band, px, py). */
+  val stackBandCellsSql: String =
+    s"""WITH im AS (
+       |  SELECT i,
+       |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+       |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+       |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+       |    (500000 + (i % 7) * 10)::DOUBLE AS ulx,
+       |    (5300000 - (i % 5) * 8)::DOUBLE AS uly
+       |  FROM generate_series(0, ${MbImgs - 1}) t(i)),
+       |tgt AS (
+       |  SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
+       |    round((max(ulx + w * res) - min(ulx)) / min(res))::INT AS ns,
+       |    round((max(uly) - min(uly - h * res)) / min(res))::INT AS nl
+       |  FROM im),
+       |b AS (
+       |  SELECT im.*, tulx, tuly, tres, ns, nl,
+       |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+       |    least(ns - 1, ceil((least(ulx + w * res, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+       |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+       |    least(nl - 1, ceil((tuly - greatest(uly - h * res, tuly - nl * tres)) / tres)::INT - 1) AS py1
+       |  FROM im, tgt),
+       |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+       |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+       |src AS (
+       |  SELECT i, w, h, marg, x, y,
+       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
+       |         ELSE floor(((tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+       |    END AS sx,
+       |    CASE WHEN i % 3 = 0 THEN y + round((uly - tuly) / tres)::INT
+       |         ELSE floor(((uly - (tuly - (y + 0.5::DOUBLE) * tres)) / res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+       |    END AS sy
+       |  FROM bxy),
+       |cells AS (
+       |  SELECT band, i, x, y,
+       |    CASE band
+       |      WHEN 0 THEN 1 + (sx * 7 + sy * 13 + i) % 199
+       |      WHEN 1 THEN 1 + (sx * 11 + sy * 5 + i * 3) % 193
+       |      ELSE 1 + (sx * 3 + sy * 17 + i * 7) % 181 END AS v
+       |  FROM src, (VALUES (0), (1), (2)) bands(band)
+       |  WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg)
+       |SELECT band, x AS px, y AS py, count(*)::INT AS n,
+       |  CAST(CAST(CAST(sum(v) AS DOUBLE) / count(*) AS FLOAT) AS DOUBLE) AS mean,
+       |  CASE WHEN count(*) <= 1 THEN CAST(-9999.0::FLOAT AS DOUBLE)
+       |       ELSE CAST(CAST(sqrt(greatest(0.0::DOUBLE,
+       |              CAST(sum(v * v) AS DOUBLE) / count(*)
+       |              - (CAST(sum(v) AS DOUBLE) / count(*)) * (CAST(sum(v) AS DOUBLE) / count(*))))
+       |            AS FLOAT) AS DOUBLE) END AS std,
+       |  CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
+       |FROM cells GROUP BY band, x, y""".stripMargin
 }

@@ -239,6 +239,25 @@ object Codec {
     case other => throw new IllegalArgumentException(s"unknown fmt $other")
   }
 
+  /** One band's bytes out of a band-sequential (BSQ) multi-band payload —
+    * the `b_getma(ds, band)` analog (`iolib.py:126-142`; the reference's
+    * warp loops `ds.RasterCount` bands of ONE dataset, `warplib.py:
+    * 146-153`). Multi-band is raw-float only: the grayscale PNG/BMP codecs
+    * are single-band by construction, so asking them for band > 0 is a
+    * loud error, not a silent replication. Zero-copy would alias the
+    * shared buffer across tasks; a bounded copyOfRange (w·h·4 B) keeps
+    * band slices independent. */
+  def bandSlice(bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                band: Int, nBands: Int): Array[Byte] = {
+    require(band >= 0 && band < nBands, s"band $band of $nBands")
+    if (nBands == 1) return bytes
+    require(fmt == "raw", s"multi-band payloads are raw BSQ; fmt '$fmt' is single-band")
+    val len = w * h * 4
+    require(bytes.length == len * nBands,
+      s"BSQ payload is ${bytes.length} B, expected $nBands × $len B")
+    java.util.Arrays.copyOfRange(bytes, band * len, (band + 1) * len)
+  }
+
   /** PSNR between two decoded grids over jointly-valid pixels (the
     * BASELINE.json re-encode invariant; ∞ for lossless → returned as
     * Double.PositiveInfinity). */
