@@ -172,6 +172,9 @@ object SparkEntry {
     // round-6: multi-band tiles — per-band warp + per-band stack stats
     // (warplib.py:146-153 band loop distributed; bands never mix)
     "q106_stack_bands"       -> (EngineOracle.stackBandCells _),
+    // round-6: streaming ingest landing in the snapshot catalog —
+    // exactly-once epochs (txn markers) + time travel/CDC over streamed rows
+    "q107_stream_snapshot"   -> (Stream.streamSnapshotSink _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,5 +289,6 @@ object SparkEntry {
     "q104_warp_source"       -> EngineOracle.warpSourceTilesSql,
     "q105_warp_cross_ell"    -> EngineOracle.warpCrossEllSql,
     "q106_stack_bands"       -> EngineOracle.stackBandCellsSql,
+    "q107_stream_snapshot"   -> Stream.streamSnapshotSinkSql,
   )
 }

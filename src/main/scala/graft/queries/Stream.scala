@@ -151,6 +151,79 @@ object Stream {
       .foreach(graft.sources.SnapshotTable.deleteRecursively)
   }
 
+  /** q107: streaming ingest landing in the SNAPSHOT CATALOG (VERDICT r5
+    * Missing #4) — q100's crash/restart shape, but the sink is
+    * `SnapshotTable.commitStreamBatch` (one snapshot per micro-batch,
+    * manifest-recorded (streamId, epoch)), so streamed rows get time
+    * travel + CDC + stats pruning ON TOP of exactly-once. Three legs the
+    * strict twin checks per row:
+    *   1. restart: query #1 ingests files f0,f1 (epochs 0,1), "crashes";
+    *      query #2 on the same checkpoint ingests ONLY f2 (epoch 2);
+    *   2. replay: between the two, epoch 1 is re-delivered straight into
+    *      the sink (the crash-window double-fire) — the txn marker must
+    *      turn it into a no-op, or rows duplicate and the hash fails;
+    *   3. readback via `SnapshotTable.changes(v-1, v)` per version, each
+    *      row tagged with the version that introduced it — epoch r holds
+    *      exactly doc slice r, so commit_v = doc_id % 3 + 1 is a CLOSED
+    *      FORM the oracle states independently (any lost/duplicated/
+    *      misordered epoch breaks it).
+    * Source files get explicit names + strictly increasing mtimes: the
+    * file source orders its listing by (mtime, path), and part-file uuid
+    * names would make the f0/f1 batch order nondeterministic. */
+  def streamSnapshotSink(s: SparkSession, d: String): DataFrame = {
+    val srcDir = fixtureDir("q107src")
+    val root = fixtureDir("q107tbl")
+    val ckptDir = fixtureDir("q107ckpt")
+    val streamId = "q107_tokens"
+    val src = Text.docs(s, d).select(col("doc_id"), col("text"))
+    def land(r: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_q107w").toString
+      src.filter(col("doc_id") % 3 === r).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(srcDir, s"f$r.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + r * 2000L))
+      graft.sources.SnapshotTable.deleteRecursively(tmp)
+    }
+    try {
+      land(0); land(1)
+      val q1 = StreamOps.tokenStreamToSnapshot(s, srcDir, root, ckptDir, streamId)
+      q1.processAllAvailable(); q1.stop() // "crash" after epochs 0,1
+      // crash-window replay: epoch 1 re-delivered directly into the sink
+      val replay = graft.sources.SnapshotTable.commitStreamBatch(
+        s, root,
+        src.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " +")).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars_obs")),
+        streamId, 1L)
+      require(replay.isEmpty, s"replayed epoch 1 must be a no-op, got $replay")
+      land(2)
+      val q2 = StreamOps.tokenStreamToSnapshot(s, srcDir, root, ckptDir, streamId)
+      q2.processAllAvailable(); q2.stop() // resume: only f2 → epoch 2
+      val cur = graft.sources.SnapshotTable.currentVersion(root)
+      require(cur == 3, s"expected 3 snapshot versions (one per epoch), got $cur")
+      val tagged = (1 to cur).map { v =>
+        graft.sources.SnapshotTable.changes(s, root, v - 1, v)
+          .withColumn("commit_v", lit(v))
+      }.reduce(_.unionByName(_))
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(tagged.collect(): _*), tagged.schema)
+      out
+    } finally Seq(srcDir, root, ckptDir)
+      .foreach(graft.sources.SnapshotTable.deleteRecursively)
+  }
+
+  val streamSnapshotSinkSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens,
+      |  length(text)::BIGINT AS n_chars_obs,
+      |  (doc_id % 3 + 1)::INT AS commit_v
+      |FROM documents""".stripMargin
+
   val streamFileSinkSql: String =
     """SELECT doc_id,
       |  len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens,

@@ -49,7 +49,8 @@ object SnapshotTable {
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             delta: Seq[String] = Nil,
                             tsMs: Long = 0L,
-                            removed: Seq[String] = Nil)
+                            removed: Seq[String] = Nil,
+                            txn: Option[(String, Long)] = None)
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
@@ -143,8 +144,13 @@ object SnapshotTable {
           case _ => None
         }
     }
+    val txn = ((j \ "txn_id"), (j \ "txn_epoch")) match {
+      case (JString(id), JInt(e)) => Some(id -> e.toLong)
+      case (JString(id), JLong(e)) => Some(id -> e)
+      case _ => None
+    }
     Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
-             files, stats, schema, delta, tsMs, removed)
+             files, stats, schema, delta, tsMs, removed, txn)
   }
 
   /** Schema compatibility gate for append-family commits: the commit schema
@@ -178,7 +184,8 @@ object SnapshotTable {
     * `commit`, split out so tests can replay the stale-base race a real
     * concurrent committer hits between its metadata read and its publish. */
   private[sources] def commitFrom(spark: SparkSession, root: String, base: Int,
-                                  df: DataFrame, op: String): Int = {
+                                  df: DataFrame, op: String,
+                                  txn: Option[(String, Long)] = None): Int = {
     require(op == "append" || op == "overwrite", s"bad op $op")
     val v = base + 1
     // data dir is unique PER ATTEMPT, not per version: two racers of the
@@ -192,8 +199,52 @@ object SnapshotTable {
     val live = prev.map(_.files).getOrElse(Nil) ++ newFiles
     val rows = prev.map(_.rows).getOrElse(0L) + newStats.valuesIterator.map(_.rows).sum
     val stats = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
-    publish(root, v, manifestJson(v, base, op, rows, live, stats, df.schema))
+    publish(root, v, manifestJson(v, base, op, rows, live, stats, df.schema,
+                                  txn = txn))
     v
+  }
+
+  /** Latest committed epoch for an idempotent-writer id (Delta's
+    * txnAppId/txnVersion pattern): walk the manifest chain newest-first and
+    * return the first recorded `txn_epoch` for `streamId`, or -1 if none
+    * survives. Epochs from ONE writer are committed in order, so the first
+    * match walking down IS the max. Bounded by retained manifests: `expire`
+    * drops the marker with the manifest, so a stream resuming after its
+    * whole history was expired re-ingests — callers must keep `expire`'s
+    * horizon beyond the checkpoint's replay window (same retention contract
+    * as Delta). */
+  def lastCommittedEpoch(root: String, streamId: String): Long = {
+    var v = currentVersion(root)
+    while (v >= 1 && Files.exists(metaDir(root).resolve(s"v$v.json"))) {
+      snapshot(root, v).txn match {
+        case Some((id, e)) if id == streamId => return e
+        case _ => v -= 1
+      }
+    }
+    -1L
+  }
+
+  /** Exactly-once streaming sink commit (`foreachBatch` body): append
+    * `df` as one snapshot carrying (`streamId`, `epochId`) in its manifest,
+    * SKIPPING epochs at or below the last committed one for this stream —
+    * a micro-batch replayed after a crash between the sink commit and the
+    * checkpoint commit becomes a no-op instead of duplicate rows. Epoch ids
+    * (Structured Streaming batch ids) are monotonic per checkpoint.
+    * Concurrent commits from OTHER writers are fine (CAS loser re-reads and
+    * retries); two live instances of the SAME stream replaying one epoch
+    * resolve to one commit (the loser re-checks and skips). Returns the new
+    * version, or None when the epoch was already committed. */
+  def commitStreamBatch(spark: SparkSession, root: String, df: DataFrame,
+                        streamId: String, epochId: Long): Option[Int] = {
+    require(streamId.nonEmpty, "streamId must be non-empty")
+    while (true) {
+      if (lastCommittedEpoch(root, streamId) >= epochId) return None
+      try {
+        return Some(commitFrom(spark, root, currentVersion(root), df,
+          "append", txn = Some(streamId -> epochId)))
+      } catch { case _: ConcurrentCommitException => () } // re-check, retry
+    }
+    None // unreachable
   }
 
   /** Write `df` into a fresh attempt dir for version `v` and return its
@@ -325,7 +376,8 @@ object SnapshotTable {
                            files: Seq[String], stats: Map[String, FileStats],
                            schema: org.apache.spark.sql.types.StructType,
                            delta: Seq[String] = Nil,
-                           removed: Seq[String] = Nil): String = {
+                           removed: Seq[String] = Nil,
+                           txn: Option[(String, Long)] = None): String = {
     def jd(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else d.toString
     val statsJson = files.filter(stats.contains).map { f =>
@@ -335,7 +387,10 @@ object SnapshotTable {
         .mkString(", ")
       s""""$f": {"rows": ${fs.rows}, "cols": {$cols}}"""
     }.mkString(", ")
-    s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,
+    val txnJson = txn.fold("") { case (id, e) =>
+      s"""\n       | "txn_id": "$id", "txn_epoch": $e,""".stripMargin
+    }
+    s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,$txnJson
        | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
        | "stats": {$statsJson},
        | "delta": [${delta.map(f => s""""$f"""").mkString(", ")}],

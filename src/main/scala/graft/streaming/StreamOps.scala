@@ -84,6 +84,36 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ingest landing in the SNAPSHOT CATALOG (the missing bridge
+    * between the two halves of the ingest story): each micro-batch commits
+    * one snapshot via `SnapshotTable.commitStreamBatch`, which records the
+    * (streamId, batchId) pair in the manifest and makes replays no-ops —
+    * exactly-once WITH time travel / CDC / stats pruning over the streamed
+    * rows, where the plain file sink (`tokenStreamToParquet`) gives
+    * exactly-once alone. Same token-count transform so the two sinks are
+    * oracle-comparable. */
+  def tokenStreamToSnapshot(spark: SparkSession, inDir: String, root: String,
+                            ckptDir: String, streamId: String,
+                            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.SnapshotTable.commitStreamBatch(
+          spark, root, batch, streamId, batchId)
+        () // discard the Option — a skip IS success (replayed epoch)
+      }
+      .start()
+  }
+
   /** Streaming per-key custom state — flatMapGroupsWithState: running
     * per-cell (count, mean, min, max) maintained explicitly, the shape for
     * state the built-in aggs can't express (e.g. per-cell layer timelines).

@@ -628,4 +628,47 @@ class SnapshotSpec extends AnyFunSuite {
         "expired-version fence residue must be swept")
     } finally SnapshotTable.forceFallbackPublish = false
   }
+
+  test("streaming epochs: replay is a no-op; markers survive foreign commits") {
+    val root = freshRoot("txn")
+    assert(lastCommittedEpoch(root, "sA") == -1L)
+    assert(commitStreamBatch(spark, root, df(0 until 5), "sA", 0L).contains(1))
+    assert(commitStreamBatch(spark, root, df(5 until 9), "sA", 1L).contains(2))
+    assert(lastCommittedEpoch(root, "sA") == 1L)
+    // crash-window replays: at-or-below the marker is SKIPPED, no rows added
+    assert(commitStreamBatch(spark, root, df(5 until 9), "sA", 1L).isEmpty)
+    assert(commitStreamBatch(spark, root, df(0 until 5), "sA", 0L).isEmpty)
+    assert(read(spark, root).count() == 9 && currentVersion(root) == 2)
+    // a DIFFERENT stream and a plain batch commit interleave freely: each
+    // stream's marker is resolved by id, not by the latest manifest
+    assert(commitStreamBatch(spark, root, df(9 until 12), "sB", 0L).contains(3))
+    assert(commit(spark, root, df(12 until 14)) == 4)
+    assert(lastCommittedEpoch(root, "sA") == 1L)
+    assert(lastCommittedEpoch(root, "sB") == 0L)
+    assert(commitStreamBatch(spark, root, df(5 until 9), "sA", 1L).isEmpty)
+    assert(commitStreamBatch(spark, root, df(14 until 16), "sA", 2L).contains(5))
+    assert(read(spark, root).count() == 16)
+    // the marker is manifest state, not memory: a fresh walk still sees it
+    assert(snapshot(root, 5).txn.contains("sA" -> 2L))
+    assert(snapshot(root, 4).txn.isEmpty)
+    // changes() streams each epoch exactly once
+    assert(changes(spark, root, 4, 5).count() == 2)
+  }
+
+  test("streaming epoch commit retries through a CAS loss, still exactly once") {
+    val root = freshRoot("txnrace")
+    commit(spark, root, df(0 until 4))
+    // a foreign committer steals v2 between this stream's base read and its
+    // publish: replay the race via commitFrom on a stale base, then the
+    // stream commit must land on v3 (retry), not duplicate or fail
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      val stale = currentVersion(root)
+      commit(spark, root, df(4 until 6)) // winner takes v2
+      commitFrom(spark, root, stale, df(6 until 8), "append",
+        txn = Some("sR" -> 0L))
+    }
+    assert(commitStreamBatch(spark, root, df(6 until 8), "sR", 0L).contains(3))
+    assert(commitStreamBatch(spark, root, df(6 until 8), "sR", 0L).isEmpty)
+    assert(read(spark, root).count() == 8)
+  }
 }
