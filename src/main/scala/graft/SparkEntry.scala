@@ -175,6 +175,9 @@ object SparkEntry {
     // round-6: streaming ingest landing in the snapshot catalog —
     // exactly-once epochs (txn markers) + time travel/CDC over streamed rows
     "q107_stream_snapshot"   -> (Stream.streamSnapshotSink _),
+    // round-6: q41 recomputed incrementally via a snapshot-catalog
+    // materialized view (CDC-driven O(delta) refresh); same strict twin
+    "q108_stack_stats_incr"  -> (EngineOracle.stackCellsIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,5 +293,6 @@ object SparkEntry {
     "q105_warp_cross_ell"    -> EngineOracle.warpCrossEllSql,
     "q106_stack_bands"       -> EngineOracle.stackBandCellsSql,
     "q107_stream_snapshot"   -> Stream.streamSnapshotSinkSql,
+    "q108_stack_stats_incr"  -> EngineOracle.stackCellsSql,
   )
 }

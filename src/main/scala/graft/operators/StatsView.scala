@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.sources.{ImageTable, SnapshotTable}
+
+/** Incrementally-maintained per-pixel stack statistics — a MATERIALIZED
+  * VIEW over a snapshot-catalog table of stack tiles.
+  *
+  * The reference recomputes `compute_stats` (`malib.py:559-587`) over the
+  * whole stack every run; at 100 TB the stack is a catalog table that new
+  * image layers land in continuously (q107's streaming ingest), and a full
+  * recompute per arrival is O(history). This operator keeps the per-tile
+  * MERGEABLE sufficient statistics (count/Σv/Σv²/min/max per pixel — the
+  * same `StatsBuf` the batch aggregator folds) as a second catalog table
+  * and advances it per refresh by
+  *
+  *   1. `SnapshotTable.changes(from, to)` — ONLY the layers committed
+  *      since the last refresh (O(delta) scan, file-level);
+  *   2. the bounded partial-fold of those layers into per-tile buffers
+  *      (one shuffle keyed on tile_id, map-side combined);
+  *   3. ONE equi-join against the current view rows of the affected tiles
+  *      (stats-pruned read) merging old+new buffers element-wise with
+  *      codegen'd `zip_with`;
+  *   4. a `merge` commit keyed on tile_id — only view files whose tile
+  *      range intersects the delta are rewritten (stats-bounded write
+  *      amplification), and the refreshed SOURCE VERSION rides in the
+  *      manifest as an idempotent-writer marker, so a crashed/replayed
+  *      refresh is a no-op, never a double-count.
+  *
+  * Addition order never matters on integer-valued payloads (exact double
+  * sums), so the view is bit-identical to the batch `stackStats` — which
+  * is exactly what q108's strict oracle (q41's twin, verbatim) checks.
+  */
+object StatsView {
+
+  /** One view row: tile id + the raw mergeable buffer (NOT the finished
+    * mean/std — finishing is not mergeable; the view stores moments). */
+  final case class MvRow(tile_id: Long, n: Int, cnt: Array[Int],
+                         sum: Array[Double], sumsq: Array[Double],
+                         vmin: Array[Float], vmax: Array[Float])
+
+  /** The batch stats fold re-targeted to emit raw buffers: zero/reduce/
+    * merge ARE TileStatsAgg's (one definition of the moments), only finish
+    * differs. */
+  private class MvAgg(tileLen: Int, ndv: Float)
+      extends Aggregator[TileRow, StackOps.StatsBuf, MvRow] with Serializable {
+    private val inner = new StackOps.TileStatsAgg(tileLen, ndv)
+    def zero: StackOps.StatsBuf = inner.zero
+    def reduce(b: StackOps.StatsBuf, t: TileRow): StackOps.StatsBuf = inner.reduce(b, t)
+    def merge(a: StackOps.StatsBuf, b: StackOps.StatsBuf): StackOps.StatsBuf = inner.merge(a, b)
+    def finish(b: StackOps.StatsBuf): MvRow =
+      MvRow(-1L, b.n, b.cnt, b.sum, b.sumsq, b.vmin, b.vmax)
+    def bufferEncoder: Encoder[StackOps.StatsBuf] = Encoders.product[StackOps.StatsBuf]
+    def outputEncoder: Encoder[MvRow] = Encoders.product[MvRow]
+  }
+
+  private def markerId(tilesRoot: String): String = s"statsview:$tilesRoot"
+
+  /** Source version the view last folded in, -1 for a fresh view. */
+  def refreshedVersion(mvRoot: String, tilesRoot: String): Long =
+    SnapshotTable.lastCommittedEpoch(mvRoot, markerId(tilesRoot))
+
+  /** Advance the view at `mvRoot` to cover `tilesRoot`'s current version.
+    * Returns the source version now covered (unchanged if already
+    * current). Safe to re-run: a refresh that already happened (or raced a
+    * twin) is skipped by the manifest marker. */
+  def refresh(spark: SparkSession, tilesRoot: String, mvRoot: String,
+              tileSize: Int = Warp.TileSize,
+              ndv: Float = ImageTable.Ndv,
+              maxLiveBuffers: Int = 2048): Long = {
+    import spark.implicits._
+    val to = SnapshotTable.currentVersion(tilesRoot).toLong
+    val from = refreshedVersion(mvRoot, tilesRoot)
+    if (to <= math.max(from, 0L)) return from
+    val tileLen = tileSize * tileSize
+    val agg = new MvAgg(tileLen, ndv)
+    val delta = SnapshotTable.changes(spark, tilesRoot, math.max(from, 0L).toInt,
+      to.toInt).as[TileRow]
+    // canonical view schema up front: zip_with in later refreshes emits
+    // arrays with containsNull=true, and the catalog's schema gate compares
+    // dataTypes exactly — the encoder's containsNull=false first-commit
+    // schema would reject every subsequent merge
+    val deltaP = StackOps.partialFold(delta, agg, maxLiveBuffers)(
+      (tid, b) => agg.finish(b).copy(tile_id = tid)).toDF()
+      .select(col("tile_id"), col("n"),
+        col("cnt").cast("array<int>"),
+        col("sum").cast("array<double>"),
+        col("sumsq").cast("array<double>"),
+        col("vmin").cast("array<float>"),
+        col("vmax").cast("array<float>"))
+
+    if (SnapshotTable.currentVersion(mvRoot) == 0) {
+      // first refresh: plain append carrying the marker
+      SnapshotTable.commitStreamBatch(spark, mvRoot, deltaP, markerId(tilesRoot), to)
+      return to
+    }
+    // affected-tile envelope bounds BOTH the old-view read and the merge's
+    // file rewrites; conservative (range, not id set) and O(1) to plan
+    val env = deltaP.agg(min(col("tile_id")), max(col("tile_id"))).head()
+    val combined =
+      if (env.isNullAt(0)) deltaP // empty delta (all-NDV commit): marker-only
+      else {
+        val prune = Seq(SnapshotTable.ColRange("tile_id",
+          env.getLong(0).toDouble, env.getLong(1).toDouble))
+        val old = SnapshotTable.read(spark, mvRoot, prune = prune)
+          .select(col("tile_id"), col("n").as("o_n"), col("cnt").as("o_cnt"),
+            col("sum").as("o_sum"), col("sumsq").as("o_sumsq"),
+            col("vmin").as("o_vmin"), col("vmax").as("o_vmax"))
+        deltaP.join(old, Seq("tile_id"), "left").select(
+          col("tile_id"),
+          (col("n") + coalesce(col("o_n"), lit(0))).as("n"),
+          mergedArr("cnt", (a, b) => a + b),
+          mergedArr("sum", (a, b) => a + b),
+          mergedArr("sumsq", (a, b) => a + b),
+          mergedArr("vmin", least(_, _)),
+          mergedArr("vmax", greatest(_, _)))
+      }
+    SnapshotTable.merge(spark, mvRoot, combined, Seq("tile_id"),
+      txn = Some(markerId(tilesRoot) -> to))
+    to
+  }
+
+  /** Element-wise old⊕new for one buffer column, null-safe for tiles the
+    * view has never seen (`zip_with` is codegen'd — no UDF in the join). */
+  private def mergedArr(name: String,
+                        op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                          => org.apache.spark.sql.Column) =
+    when(col(s"o_$name").isNull, col(name))
+      .otherwise(zip_with(col(name), col(s"o_$name"), op)).as(name)
+
+  /** Finished per-tile statistics from the stored moments — the same
+    * emission as `TileStatsAgg.finish`, restated over the view columns so
+    * finished values are bit-identical to the batch fold on exact-sum
+    * (integer-valued) stacks. */
+  def stats(spark: SparkSession, mvRoot: String,
+            tileSize: Int = Warp.TileSize,
+            ndv: Float = ImageTable.Ndv): DataFrame = {
+    import spark.implicits._
+    val tileLen = tileSize * tileSize
+    SnapshotTable.read(spark, mvRoot).as[MvRow].map { r =>
+      val mean = new Array[Float](tileLen); val std = new Array[Float](tileLen)
+      val mn = new Array[Float](tileLen); val mx = new Array[Float](tileLen)
+      var i = 0
+      while (i < tileLen) {
+        if (r.cnt(i) == 0) {
+          mean(i) = ndv; std(i) = ndv; mn(i) = ndv; mx(i) = ndv
+        } else {
+          val m = r.sum(i) / r.cnt(i)
+          mean(i) = m.toFloat
+          std(i) = if (r.cnt(i) <= 1) ndv
+                   else math.sqrt(math.max(0.0, r.sumsq(i) / r.cnt(i) - m * m)).toFloat
+          mn(i) = r.vmin(i); mx(i) = r.vmax(i)
+        }
+        i += 1
+      }
+      StackOps.TileStats(r.tile_id, r.n, r.cnt, mean, std, mn, mx)
+    }.toDF()
+  }
+}

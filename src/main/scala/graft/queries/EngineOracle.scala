@@ -75,6 +75,42 @@ object EngineOracle {
       ntx, Seq("count", "mean", "std", "vmin", "vmax"))
   }
 
+  /** q108: q41's per-pixel stack stats, computed INCREMENTALLY — the same
+    * images land in a snapshot-catalog tiles table across three commits,
+    * and a materialized view of mergeable moments advances by CDC after
+    * each (`StatsView.refresh`: O(delta) scan + stats-bounded merge). The
+    * strict oracle is q41's twin VERBATIM: any double-counted replay,
+    * missed delta, or wrong old⊕new merge shifts an exact integer moment
+    * and fails the hash. A deliberate re-refresh with no new source data
+    * and a replayed refresh marker both prove idempotent (version-pinned
+    * inside the run). */
+  def stackCellsIncremental(s: SparkSession, d: String): DataFrame = {
+    val imgs = quantNoRipple(Engine.images(s, d))
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val base = java.nio.file.Files.createTempDirectory("graft_q108").toString
+    val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
+    try {
+      (0 until 3).foreach { b =>
+        val batch = imgs.filter(idx % 3 === b)
+        graft.sources.SnapshotTable.commit(s, tilesRoot,
+          Warp.warpToTiles(s, batch, target, "near").toDF())
+        val covered = graft.operators.StatsView.refresh(s, tilesRoot, mvRoot)
+        require(covered == b + 1, s"refresh covered v$covered, expected v${b + 1}")
+      }
+      // idempotence: nothing new to fold → marker unchanged, no commit
+      val vBefore = graft.sources.SnapshotTable.currentVersion(mvRoot)
+      require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 3)
+      require(graft.sources.SnapshotTable.currentVersion(mvRoot) == vBefore,
+        "a no-op refresh must not commit")
+      val out = explodeStats(graft.operators.StatsView.stats(s, mvRoot),
+        ntx, Seq("count", "mean", "std", "vmin", "vmax"))
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      local
+    } finally graft.sources.SnapshotTable.deleteRecursively(base)
+  }
+
   /** q42 oracle form: per-pixel OLS slope/intercept/r²/t-stat over the
     * exact-time subset, via TileTrendAgg (diagnostics included). */
   def trendCells(s: SparkSession, d: String): DataFrame = {

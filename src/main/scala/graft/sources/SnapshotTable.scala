@@ -691,7 +691,8 @@ object SnapshotTable {
     * survivor-rewrite carriers. Incoming keys must be unique (the upsert
     * contract); duplicate incoming keys are both kept, like an append. */
   def merge(spark: SparkSession, root: String, df: DataFrame,
-            keyCols: Seq[String]): Int = {
+            keyCols: Seq[String],
+            txn: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     require(keyCols.nonEmpty, "merge needs at least one key column")
@@ -755,7 +756,7 @@ object SnapshotTable {
       survStats ++ deltaStats
     publish(root, v, manifestJson(v, base, "merge",
       liveRows(spark, root, live, stats), live, stats, df.schema,
-      delta = deltaFiles, removed = tombFiles))
+      delta = deltaFiles, removed = tombFiles, txn = txn))
     v
   }
 
