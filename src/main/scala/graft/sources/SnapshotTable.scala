@@ -920,6 +920,73 @@ object SnapshotTable {
     v
   }
 
+  /** Z-ORDER compaction (Delta's OPTIMIZE ZORDER BY / Iceberg's z-order
+    * `rewrite_data_files`): rewrite the current rows ordered by the
+    * bit-interleaving of 2 or 3 quantized key columns, so every rewritten
+    * file covers a compact HYPER-RECTANGLE-ish region of the key space and
+    * carries tight manifest bounds on EVERY key — `planFiles` with a
+    * conjunct on ANY of the keys prunes ~√(selectivity) of the files,
+    * where a 1-D sort's stripes prune only on the leading key (a trailing-
+    * key-only predicate plans every file). The curve key is built from
+    * min/max-normalized 21-bit ranks spread with the classic magic-number
+    * shift chains — plain Column bit ops, fully codegen'd, and dropped
+    * before the write (order survives the projection). */
+  def compactZOrder(spark: SparkSession, root: String, targetFiles: Int,
+                    zCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size == 2 || zCols.size == 3,
+      s"z-order interleaves 2 or 3 columns, got ${zCols.size}")
+    val base = currentVersion(root)
+    require(base >= 1, s"nothing to compact at $root")
+    val v = base + 1
+    val cur = read(spark, root)
+    val bits = if (zCols.size == 2) 21 else 21 // 2×21 or 3×21 ≤ 63 bits
+    // per-column [min, max] over the table: one bounded agg (2k doubles)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val mm = cur.agg(aggs.head, aggs.tail: _*).head()
+    val zkey = zCols.zipWithIndex.map { case (c, i) =>
+      val lo = mm.getDouble(2 * i); val hi = mm.getDouble(2 * i + 1)
+      val span = if (hi > lo) hi - lo else 1.0
+      val rank = ((col(c).cast("double") - lit(lo)) / lit(span) *
+        lit(((1L << bits) - 1).toDouble)).cast("long")
+      shiftleft(spreadBits(rank, zCols.size), i)
+    }.reduce(_.bitwiseOR(_))
+    val arranged = cur.withColumn("__z", zkey)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val (newFiles, stats) = writeAttempt(spark, root, v, arranged)
+    publish(root, v, manifestJson(v, base, "compact",
+      stats.valuesIterator.map(_.rows).sum, newFiles, stats, cur.schema))
+    v
+  }
+
+  /** Space the low 21 bits of `x` `stride` apart (Morton spread) with the
+    * standard mask chains — stride 2: …F0F/…333/…555; stride 3 the 3-D
+    * chain. Pure Column arithmetic so the whole z-key stays inside
+    * whole-stage codegen. */
+  private def spreadBits(x: org.apache.spark.sql.Column,
+                         stride: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def step(c: org.apache.spark.sql.Column, sh: Int, mask: Long) =
+      c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
+    val masked = x.bitwiseAND(lit(0x1fffffL))
+    if (stride == 2) {
+      val a = step(masked, 16, 0x0000FFFF0000FFFFL)
+      val b = step(a, 8, 0x00FF00FF00FF00FFL)
+      val c = step(b, 4, 0x0F0F0F0F0F0F0F0FL)
+      val d = step(c, 2, 0x3333333333333333L)
+      step(d, 1, 0x5555555555555555L)
+    } else {
+      val a = step(masked, 32, 0x1f00000000ffffL)
+      val b = step(a, 16, 0x1f0000ff0000ffL)
+      val c = step(b, 8, 0x100f00f00f00f00fL)
+      val d = step(c, 4, 0x10c30c30c30c30c3L)
+      step(d, 2, 0x1249249249249249L)
+    }
+  }
+
   /** Snapshot expiry + orphan GC — Iceberg's `expire_snapshots` +
     * `remove_orphan_files`: drop every version older than the newest
     * `keepLast`, then delete (a) data attempt-dirs referenced by NO

@@ -629,6 +629,38 @@ class SnapshotSpec extends AnyFunSuite {
     } finally SnapshotTable.forceFallbackPublish = false
   }
 
+  test("z-order compact: a trailing-key predicate prunes files a 1-D sort cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 64×64 grid of (x, y) points — the footprint-cell shape of a spatial
+    // catalog. 16 files; query = a thin y-stripe (x unbounded).
+    val pts = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, (x * 64 + y).toLong)).toDF("x", "y", "payload")
+    val yStripe = Seq(ColRange("y", 24, 31))
+
+    val rootX = freshRoot("zx")
+    commit(spark, rootX, pts)
+    compact(spark, rootX, targetFiles = 16, sortCols = Seq("x"))
+    val xFiles = planFiles(rootX, currentVersion(rootX), yStripe).size
+
+    val rootZ = freshRoot("zz")
+    commit(spark, rootZ, pts)
+    compactZOrder(spark, rootZ, targetFiles = 16, zCols = Seq("x", "y"))
+    val zFiles = planFiles(rootZ, currentVersion(rootZ), yStripe).size
+
+    // x-stripes each span the full y range -> nothing prunes; z-order files
+    // cover compact blocks -> at most half the files intersect a thin stripe
+    assert(xFiles == 16, s"1-D x-sort should retain all 16 files, got $xFiles")
+    assert(zFiles <= 8, s"z-order should prune the y-stripe to <=8 files, got $zFiles")
+    // and pruning never changes results
+    val got = read(spark, rootZ, prune = yStripe)
+      .filter(col("y").between(24, 31)).count()
+    assert(got == 64 * 8)
+    // the leading key still prunes too (z-order is symmetric in its keys)
+    val xStripe = Seq(ColRange("x", 0, 7))
+    assert(planFiles(rootZ, currentVersion(rootZ), xStripe).size <= 8)
+  }
+
   test("streaming epochs: replay is a no-op; markers survive foreign commits") {
     val root = freshRoot("txn")
     assert(lastCommittedEpoch(root, "sA") == -1L)
