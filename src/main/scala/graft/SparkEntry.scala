@@ -178,6 +178,8 @@ object SparkEntry {
     // round-6: q41 recomputed incrementally via a snapshot-catalog
     // materialized view (CDC-driven O(delta) refresh); same strict twin
     "q108_stack_stats_incr"  -> (EngineOracle.stackCellsIncremental _),
+    // round-6: overview-pyramid warp (gdaladdo 'average' + GDAL level pick)
+    "q109_ovr_warp"          -> (EngineOracle.ovrWarpCells _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -294,5 +296,6 @@ object SparkEntry {
     "q106_stack_bands"       -> EngineOracle.stackBandCellsSql,
     "q107_stream_snapshot"   -> Stream.streamSnapshotSinkSql,
     "q108_stack_stats_incr"  -> EngineOracle.stackCellsSql,
+    "q109_ovr_warp"          -> EngineOracle.ovrWarpCellsSql,
   )
 }

@@ -2230,6 +2230,120 @@ object EngineOracle {
   }
 
   // ---------------------------------------------------------------------
+  // q109 — overview-pyramid warp: gdaladdo 'average' levels + GDAL's
+  // level choice, replayed end-to-end (iterated NDV-aware block means →
+  // closed-form level pick → elided/near assignment at the overview res)
+  // ---------------------------------------------------------------------
+
+  private[graft] def ovImages(s: SparkSession): DataFrame = {
+    val rows = (0 until MbImgs).map { i =>
+      val g = graft.sources.ImageTable.gridOf(i)
+      val marg = if (i % 5 == 0) 3 else 0
+      val px = new Array[Float](g.w * g.h)
+      for (sy <- 0 until g.h; sx <- 0 until g.w)
+        px(sy * g.w + sx) =
+          if (sx < marg || sy < marg || sx >= g.w - marg || sy >= g.h - marg)
+            graft.sources.ImageTable.Ndv
+          else mbValue(i, 0, sx, sy).toFloat
+      graft.sources.ImageRow(f"ov_$i%08d", graft.sources.Codec.encode(px, g.w, g.h, "raw"),
+        g.w, g.h, "raw", "", 0L, g.ulx, g.uly, g.res, g.crs,
+        graft.sources.ImageTable.Ndv.toDouble,
+        new java.sql.Timestamp(86400000L * (i + 1)))
+    }
+    import s.implicits._
+    s.createDataset(rows).toDF()
+  }
+
+  /** q109 engine side: build levels 0..2, pick per image for an 8 m
+    * target, warp the picked overviews through the UNCHANGED warp path,
+    * emit per-(image, pixel) values. */
+  def ovrWarpCells(s: SparkSession, d: String): DataFrame = {
+    val imgs = ovImages(s)
+    val target = Warp.analyze(imgs, "8.0", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val picked = graft.operators.Overviews.pick(
+      s, graft.operators.Overviews.build(s, imgs, maxLevel = 2), 8.0, 2)
+    Warp.warpToTiles(s, picked, target, "near").toDF()
+      .select(
+        substring(col("image_id"), 4, 8).cast("int").as("i"),
+        col("tile_id"),
+        posexplode(col("payload")).as(Seq("pidx", "v")))
+      .filter(col("v") =!= graft.sources.ImageTable.Ndv)
+      .select(col("i"),
+        ((col("tile_id") % ntx) * T + col("pidx") % T).cast("int").as("px"),
+        (expr(s"cast(tile_id div $ntx as int)") * T +
+          expr(s"cast(pidx div $T as int)")).as("py"),
+        col("v").cast("double").as("v"))
+  }
+
+  /** DuckDB twin of q109: the full overview chain restated — integer base
+    * cells → level-1 float means (exact double sums of ints) → level-2
+    * means of level-1 floats (every addition exact: 24-bit dyadics far
+    * inside a 53-bit mantissa) → per-image level choice → the elided-copy
+    * or near-assignment decision at the overview's res — then an inner
+    * join onto the overview cells (absent cell = NDV = dropped). */
+  // lazy: references MbImgs, which is declared later in this object
+  lazy val ovrWarpCellsSql: String =
+    s"""WITH im AS (
+       |  SELECT i,
+       |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
+       |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+       |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
+       |    (500000 + (i % 7) * 10)::DOUBLE AS ulx,
+       |    (5300000 - (i % 5) * 8)::DOUBLE AS uly
+       |  FROM generate_series(0, ${MbImgs - 1}) t(i)),
+       |tgt AS (
+       |  SELECT min(ulx) AS tulx, max(uly) AS tuly, 8.0::DOUBLE AS tres,
+       |    round((max(ulx + w * res) - min(ulx)) / 8.0)::INT AS ns,
+       |    round((max(uly) - min(uly - h * res)) / 8.0)::INT AS nl
+       |  FROM im),
+       |base AS (
+       |  SELECT im.i, sx, sy, (1 + (sx * 7 + sy * 13 + i) % 199) AS v
+       |  FROM im,
+       |    LATERAL (SELECT unnest(generate_series(marg, w - marg - 1)) AS sx),
+       |    LATERAL (SELECT unnest(generate_series(marg, h - marg - 1)) AS sy)),
+       |o1 AS (
+       |  SELECT i, sx // 2 AS ox, sy // 2 AS oy,
+       |    CAST(CAST(sum(v)::DOUBLE / count(*) AS FLOAT) AS DOUBLE) AS v
+       |  FROM base GROUP BY i, sx // 2, sy // 2),
+       |o2 AS (
+       |  SELECT i, ox // 2 AS ox, oy // 2 AS oy,
+       |    CAST(CAST(sum(v) / count(*) AS FLOAT) AS DOUBLE) AS v
+       |  FROM o1 GROUP BY i, ox // 2, oy // 2),
+       |lv AS (
+       |  SELECT im.*, CASE i % 3 WHEN 0 THEN 2 ELSE 1 END AS k,
+       |    res * (CASE i % 3 WHEN 0 THEN 4 ELSE 2 END) AS resk,
+       |    CASE i % 3 WHEN 0 THEN ((w + 1) // 2 + 1) // 2 ELSE (w + 1) // 2 END AS wk,
+       |    CASE i % 3 WHEN 0 THEN ((h + 1) // 2 + 1) // 2 ELSE (h + 1) // 2 END AS hk
+       |  FROM im),
+       |ovr AS (
+       |  SELECT o1.i, ox, oy, v FROM o1 JOIN lv ON o1.i = lv.i AND lv.k = 1
+       |  UNION ALL
+       |  SELECT o2.i, ox, oy, v FROM o2 JOIN lv ON o2.i = lv.i AND lv.k = 2),
+       |b AS (
+       |  SELECT lv.*, tulx, tuly, tres, ns, nl,
+       |    greatest(0, floor((greatest(ulx, tulx) - tulx) / tres))::INT AS px0,
+       |    least(ns - 1, ceil((least(ulx + wk * resk, tulx + ns * tres) - tulx) / tres)::INT - 1) AS px1,
+       |    greatest(0, floor((tuly - least(uly, tuly)) / tres))::INT AS py0,
+       |    least(nl - 1, ceil((tuly - greatest(uly - hk * resk, tuly - nl * tres)) / tres)::INT - 1) AS py1
+       |  FROM lv, tgt),
+       |bx AS (SELECT b.*, unnest(generate_series(px0, px1)) AS x FROM b),
+       |bxy AS (SELECT bx.*, unnest(generate_series(py0, py1)) AS y FROM bx),
+       |assign AS (
+       |  SELECT i, x, y,
+       |    CASE WHEN resk = tres AND (i % 7) IN (0, 4)
+       |         THEN x + round((tulx - ulx) / resk)::INT
+       |         ELSE floor(((tulx + (x + 0.5::DOUBLE) * tres - ulx) / resk - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+       |    END AS sx,
+       |    CASE WHEN resk = tres AND (i % 7) IN (0, 4)
+       |         THEN y + round((uly - tuly) / resk)::INT
+       |         ELSE floor(((uly - (tuly - (y + 0.5::DOUBLE) * tres)) / resk - 0.5::DOUBLE) + 0.5::DOUBLE)::INT
+       |    END AS sy
+       |  FROM bxy)
+       |SELECT a.i, a.x AS px, a.y AS py, o.v
+       |FROM assign a JOIN ovr o ON a.i = o.i AND a.sx = o.ox AND a.sy = o.oy""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q106 — multi-band warp + per-band stack stats (VERDICT r5 #2): the
   // warplib.py:146-153 band loop distributed, q41's exact-sum technique
   // with a band column
