@@ -65,6 +65,20 @@ object EngineOracle {
     zipped.select(cols: _*).filter(col("n") > 0)
   }
 
+  /** Detach a result from scratch inputs the caller is about to delete:
+    * a DISTRIBUTED parquet write to a JVM-lifetime temp dir, re-read
+    * lazily. The collect()+createDataFrame alternative materializes every
+    * row single-threaded on the driver — measured 45 s of q108's 64 s at
+    * sf0.1 (10.6M rows); this form is the same rows in ~2 s and keeps the
+    * returned plan a plain scan the driver can re-run. */
+  private def detachViaParquet(s: SparkSession, df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_detach").toString
+    sys.addShutdownHook(graft.sources.SnapshotTable.deleteRecursively(dir))
+    val path = s"$dir/out"
+    df.write.parquet(path)
+    s.read.parquet(path)
+  }
+
   /** q41 oracle form: per-pixel stack count/mean/std/min/max over the
     * quantized subset, via the production warp + vector-aggregator path. */
   def stackCells(s: SparkSession, d: String): DataFrame = {
@@ -105,9 +119,7 @@ object EngineOracle {
         "a no-op refresh must not commit")
       val out = explodeStats(graft.operators.StatsView.stats(s, mvRoot),
         ntx, Seq("count", "mean", "std", "vmin", "vmax"))
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
-      local
+      detachViaParquet(s, out)
     } finally graft.sources.SnapshotTable.deleteRecursively(base)
   }
 
