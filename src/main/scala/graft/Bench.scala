@@ -27,6 +27,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the bench box is a VM with multi-minute steal-time freezes (dmesg
+      // hrtimer stalls): at the default 120 s heartbeat horizon one host
+      // pause "loses" the local executor and stops the context mid-run.
+      // Timing-harness hardening only — values are irrelevant to any
+      // measured query, and a real cluster tunes these per-site anyway.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

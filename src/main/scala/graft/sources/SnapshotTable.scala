@@ -50,7 +50,8 @@ object SnapshotTable {
                             delta: Seq[String] = Nil,
                             tsMs: Long = 0L,
                             removed: Seq[String] = Nil,
-                            txn: Option[(String, Long)] = None)
+                            txn: Option[(String, Long)] = None,
+                            txns: Option[Map[String, Long]] = None)
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
@@ -149,8 +150,18 @@ object SnapshotTable {
       case (JString(id), JLong(e)) => Some(id -> e)
       case _ => None
     }
+    // merged idempotence markers (Delta's setTransactions): None = legacy
+    // manifest written before the carry-forward — readers fall back to the
+    // chain walk ONCE and the next commit upgrades the chain to O(1)
+    val txns = (j \ "txns") match {
+      case JObject(fs) => Some(fs.collect {
+        case (id, JInt(e)) => id -> e.toLong
+        case (id, JLong(e)) => id -> e
+      }.toMap)
+      case _ => None
+    }
     Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
-             files, stats, schema, delta, tsMs, removed, txn)
+             files, stats, schema, delta, tsMs, removed, txn, txns)
   }
 
   /** Schema compatibility gate for append-family commits: the commit schema
@@ -199,29 +210,45 @@ object SnapshotTable {
     val live = prev.map(_.files).getOrElse(Nil) ++ newFiles
     val rows = prev.map(_.rows).getOrElse(0L) + newStats.valuesIterator.map(_.rows).sum
     val stats = prev.map(_.stats).getOrElse(Map.empty) ++ newStats
+    // overwrite replaces DATA, not stream-idempotence history: markers
+    // carry through so a replayed epoch stays a no-op after a reshape
+    val ptxns = prev.fold(carriedTxns(root, base))(mergedTxns(root, _))
     publish(root, v, manifestJson(v, base, op, rows, live, stats, df.schema,
-                                  txn = txn))
+                                  txn = txn, txns = ptxns ++ txn))
     v
   }
 
-  /** Latest committed epoch for an idempotent-writer id (Delta's
-    * txnAppId/txnVersion pattern): walk the manifest chain newest-first and
-    * return the first recorded `txn_epoch` for `streamId`, or -1 if none
-    * survives. Epochs from ONE writer are committed in order, so the first
-    * match walking down IS the max. Bounded by retained manifests: `expire`
-    * drops the marker with the manifest, so a stream resuming after its
-    * whole history was expired re-ingests — callers must keep `expire`'s
-    * horizon beyond the checkpoint's replay window (same retention contract
-    * as Delta). */
-  def lastCommittedEpoch(root: String, streamId: String): Long = {
-    var v = currentVersion(root)
-    while (v >= 1 && Files.exists(metaDir(root).resolve(s"v$v.json"))) {
-      snapshot(root, v).txn match {
-        case Some((id, e)) if id == streamId => return e
-        case _ => v -= 1
+  /** The full (streamId → latest epoch) marker map as of snapshot `sn` —
+    * the carried-forward `txns` field when present; for a legacy chain
+    * (pre-carry-forward manifests) reconstructed ONCE by walking the
+    * retained manifests oldest→newest (later epochs win), after which the
+    * next commit persists the merged map and lookups are O(1). */
+  private def mergedTxns(root: String, sn: Snapshot): Map[String, Long] =
+    sn.txns.getOrElse {
+      (1 to sn.version).foldLeft(Map.empty[String, Long]) { (m, v) =>
+        if (!Files.exists(metaDir(root).resolve(s"v$v.json"))) m
+        else m ++ snapshot(root, v).txn
       }
     }
-    -1L
+
+  /** [[mergedTxns]] for a version number, empty below v1. */
+  private def carriedTxns(root: String, base: Int): Map[String, Long] =
+    if (base < 1) Map.empty else mergedTxns(root, snapshot(root, base))
+
+  /** Latest committed epoch for an idempotent-writer id (Delta's
+    * txnAppId/txnVersion pattern), or -1 if none. O(1): every commit
+    * carries the MERGED (streamId → epoch) map forward in its manifest
+    * (Delta's setTransactions-in-checkpoint), so one manifest read answers
+    * the question — a per-micro-batch chain walk would be O(versions) reads
+    * each of which hauls the full per-file stats block, i.e. O(V²) metadata
+    * I/O over a stream's life at one-commit-per-epoch rates. Markers
+    * survive `compact`/`rollback`/`expire` with the carry (an expired
+    * history no longer forces a re-ingest). Legacy chains (manifests
+    * without the map) fall back to the one-time reconstruction walk. */
+  def lastCommittedEpoch(root: String, streamId: String): Long = {
+    val cur = currentVersion(root)
+    if (cur < 1) return -1L
+    mergedTxns(root, snapshot(root, cur)).getOrElse(streamId, -1L)
   }
 
   /** Exactly-once streaming sink commit (`foreachBatch` body): append
@@ -377,7 +404,8 @@ object SnapshotTable {
                            schema: org.apache.spark.sql.types.StructType,
                            delta: Seq[String] = Nil,
                            removed: Seq[String] = Nil,
-                           txn: Option[(String, Long)] = None): String = {
+                           txn: Option[(String, Long)] = None,
+                           txns: Map[String, Long] = Map.empty): String = {
     def jd(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else d.toString
     val statsJson = files.filter(stats.contains).map { f =>
@@ -390,7 +418,12 @@ object SnapshotTable {
     val txnJson = txn.fold("") { case (id, e) =>
       s"""\n       | "txn_id": "$id", "txn_epoch": $e,""".stripMargin
     }
-    s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,$txnJson
+    // the MERGED marker map is always emitted (even empty): its presence is
+    // what tells lastCommittedEpoch this manifest supports the O(1) lookup
+    val txnsJson = "\n \"txns\": {" +
+      txns.toSeq.sortBy(_._1).map { case (id, e) => s""""$id": $e""" }
+        .mkString(", ") + "},"
+    s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,$txnJson$txnsJson
        | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
        | "stats": {$statsJson},
        | "delta": [${delta.map(f => s""""$f"""").mkString(", ")}],
@@ -756,7 +789,8 @@ object SnapshotTable {
       survStats ++ deltaStats
     publish(root, v, manifestJson(v, base, "merge",
       liveRows(spark, root, live, stats), live, stats, df.schema,
-      delta = deltaFiles, removed = tombFiles, txn = txn))
+      delta = deltaFiles, removed = tombFiles, txn = txn,
+      txns = mergedTxns(root, prev) ++ txn))
     v
   }
 
@@ -807,7 +841,7 @@ object SnapshotTable {
     }
     publish(root, v, manifestJson(v, base, "delete",
       liveRows(spark, root, live, stats), live, stats, schema,
-      removed = tombFiles))
+      removed = tombFiles, txns = mergedTxns(root, prev)))
     v
   }
 
@@ -882,9 +916,15 @@ object SnapshotTable {
     val target = snapshot(root, toV)
     val base = currentVersion(root)
     val v = base + 1
+    // markers carry from the CURRENT version, not the rollback target:
+    // rollback discards data, not stream-idempotence history (Delta
+    // RESTORE's latest-wins txn semantics) — a replayed epoch whose rows
+    // were rolled back stays skipped; re-ingesting it is an explicit
+    // re-run with a fresh checkpoint, never an accidental replay
     publish(root, v, manifestJson(v, base, "rollback", target.rows,
       target.files, target.stats,
-      target.schema.getOrElse(read(spark, root, toV).schema)))
+      target.schema.getOrElse(read(spark, root, toV).schema),
+      txns = carriedTxns(root, base)))
     v
   }
 
@@ -916,7 +956,8 @@ object SnapshotTable {
       }
     val (newFiles, stats) = writeAttempt(spark, root, v, arranged)
     publish(root, v, manifestJson(v, base, "compact",
-      stats.valuesIterator.map(_.rows).sum, newFiles, stats, cur.schema))
+      stats.valuesIterator.map(_.rows).sum, newFiles, stats, cur.schema,
+      txns = carriedTxns(root, base)))
     v
   }
 
@@ -958,7 +999,8 @@ object SnapshotTable {
       .drop("__z")
     val (newFiles, stats) = writeAttempt(spark, root, v, arranged)
     publish(root, v, manifestJson(v, base, "compact",
-      stats.valuesIterator.map(_.rows).sum, newFiles, stats, cur.schema))
+      stats.valuesIterator.map(_.rows).sum, newFiles, stats, cur.schema,
+      txns = carriedTxns(root, base)))
     v
   }
 

@@ -687,6 +687,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(changes(spark, root, 4, 5).count() == 2)
   }
 
+  test("txn markers: O(1) carried map; survive compact/rollback/expire") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("txncarry")
+    commitStreamBatch(spark, root, df(0 until 5), "sA", 0L)
+    commitStreamBatch(spark, root, df(5 until 9), "sA", 1L)
+    commitStreamBatch(spark, root, df(9 until 12), "sB", 7L)
+    // the CURRENT manifest carries the full merged map — one read answers
+    // any stream's lookup (no chain walk)
+    assert(snapshot(root, currentVersion(root)).txns
+      .contains(Map("sA" -> 1L, "sB" -> 7L)))
+    // maintenance ops carry markers: compact, z-order, rollback
+    compact(spark, root, targetFiles = 1, sortCols = Seq("id"))
+    assert(lastCommittedEpoch(root, "sA") == 1L)
+    assert(lastCommittedEpoch(root, "sB") == 7L)
+    rollback(spark, root, toV = 2) // discards sB's rows, NOT its marker
+    assert(lastCommittedEpoch(root, "sB") == 7L)
+    assert(commitStreamBatch(spark, root, df(9 until 12), "sB", 7L).isEmpty)
+    // merge/delete carry too
+    merge(spark, root, df(0 until 2), Seq("id"))
+    delete(spark, root, col("id") === 999L)
+    assert(lastCommittedEpoch(root, "sA") == 1L)
+    // expire the whole marker-bearing history: the carried map in the
+    // surviving head still answers — an expired history no longer forces
+    // a re-ingest
+    expire(root, keepLast = 1)
+    assert(lastCommittedEpoch(root, "sA") == 1L)
+    assert(lastCommittedEpoch(root, "sB") == 7L)
+    assert(commitStreamBatch(spark, root, df(5 until 9), "sA", 1L).isEmpty)
+    assert(commitStreamBatch(spark, root, df(12 until 13), "sA", 2L).isDefined)
+  }
+
   test("streaming epoch commit retries through a CAS loss, still exactly once") {
     val root = freshRoot("txnrace")
     commit(spark, root, df(0 until 4))
