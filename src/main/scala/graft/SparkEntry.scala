@@ -180,6 +180,9 @@ object SparkEntry {
     "q108_stack_stats_incr"  -> (EngineOracle.stackCellsIncremental _),
     // round-6: overview-pyramid warp (gdaladdo 'average' + GDAL level pick)
     "q109_ovr_warp"          -> (EngineOracle.ovrWarpCells _),
+    // round-6: q42's OLS trend recomputed incrementally (CDC-driven
+    // materialized view of the normal-equation moments); same strict twin
+    "q110_trend_incr"        -> (EngineOracle.trendCellsIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -297,5 +300,6 @@ object SparkEntry {
     "q107_stream_snapshot"   -> Stream.streamSnapshotSinkSql,
     "q108_stack_stats_incr"  -> EngineOracle.stackCellsSql,
     "q109_ovr_warp"          -> EngineOracle.ovrWarpCellsSql,
+    "q110_trend_incr"        -> EngineOracle.trendCellsSql,
   )
 }

@@ -56,79 +56,38 @@ object StatsView {
     def outputEncoder: Encoder[MvRow] = Encoders.product[MvRow]
   }
 
-  private def markerId(tilesRoot: String): String = s"statsview:$tilesRoot"
-
   /** Source version the view last folded in, -1 for a fresh view. */
   def refreshedVersion(mvRoot: String, tilesRoot: String): Long =
-    SnapshotTable.lastCommittedEpoch(mvRoot, markerId(tilesRoot))
+    IncrementalView.refreshedVersion(mvRoot, tilesRoot, "statsview")
 
   /** Advance the view at `mvRoot` to cover `tilesRoot`'s current version.
     * Returns the source version now covered (unchanged if already
     * current). Safe to re-run: a refresh that already happened (or raced a
-    * twin) is skipped by the manifest marker. */
+    * twin) is skipped by the manifest marker. Delta fold + old⊕new merge +
+    * marker bookkeeping all live in [[IncrementalView.refresh]]. */
   def refresh(spark: SparkSession, tilesRoot: String, mvRoot: String,
               tileSize: Int = Warp.TileSize,
               ndv: Float = ImageTable.Ndv,
               maxLiveBuffers: Int = 2048): Long = {
     import spark.implicits._
-    val to = SnapshotTable.currentVersion(tilesRoot).toLong
-    val from = refreshedVersion(mvRoot, tilesRoot)
-    if (to <= math.max(from, 0L)) return from
-    val tileLen = tileSize * tileSize
-    val agg = new MvAgg(tileLen, ndv)
-    val delta = SnapshotTable.changes(spark, tilesRoot, math.max(from, 0L).toInt,
-      to.toInt).as[TileRow]
-    // canonical view schema up front: zip_with in later refreshes emits
-    // arrays with containsNull=true, and the catalog's schema gate compares
-    // dataTypes exactly — the encoder's containsNull=false first-commit
-    // schema would reject every subsequent merge
-    val deltaP = StackOps.partialFold(delta, agg, maxLiveBuffers)(
-      (tid, b) => agg.finish(b).copy(tile_id = tid)).toDF()
-      .select(col("tile_id"), col("n"),
-        col("cnt").cast("array<int>"),
-        col("sum").cast("array<double>"),
-        col("sumsq").cast("array<double>"),
-        col("vmin").cast("array<float>"),
-        col("vmax").cast("array<float>"))
-
-    if (SnapshotTable.currentVersion(mvRoot) == 0) {
-      // first refresh: plain append carrying the marker
-      SnapshotTable.commitStreamBatch(spark, mvRoot, deltaP, markerId(tilesRoot), to)
-      return to
-    }
-    // affected-tile envelope bounds BOTH the old-view read and the merge's
-    // file rewrites; conservative (range, not id set) and O(1) to plan
-    val env = deltaP.agg(min(col("tile_id")), max(col("tile_id"))).head()
-    val combined =
-      if (env.isNullAt(0)) deltaP // empty delta (all-NDV commit): marker-only
-      else {
-        val prune = Seq(SnapshotTable.ColRange("tile_id",
-          env.getLong(0).toDouble, env.getLong(1).toDouble))
-        val old = SnapshotTable.read(spark, mvRoot, prune = prune)
-          .select(col("tile_id"), col("n").as("o_n"), col("cnt").as("o_cnt"),
-            col("sum").as("o_sum"), col("sumsq").as("o_sumsq"),
-            col("vmin").as("o_vmin"), col("vmax").as("o_vmax"))
-        deltaP.join(old, Seq("tile_id"), "left").select(
-          col("tile_id"),
-          (col("n") + coalesce(col("o_n"), lit(0))).as("n"),
-          mergedArr("cnt", (a, b) => a + b),
-          mergedArr("sum", (a, b) => a + b),
-          mergedArr("sumsq", (a, b) => a + b),
-          mergedArr("vmin", least(_, _)),
-          mergedArr("vmax", greatest(_, _)))
-      }
-    SnapshotTable.merge(spark, mvRoot, combined, Seq("tile_id"),
-      txn = Some(markerId(tilesRoot) -> to))
-    to
+    import IncrementalView.ArrCol
+    val agg = new MvAgg(tileSize * tileSize, ndv)
+    IncrementalView.refresh(spark, tilesRoot, mvRoot, "statsview",
+      // canonical view schema up front: zip_with in later refreshes emits
+      // arrays with containsNull=true, and the catalog's schema gate
+      // compares dataTypes exactly — the encoder's containsNull=false
+      // first-commit schema would reject every subsequent merge
+      delta => StackOps.partialFold(delta.as[TileRow], agg, maxLiveBuffers)(
+        (tid, b) => agg.finish(b).copy(tile_id = tid)).toDF()
+        .select(col("tile_id"), col("n"),
+          col("cnt").cast("array<int>"),
+          col("sum").cast("array<double>"),
+          col("sumsq").cast("array<double>"),
+          col("vmin").cast("array<float>"),
+          col("vmax").cast("array<float>")),
+      Seq(ArrCol("cnt", _ + _), ArrCol("sum", _ + _), ArrCol("sumsq", _ + _),
+          ArrCol("vmin", least(_, _)), ArrCol("vmax", greatest(_, _))))
   }
-
-  /** Element-wise old⊕new for one buffer column, null-safe for tiles the
-    * view has never seen (`zip_with` is codegen'd — no UDF in the join). */
-  private def mergedArr(name: String,
-                        op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
-                          => org.apache.spark.sql.Column) =
-    when(col(s"o_$name").isNull, col(name))
-      .otherwise(zip_with(col(name), col(s"o_$name"), op)).as(name)
 
   /** Finished per-tile statistics from the stored moments — the same
     * emission as `TileStatsAgg.finish`, restated over the view columns so

@@ -123,6 +123,42 @@ object EngineOracle {
     } finally graft.sources.SnapshotTable.deleteRecursively(base)
   }
 
+  /** q110: q42's per-pixel OLS trend, computed INCREMENTALLY — the trend
+    * stack lands in a snapshot-catalog table across three commits and a
+    * materialized view of the normal-equation moments (Σt, Σt², Σv, Σtv,
+    * Σv², count, t-envelope) advances by CDC after each
+    * (`TrendView.refresh`); slope/intercept/r²/T0 are then finished from
+    * the stored moments by the SAME `TileTrendAgg.finish` as the batch
+    * path. The strict oracle is q42's DuckDB twin VERBATIM (exact dyadic t
+    * on the 3-hour grid → moment sums associate), so any double-counted
+    * replay, missed delta, or wrong old⊕new merge fails the hash. */
+  def trendCellsIncremental(s: SparkSession, d: String): DataFrame = {
+    val imgs = trendSubset(Engine.images(s, d))
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val base = java.nio.file.Files.createTempDirectory("graft_q110").toString
+    val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
+    try {
+      (0 until 3).foreach { b =>
+        // trendSubset already pins idx % 3 == 0 and drops (idx/3) % 3 == 0
+        // (raw fmt) — batch on idx/9 so all three commits are non-empty
+        val batch = imgs.filter(floor(idx / 9) % 3 === b)
+        graft.sources.SnapshotTable.commit(s, tilesRoot,
+          Warp.warpToTiles(s, batch, target, "near").toDF())
+        val covered = graft.operators.TrendView.refresh(s, tilesRoot, mvRoot)
+        require(covered == b + 1, s"refresh covered v$covered, expected v${b + 1}")
+      }
+      // idempotence: nothing new to fold → marker unchanged, no commit
+      val vBefore = graft.sources.SnapshotTable.currentVersion(mvRoot)
+      require(graft.operators.TrendView.refresh(s, tilesRoot, mvRoot) == 3)
+      require(graft.sources.SnapshotTable.currentVersion(mvRoot) == vBefore,
+        "a no-op refresh must not commit")
+      val out = explodeStats(graft.operators.TrendView.trend(s, mvRoot),
+        ntx, Seq("count", "slope_yr", "intercept", "r2", "t_stat"))
+      detachViaParquet(s, out)
+    } finally graft.sources.SnapshotTable.deleteRecursively(base)
+  }
+
   /** q42 oracle form: per-pixel OLS slope/intercept/r²/t-stat over the
     * exact-time subset, via TileTrendAgg (diagnostics included). */
   def trendCells(s: SparkSession, d: String): DataFrame = {

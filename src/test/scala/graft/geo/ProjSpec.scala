@@ -175,6 +175,35 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("ellipsoid: published EPSG worked examples reproduce to the printed precision") {
+    // Three PUBLIC test vectors, independent of everything this suite
+    // derives (the documents print E/N to 0.01 m / 1 mm):
+    // 1. EPSG Guidance Note 7-2, Polar Stereographic Variant A example
+    //    (WGS 84 / UPS North): lat0=90, k0=0.994, FE=FN=2 000 000;
+    //    φ=73°N λ=44°E → E=3 320 416.75, N=632 668.43. Variant A scales
+    //    the pole-true ρ by k0, so the engine's lat_ts=90 form × 0.994.
+    val ups = PolarStereoEll(north = true, 90.0, 0.0)
+    val (ux, uy) = ups.forward(44.0, 73.0)
+    assert(math.abs(2e6 + 0.994 * ux - 3320416.75) < 0.02, s"UPS E ${2e6 + 0.994 * ux}")
+    assert(math.abs(2e6 + 0.994 * uy - 632668.43) < 0.02, s"UPS N ${2e6 + 0.994 * uy}")
+    // 2. EPSG Guidance Note 7-2, Polar Stereographic Variant B example
+    //    (WGS 84 / Australian Antarctic, EPSG:3032): lat_ts=−71 lon0=70°E,
+    //    FE=FN=6 000 000; φ=75°S λ=120°E → E=7 255 380.79, N=7 053 389.56.
+    val aaps = PolarStereoEll(north = false, -71.0, 70.0)
+    val (bx, by) = aaps.forward(120.0, -75.0)
+    assert(math.abs(6e6 + bx - 7255380.79) < 0.02, s"AAPS E ${6e6 + bx}")
+    assert(math.abs(6e6 + by - 7053389.56) < 0.02, s"AAPS N ${6e6 + by}")
+    // 3. GDA Technical Manual §4 worked example, Flinders Peak → MGA
+    //    zone 55 (GRS80; Δf vs WGS84 moves E/N by ~0.1 mm, far below the
+    //    printed mm): φ=−37°57′03.7203″ λ=144°25′29.5244″ →
+    //    E=273 741.297, N=5 796 489.777.
+    val lat = -(37.0 + 57.0 / 60 + 3.7203 / 3600)
+    val lon = 144.0 + 25.0 / 60 + 29.5244 / 3600
+    val (fx, fy) = Proj.of("EPSG:32755").forward(lon, lat)
+    assert(math.abs(fx - 273741.297) < 2e-3, s"MGA55 E $fx")
+    assert(math.abs(fy - 5796489.777) < 2e-3, s"MGA55 N $fy")
+  }
+
   test("ellipsoid: Krüger roundtrip holds at 1e-9° and PS-ell at the pole-true limit") {
     // the +lat_ts=90 limit form (Snyder 21-39) must agree with the
     // lat_ts→90 continuous limit
