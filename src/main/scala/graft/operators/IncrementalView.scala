@@ -61,29 +61,38 @@ private[operators] object IncrementalView {
       SnapshotTable.commitStreamBatch(spark, mvRoot, deltaP, marker, to)
       return to
     }
-    // affected-tile envelope bounds BOTH the old-view read and the merge's
-    // file rewrites; conservative (range, not id set) and O(1) to plan
-    val env = deltaP.agg(min(col("tile_id")), max(col("tile_id"))).head()
-    val combined =
-      if (env.isNullAt(0)) deltaP // empty delta (all-NDV commit): marker-only
-      else {
-        val prune = Seq(SnapshotTable.ColRange("tile_id",
-          env.getLong(0).toDouble, env.getLong(1).toDouble))
-        val oldCols = col("tile_id") +: (("n" +: arrCols.map(_.name))
-          .map(c => col(c).as(s"o_$c")))
-        val old = SnapshotTable.read(spark, mvRoot, prune = prune)
-          .select(oldCols: _*)
-        val merged = arrCols.map(a =>
-          when(col(s"o_${a.name}").isNull, col(a.name))
-            .otherwise(zip_with(col(a.name), col(s"o_${a.name}"), a.op))
-            .as(a.name))
-        deltaP.join(old, Seq("tile_id"), "left").select(
-          (col("tile_id") +:
-            (col("n") + coalesce(col("o_n"), lit(0))).as("n") +:
-            merged): _*)
-      }
-    SnapshotTable.merge(spark, mvRoot, combined, Seq("tile_id"),
-      txn = Some(marker -> to))
+    // the folded delta feeds three consumers (the envelope agg, the merge
+    // commit's delta write, and the old⊕new join probe) — without a cache
+    // each one re-runs the upstream CDC scan + fold
+    deltaP.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // affected-tile envelope bounds BOTH the old-view read and the
+      // merge's file rewrites; conservative (range, not id set), O(1) plan
+      val env = deltaP.agg(min(col("tile_id")), max(col("tile_id"))).head()
+      val combined =
+        if (env.isNullAt(0)) deltaP // empty delta (all-NDV commit): marker-only
+        else {
+          val prune = Seq(SnapshotTable.ColRange("tile_id",
+            env.getLong(0).toDouble, env.getLong(1).toDouble))
+          val oldCols = col("tile_id") +: (("n" +: arrCols.map(_.name))
+            .map(c => col(c).as(s"o_$c")))
+          val old = SnapshotTable.read(spark, mvRoot, prune = prune)
+            .select(oldCols: _*)
+          val merged = arrCols.map(a =>
+            when(col(s"o_${a.name}").isNull, col(a.name))
+              .otherwise(zip_with(col(a.name), col(s"o_${a.name}"), a.op))
+              .as(a.name))
+          deltaP.join(old, Seq("tile_id"), "left").select(
+            (col("tile_id") +:
+              (col("n") + coalesce(col("o_n"), lit(0))).as("n") +:
+              merged): _*)
+        }
+      // cdc = false: the view's row-level history is replayable from the
+      // SOURCE table's CDC; persisting a full pre-image copy of every
+      // refreshed view row would be pure write amplification
+      SnapshotTable.merge(spark, mvRoot, combined, Seq("tile_id"),
+        txn = Some(marker -> to), cdc = false)
+    } finally deltaP.unpersist(blocking = false)
     to
   }
 }

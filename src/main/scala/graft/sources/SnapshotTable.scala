@@ -51,7 +51,8 @@ object SnapshotTable {
                             tsMs: Long = 0L,
                             removed: Seq[String] = Nil,
                             txn: Option[(String, Long)] = None,
-                            txns: Option[Map[String, Long]] = None)
+                            txns: Option[Map[String, Long]] = None,
+                            cdcOff: Boolean = false)
 
   /** A conjunct for scan planning: keep files whose [min, max] for `colName`
     * intersects [lo, hi]. Files lacking stats for the column are kept
@@ -160,8 +161,12 @@ object SnapshotTable {
       }.toMap)
       case _ => None
     }
+    val cdcOff = (j \ "cdc_off") match {
+      case JBool(b) => b
+      case _ => false
+    }
     Snapshot(num("version").toInt, num("parent").toInt, op, num("rows"),
-             files, stats, schema, delta, tsMs, removed, txn, txns)
+             files, stats, schema, delta, tsMs, removed, txn, txns, cdcOff)
   }
 
   /** Schema compatibility gate for append-family commits: the commit schema
@@ -405,7 +410,8 @@ object SnapshotTable {
                            delta: Seq[String] = Nil,
                            removed: Seq[String] = Nil,
                            txn: Option[(String, Long)] = None,
-                           txns: Map[String, Long] = Map.empty): String = {
+                           txns: Map[String, Long] = Map.empty,
+                           cdcOff: Boolean = false): String = {
     def jd(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else d.toString
     val statsJson = files.filter(stats.contains).map { f =>
@@ -422,7 +428,8 @@ object SnapshotTable {
     // what tells lastCommittedEpoch this manifest supports the O(1) lookup
     val txnsJson = "\n \"txns\": {" +
       txns.toSeq.sortBy(_._1).map { case (id, e) => s""""$id": $e""" }
-        .mkString(", ") + "},"
+        .mkString(", ") + "}," +
+      (if (cdcOff) "\n \"cdc_off\": true," else "")
     s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,$txnJson$txnsJson
        | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
        | "stats": {$statsJson},
@@ -725,7 +732,8 @@ object SnapshotTable {
     * contract); duplicate incoming keys are both kept, like an append. */
   def merge(spark: SparkSession, root: String, df: DataFrame,
             keyCols: Seq[String],
-            txn: Option[(String, Long)] = None): Int = {
+            txn: Option[(String, Long)] = None,
+            cdc: Boolean = true): Int = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     require(keyCols.nonEmpty, "merge needs at least one key column")
@@ -781,8 +789,19 @@ object SnapshotTable {
         val routed = old.join(marked, keyCols, "left")
           .withColumn("__kept", col("__hit").isNull)
           .drop("__hit")
-        val (sf, ss, tf) = writeSplit(spark, root, v, routed, "__kept")
-        (sf, ss, tf)
+        if (cdc) writeSplit(spark, root, v, routed, "__kept")
+        else {
+          // CDC off (Delta's change-data-feed-off default analog): skip
+          // writing the tombstone pre-images entirely — a high-churn
+          // derived table (e.g. the incremental views) would otherwise
+          // persist a full copy of every replaced row per refresh for a
+          // stream nobody reads. Row-level history for such a commit is
+          // declared ABSENT in the manifest and changesCdc fails loudly
+          // over the range instead of silently missing deletes.
+          val (sf, ss) = writeAttempt(spark, root, v,
+            routed.filter(col("__kept")).drop("__kept"))
+          (sf, ss, Seq.empty[String])
+        }
       }
     val live = untouched ++ survFiles ++ deltaFiles
     val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++
@@ -790,7 +809,8 @@ object SnapshotTable {
     publish(root, v, manifestJson(v, base, "merge",
       liveRows(spark, root, live, stats), live, stats, df.schema,
       delta = deltaFiles, removed = tombFiles, txn = txn,
-      txns = mergedTxns(root, prev) ++ txn))
+      txns = mergedTxns(root, prev) ++ txn,
+      cdcOff = !cdc && touched.nonEmpty))
     v
   }
 
@@ -803,7 +823,8 @@ object SnapshotTable {
     * untouched. Contributes nothing to `changes()` (an adds stream). */
   def delete(spark: SparkSession, root: String,
              predicate: org.apache.spark.sql.Column,
-             prune: Seq[ColRange] = Nil): Int = {
+             prune: Seq[ColRange] = Nil,
+             cdc: Boolean = true): Int = {
     import org.apache.spark.sql.functions._
     val base = currentVersion(root)
     require(base >= 1, s"nothing to delete at $root")
@@ -830,8 +851,14 @@ object SnapshotTable {
         // Replaces a filter + negated-filter pair that scanned twice.
         val routed = reader.parquet(touched.map(f => s"$root/$f"): _*)
           .withColumn("__kept", not(coalesce(predicate, lit(false))))
-        val (nf, ns, tf) = writeSplit(spark, root, v, routed, "__kept")
-        (nf, ns, tf)
+        if (cdc) writeSplit(spark, root, v, routed, "__kept")
+        else {
+          // CDC off: survivors only (see merge) — deleted pre-images are
+          // declared absent in the manifest, changesCdc fails loudly
+          val (sf, ss) = writeAttempt(spark, root, v,
+            routed.filter(col("__kept")).drop("__kept"))
+          (sf, ss, Seq.empty[String])
+        }
       }
     val live = untouched ++ newFiles
     val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++ newStats
@@ -841,7 +868,8 @@ object SnapshotTable {
     }
     publish(root, v, manifestJson(v, base, "delete",
       liveRows(spark, root, live, stats), live, stats, schema,
-      removed = tombFiles, txns = mergedTxns(root, prev)))
+      removed = tombFiles, txns = mergedTxns(root, prev),
+      cdcOff = !cdc && touched.nonEmpty))
     v
   }
 
@@ -863,6 +891,10 @@ object SnapshotTable {
         s"changesCdc(v$fromV, v$toV) needs manifest v$v, which is expired")
       snapshot(root, v)
     }
+    snaps.filter(_.cdcOff).foreach(sn => throw new IllegalStateException(
+      s"changesCdc(v$fromV, v$toV): v${sn.version} (${sn.op}) was committed " +
+        "with cdc=false — its delete pre-images were never recorded; read " +
+        "per-version snapshots instead"))
     // the agreement set includes the PARENT schema of every in-range
     // overwrite: its delete pre-images are the parent's files, scanned
     // below with the common reader — when the range starts AT the

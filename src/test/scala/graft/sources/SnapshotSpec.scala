@@ -687,6 +687,29 @@ class SnapshotSpec extends AnyFunSuite {
     assert(changes(spark, root, 4, 5).count() == 2)
   }
 
+  test("cdc=false merge/delete: no tombstones; changesCdc fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("cdcoff")
+    commit(spark, root, df(0 until 20))
+    // cdc-off merge: upsert rows 0..4, live data exact, zero pre-images
+    merge(spark, root, df(0 until 5), Seq("id"), cdc = false)
+    assert(read(spark, root).count() == 20)
+    assert(snapshot(root, 2).removed.isEmpty && snapshot(root, 2).cdcOff)
+    // insert-level changes still stream (the delta files are recorded)
+    assert(changes(spark, root, 1, 2).count() == 5)
+    // row-level CDC over the range is DECLARED absent, not silently empty
+    val e = intercept[IllegalStateException] { changesCdc(spark, root, 1, 2) }
+    assert(e.getMessage.contains("cdc=false"))
+    // cdc-off delete: rows gone, no tombstones, same loud contract
+    delete(spark, root, col("id") >= 15L, cdc = false)
+    assert(read(spark, root).count() == 15)
+    assert(snapshot(root, 3).removed.isEmpty && snapshot(root, 3).cdcOff)
+    intercept[IllegalStateException] { changesCdc(spark, root, 2, 3) }
+    // a later cdc=true commit is unaffected; its own range works
+    merge(spark, root, df(0 until 2), Seq("id"))
+    assert(changesCdc(spark, root, 3, 4).count() == 4) // 2 inserts + 2 deletes
+  }
+
   test("txn markers: O(1) carried map; survive compact/rollback/expire") {
     import org.apache.spark.sql.functions.col
     val root = freshRoot("txncarry")
