@@ -64,29 +64,22 @@ object StatsView {
     * Returns the source version now covered (unchanged if already
     * current). Safe to re-run: a refresh that already happened (or raced a
     * twin) is skipped by the manifest marker. Delta fold + old⊕new merge +
-    * marker bookkeeping all live in [[IncrementalView.refresh]]. */
+    * marker bookkeeping all live in [[IncrementalView.refresh]]; the
+    * combine is the SAME element-wise arithmetic as `TileStatsAgg.merge`
+    * (delta-first operand order), as a JIT-friendly while-loop. */
   def refresh(spark: SparkSession, tilesRoot: String, mvRoot: String,
               tileSize: Int = Warp.TileSize,
               ndv: Float = ImageTable.Ndv,
               maxLiveBuffers: Int = 2048): Long = {
     import spark.implicits._
-    import IncrementalView.ArrCol
+    import IncrementalView._
     val agg = new MvAgg(tileSize * tileSize, ndv)
-    IncrementalView.refresh(spark, tilesRoot, mvRoot, "statsview",
-      // canonical view schema up front: zip_with in later refreshes emits
-      // arrays with containsNull=true, and the catalog's schema gate
-      // compares dataTypes exactly — the encoder's containsNull=false
-      // first-commit schema would reject every subsequent merge
+    IncrementalView.refresh[MvRow](spark, tilesRoot, mvRoot, "statsview",
       delta => StackOps.partialFold(delta.as[TileRow], agg, maxLiveBuffers)(
-        (tid, b) => agg.finish(b).copy(tile_id = tid)).toDF()
-        .select(col("tile_id"), col("n"),
-          col("cnt").cast("array<int>"),
-          col("sum").cast("array<double>"),
-          col("sumsq").cast("array<double>"),
-          col("vmin").cast("array<float>"),
-          col("vmax").cast("array<float>")),
-      Seq(ArrCol("cnt", _ + _), ArrCol("sum", _ + _), ArrCol("sumsq", _ + _),
-          ArrCol("vmin", least(_, _)), ArrCol("vmax", greatest(_, _))))
+        (tid, b) => agg.finish(b).copy(tile_id = tid)),
+      (d, o) => MvRow(d.tile_id, d.n + o.n, addI(d.cnt, o.cnt),
+        addD(d.sum, o.sum), addD(d.sumsq, o.sumsq),
+        minF(d.vmin, o.vmin), maxF(d.vmax, o.vmax)))
   }
 
   /** Finished per-tile statistics from the stored moments — the same

@@ -35,7 +35,7 @@ object TrendView {
 
   /** The batch trend fold re-targeted to emit raw buffers: zero/reduce/
     * merge ARE TileTrendAgg's, only finish differs. */
-  private class MvAgg(tileLen: Int, ndv: Float)
+  private[operators] class MvAgg(tileLen: Int, ndv: Float)
       extends Aggregator[TileRow, StackOps.TrendBuf, MvRow] with Serializable {
     private val inner = new StackOps.TileTrendAgg(tileLen, ndv, nThresh = 2,
       minDtPtp = 0.0)
@@ -52,27 +52,29 @@ object TrendView {
   def refreshedVersion(mvRoot: String, tilesRoot: String): Long =
     IncrementalView.refreshedVersion(mvRoot, tilesRoot, "trendview")
 
+  /** Element-wise old⊕new (`TileTrendAgg.merge`'s arithmetic, delta-first
+    * operand order) as a JIT-friendly while-loop. */
+  private[operators] def combineRows(d: MvRow, o: MvRow): MvRow = {
+    import IncrementalView._
+    MvRow(d.tile_id, d.n + o.n, addI(d.cnt, o.cnt), addD(d.st, o.st),
+      addD(d.stt, o.stt), addD(d.sy, o.sy), addD(d.sty, o.sty),
+      addD(d.syy, o.syy), minD(d.tmin, o.tmin), maxD(d.tmax, o.tmax))
+  }
+
   /** Advance the view at `mvRoot` to cover `tilesRoot`'s current version.
-    * Same contract as [[StatsView.refresh]]. */
+    * Same contract as [[StatsView.refresh]]; the combine is
+    * `TileTrendAgg.merge`'s element-wise arithmetic (delta-first operand
+    * order) as a JIT-friendly while-loop. */
   def refresh(spark: SparkSession, tilesRoot: String, mvRoot: String,
               tileSize: Int = Warp.TileSize,
               ndv: Float = ImageTable.Ndv,
               maxLiveBuffers: Int = 2048): Long = {
     import spark.implicits._
-    import IncrementalView.ArrCol
     val agg = new MvAgg(tileSize * tileSize, ndv)
-    IncrementalView.refresh(spark, tilesRoot, mvRoot, "trendview",
+    IncrementalView.refresh[MvRow](spark, tilesRoot, mvRoot, "trendview",
       delta => StackOps.partialFold(delta.as[TileRow], agg, maxLiveBuffers)(
-        (tid, b) => agg.finish(b).copy(tile_id = tid)).toDF()
-        .select(col("tile_id"), col("n"),
-          col("cnt").cast("array<int>"),
-          col("st").cast("array<double>"), col("stt").cast("array<double>"),
-          col("sy").cast("array<double>"), col("sty").cast("array<double>"),
-          col("syy").cast("array<double>"),
-          col("tmin").cast("array<double>"), col("tmax").cast("array<double>")),
-      Seq(ArrCol("cnt", _ + _), ArrCol("st", _ + _), ArrCol("stt", _ + _),
-          ArrCol("sy", _ + _), ArrCol("sty", _ + _), ArrCol("syy", _ + _),
-          ArrCol("tmin", least(_, _)), ArrCol("tmax", greatest(_, _))))
+        (tid, b) => agg.finish(b).copy(tile_id = tid)),
+      combineRows)
   }
 
   /** Finished per-tile OLS from the stored moments — the batch
