@@ -20,9 +20,11 @@ import graft.sources.{ImageTable, SnapshotTable}
   *      since the last refresh (O(delta) scan, file-level);
   *   2. the bounded partial-fold of those layers into per-tile buffers
   *      (one shuffle keyed on tile_id, map-side combined);
-  *   3. ONE equi-join against the current view rows of the affected tiles
-  *      (stats-pruned read) merging old+new buffers element-wise with
-  *      codegen'd `zip_with`;
+  *   3. ONE typed equi-join against the current view rows of the affected
+  *      tiles (stats-pruned read) merging old+new buffers element-wise with
+  *      a hand-written while-loop (JITs to straight array arithmetic; the
+  *      `zip_with` alternative is a CodegenFallback interpreted lambda,
+  *      measured ~30× slower — IncrementalView.scala:17-22);
   *   4. a `merge` commit keyed on tile_id — only view files whose tile
   *      range intersects the delta are rewritten (stats-bounded write
   *      amplification), and the refreshed SOURCE VERSION rides in the
@@ -79,7 +81,8 @@ object StatsView {
         (tid, b) => agg.finish(b).copy(tile_id = tid)),
       (d, o) => MvRow(d.tile_id, d.n + o.n, addI(d.cnt, o.cnt),
         addD(d.sum, o.sum), addD(d.sumsq, o.sumsq),
-        minF(d.vmin, o.vmin), maxF(d.vmax, o.vmax)))
+        minF(d.vmin, o.vmin), maxF(d.vmax, o.vmax)),
+      tid => agg.finish(agg.zero).copy(tile_id = tid))
   }
 
   /** Finished per-tile statistics from the stored moments — the same

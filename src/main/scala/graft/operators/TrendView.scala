@@ -74,7 +74,8 @@ object TrendView {
     IncrementalView.refresh[MvRow](spark, tilesRoot, mvRoot, "trendview",
       delta => StackOps.partialFold(delta.as[TileRow], agg, maxLiveBuffers)(
         (tid, b) => agg.finish(b).copy(tile_id = tid)),
-      combineRows)
+      combineRows,
+      tid => agg.finish(agg.zero).copy(tile_id = tid))
   }
 
   /** Finished per-tile OLS from the stored moments — the batch

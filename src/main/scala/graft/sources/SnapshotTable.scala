@@ -79,6 +79,10 @@ object SnapshotTable {
       .foldLeft(0)(math.max)
   }
 
+  /** Whether `version`'s manifest is still retained (false once expired). */
+  def hasSnapshot(root: String, version: Int): Boolean =
+    Files.exists(metaDir(root).resolve(s"v$version.json"))
+
   def snapshot(root: String, version: Int): Snapshot = {
     import org.json4s._
     val txt = Files.readString(metaDir(root).resolve(s"v$version.json"))
@@ -179,8 +183,26 @@ object SnapshotTable {
   private def requireCompatible(parent: Option[org.apache.spark.sql.types.StructType],
                                 next: org.apache.spark.sql.types.StructType,
                                 v: Int): Unit = parent.foreach { p =>
-    val pm = p.fields.map(f => f.name -> f.dataType).toMap
-    val nm = next.fields.map(f => f.name -> f.dataType).toMap
+    // nullability is normalized away before comparing: parquet writes every
+    // Spark field as optional regardless of the logical flag, so a
+    // containsNull/nullable drift can never make footers disagree — while
+    // treating it as drift rejects legitimate writers (a typed Dataset
+    // encoder emits containsNull=false arrays; a view table created by an
+    // older engine version recorded containsNull=true — ADVICE r6)
+    def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType =>
+          StructType(s.fields.map(f =>
+            f.copy(dataType = norm(f.dataType), nullable = true)))
+        case a: ArrayType => ArrayType(norm(a.elementType), containsNull = true)
+        case m: MapType =>
+          MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+        case other => other
+      }
+    }
+    val pm = p.fields.map(f => f.name -> norm(f.dataType)).toMap
+    val nm = next.fields.map(f => f.name -> norm(f.dataType)).toMap
     val drift = pm.keySet.intersect(nm.keySet)
       .filter(k => pm(k) != nm(k))
       .map(k => s"$k: ${pm(k).simpleString} -> ${nm(k).simpleString}")
@@ -195,6 +217,16 @@ object SnapshotTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
              op: String = "append"): Int =
     commitFrom(spark, root, currentVersion(root), df, op)
+
+  /** [[commit]] carrying an idempotent-writer marker (streamId, epoch) —
+    * the overwrite form the incremental views' full-rebuild path needs:
+    * a rebuild REPLACES the view data while recording the source version
+    * it covers, atomically in one manifest (a separate marker commit would
+    * leave a crash window where the rebuilt data is live but unmarked and
+    * a replay rebuilds again — wasteful, though never wrong). */
+  def commitWithTxn(spark: SparkSession, root: String, df: DataFrame,
+                    op: String, txn: (String, Long)): Int =
+    commitFrom(spark, root, currentVersion(root), df, op, txn = Some(txn))
 
   /** Commit on top of an explicitly-read base version — the body of
     * `commit`, split out so tests can replay the stale-base race a real
@@ -225,15 +257,25 @@ object SnapshotTable {
 
   /** The full (streamId → latest epoch) marker map as of snapshot `sn` —
     * the carried-forward `txns` field when present; for a legacy chain
-    * (pre-carry-forward manifests) reconstructed ONCE by walking the
-    * retained manifests oldest→newest (later epochs win), after which the
-    * next commit persists the merged map and lookups are O(1). */
+    * (pre-carry-forward manifests) reconstructed by walking the retained
+    * manifests oldest→newest (later epochs win). The walk result is
+    * MEMOIZED per (root, version): a published manifest is immutable, so
+    * the reconstruction can never go stale — without the cache a read-only
+    * check loop against a legacy table (no commit ever follows to persist
+    * the map) pays O(versions) manifest parses per lastCommittedEpoch call.
+    * The cache holds entries only for pre-upgrade manifests and is
+    * size-capped as a leak guard (JVM-lifetime process, many temp tables). */
+  private val legacyTxnsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Map[String, Long]]()
+
   private def mergedTxns(root: String, sn: Snapshot): Map[String, Long] =
     sn.txns.getOrElse {
-      (1 to sn.version).foldLeft(Map.empty[String, Long]) { (m, v) =>
-        if (!Files.exists(metaDir(root).resolve(s"v$v.json"))) m
-        else m ++ snapshot(root, v).txn
-      }
+      if (legacyTxnsCache.size > 4096) legacyTxnsCache.clear()
+      legacyTxnsCache.computeIfAbsent((root, sn.version), _ =>
+        (1 to sn.version).foldLeft(Map.empty[String, Long]) { (m, v) =>
+          if (!Files.exists(metaDir(root).resolve(s"v$v.json"))) m
+          else m ++ snapshot(root, v).txn
+        })
     }
 
   /** [[mergedTxns]] for a version number, empty below v1. */
@@ -417,26 +459,42 @@ object SnapshotTable {
     val statsJson = files.filter(stats.contains).map { f =>
       val fs = stats(f)
       val cols = fs.cols.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s""""$c": [${jd(lo)}, ${jd(hi)}]""" }
+        .map { case (c, (lo, hi)) => s"${js(c)}: [${jd(lo)}, ${jd(hi)}]" }
         .mkString(", ")
-      s""""$f": {"rows": ${fs.rows}, "cols": {$cols}}"""
+      s"${js(f)}: {\"rows\": ${fs.rows}, \"cols\": {$cols}}"
     }.mkString(", ")
     val txnJson = txn.fold("") { case (id, e) =>
-      s"""\n       | "txn_id": "$id", "txn_epoch": $e,""".stripMargin
+      s"""\n       | "txn_id": ${js(id)}, "txn_epoch": $e,""".stripMargin
     }
     // the MERGED marker map is always emitted (even empty): its presence is
     // what tells lastCommittedEpoch this manifest supports the O(1) lookup
     val txnsJson = "\n \"txns\": {" +
-      txns.toSeq.sortBy(_._1).map { case (id, e) => s""""$id": $e""" }
+      txns.toSeq.sortBy(_._1).map { case (id, e) => s"${js(id)}: $e" }
         .mkString(", ") + "}," +
       (if (cdcOff) "\n \"cdc_off\": true," else "")
     s"""{"version": $v, "parent": $parent, "op": "$op", "rows": $rows,$txnJson$txnsJson
-       | "files": [${files.map(f => s""""$f"""").mkString(", ")}],
+       | "files": [${files.map(js).mkString(", ")}],
        | "stats": {$statsJson},
-       | "delta": [${delta.map(f => s""""$f"""").mkString(", ")}],
-       | "removed": [${removed.map(f => s""""$f"""").mkString(", ")}],
+       | "delta": [${delta.map(js).mkString(", ")}],
+       | "removed": [${removed.map(js).mkString(", ")}],
        | "ts_ms": ${System.currentTimeMillis()},
        | "schema": ${schema.json}}""".stripMargin
+  }
+
+  /** JSON string literal with full escaping. Stream ids embed caller paths
+    * (e.g. "statsview:/tmp/…"); unescaped interpolation would let one id
+    * containing a quote/backslash corrupt every subsequent manifest (the
+    * merged txns map carries forward forever). File names and stat column
+    * names go through the same escape — free, and closes the class. */
+  private def js(s: String): String = {
+    val b = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
   }
 
   /** Lease window for abandoned publish claims: a claim older than this

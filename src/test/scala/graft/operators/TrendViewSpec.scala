@@ -88,4 +88,46 @@ class TrendViewSpec extends AnyFunSuite {
       SnapshotTable.read(spark, mvRoot), s"trendview:$tilesRoot", 1L)
     assert(replayed.isEmpty, "replayed refresh epoch must be skipped")
   }
+
+  test("source churn (merge + delete) recomputes affected tiles, bit-exact") {
+    import spark.implicits._
+    val tilesRoot = freshRoot("churn_t"); val mvRoot = freshRoot("churn_mv")
+    val images = ImageTable.generate(spark, 54).filter(idx % 3 === 0)
+    val target = Warp.analyze(images, "min", "union")
+    def tiles(f: org.apache.spark.sql.Column) =
+      Warp.warpToTiles(spark, images.filter(f), target, "near").toDF()
+    def viewEqualsLive(): Unit = {
+      val incr = TrendView.trend(spark, mvRoot).as[StackOps.TileTrend]
+        .collect().map(s => s.tile_id -> s).toMap
+      val batch = StackOps.trend(
+        SnapshotTable.read(spark, tilesRoot).as[TileRow]).collect()
+      batch.foreach { s =>
+        val i = incr.getOrElse(s.tile_id, fail(s"view lacks tile ${s.tile_id}"))
+        assert(i.count.toSeq == s.count.toSeq &&
+          i.slope_yr.toSeq == s.slope_yr.toSeq &&
+          i.intercept.toSeq == s.intercept.toSeq &&
+          i.r2.toSeq == s.r2.toSeq && i.t_stat.toSeq == s.t_stat.toSeq,
+          s"tile ${s.tile_id}")
+      }
+    }
+    SnapshotTable.commit(spark, tilesRoot, tiles(idx < 30))            // v1
+    assert(TrendView.refresh(spark, tilesRoot, mvRoot) == 1)
+    // MERGE shifts 5 layers' payloads by +1: the OLS moments of their
+    // tiles change; an adds-only fold would double-count Σv/Σtv/Σv²
+    val ndvF = s"CAST(${ImageTable.Ndv} AS FLOAT)"
+    val shifted = tiles(idx < 15).withColumn("payload",
+      expr(s"transform(payload, v -> IF(v = $ndvF, v, v + CAST(1.0 AS FLOAT)))"))
+    SnapshotTable.merge(spark, tilesRoot, shifted, Seq("image_id", "tile_id"))
+    assert(TrendView.refresh(spark, tilesRoot, mvRoot) == 2)
+    viewEqualsLive()
+    // DELETE the shifted layers entirely — their moments must vanish
+    SnapshotTable.delete(spark, tilesRoot,
+      expr("CAST(substring(image_id, 5, 8) AS INT) < 15"))
+    assert(TrendView.refresh(spark, tilesRoot, mvRoot) == 3)
+    viewEqualsLive()
+    // and the fast append path still works on top of churned history
+    SnapshotTable.commit(spark, tilesRoot, tiles(idx >= 30))
+    assert(TrendView.refresh(spark, tilesRoot, mvRoot) == 4)
+    viewEqualsLive()
+  }
 }
