@@ -183,6 +183,11 @@ object SparkEntry {
     // round-6: q42's OLS trend recomputed incrementally (CDC-driven
     // materialized view of the normal-equation moments); same strict twin
     "q110_trend_incr"        -> (EngineOracle.trendCellsIncremental _),
+    // round-7: the incremental views driven through NON-APPEND source
+    // churn (merge corrupt→restore, delete, re-append) — the refresh
+    // engine's recompute path, strict-oracled against the batch twins
+    "q111_stack_incr_churn"  -> (EngineOracle.stackCellsIncrementalChurn _),
+    "q112_trend_incr_churn"  -> (EngineOracle.trendCellsIncrementalChurn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -301,5 +306,7 @@ object SparkEntry {
     "q108_stack_stats_incr"  -> EngineOracle.stackCellsSql,
     "q109_ovr_warp"          -> EngineOracle.ovrWarpCellsSql,
     "q110_trend_incr"        -> EngineOracle.trendCellsSql,
+    "q111_stack_incr_churn"  -> EngineOracle.stackCellsChurnSql,
+    "q112_trend_incr_churn"  -> EngineOracle.trendCellsChurnSql,
   )
 }

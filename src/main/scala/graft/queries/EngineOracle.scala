@@ -159,6 +159,82 @@ object EngineOracle {
     } finally graft.sources.SnapshotTable.deleteRecursively(base)
   }
 
+  /** Shared churn driver for q111/q112: land `imgs` in a snapshot tiles
+    * table through a NON-APPEND history — append b0, append b1, MERGE that
+    * corrupts b0's payloads (+1 on valid pixels), MERGE that restores
+    * them, row-level DELETE of b1, re-append of b1, append b2 — refreshing
+    * the view after EVERY commit. The final live state equals three plain
+    * appends of `imgs`, so the strict oracle is the batch twin verbatim;
+    * any adds-only double-count (corrupt kept + restore added), stale
+    * deleted moment, or missed recompute leaves the +1 shift or a ghost
+    * layer in the exact integer moments and fails the hash. */
+  private def churnSnapshots(s: SparkSession, imgs: DataFrame,
+                             target: graft.geo.GridSpec, tilesRoot: String,
+                             batchOf: Column, batchSql: String,
+                             refresh: () => Long): Unit = {
+    val ST = graft.sources.SnapshotTable
+    def tiles(b: Int): DataFrame =
+      Warp.warpToTiles(s, imgs.filter(batchOf === b), target, "near").toDF()
+    def step(v: Long)(commit: => Unit): Unit = {
+      commit
+      val covered = refresh()
+      require(covered == v, s"refresh covered v$covered, expected v$v")
+    }
+    val ndvF = s"CAST(${graft.sources.ImageTable.Ndv} AS FLOAT)"
+    step(1) { ST.commit(s, tilesRoot, tiles(0)) }
+    step(2) { ST.commit(s, tilesRoot, tiles(1)) }
+    step(3) { ST.merge(s, tilesRoot, tiles(0).withColumn("payload",
+      expr(s"transform(payload, v -> IF(v = $ndvF, v, v + CAST(1.0 AS FLOAT)))")),
+      Seq("image_id", "tile_id")) }
+    step(4) { ST.merge(s, tilesRoot, tiles(0), Seq("image_id", "tile_id")) }
+    step(5) { ST.delete(s, tilesRoot, expr(s"$batchSql = 1")) }
+    step(6) { ST.commit(s, tilesRoot, tiles(1)) }
+    step(7) { ST.commit(s, tilesRoot, tiles(2)) }
+  }
+
+  /** q111: q108's incrementally-maintained stack stats, driven through
+    * source CHURN (merge/delete/re-append — the [[churnSnapshots]]
+    * history) instead of pure appends. The refresh engine must take the
+    * recompute path for the churned ranges and the O(delta) path for the
+    * appends; the strict oracle is the q41 twin over the same final state
+    * (even-index half of the oracle subset). */
+  def stackCellsIncrementalChurn(s: SparkSession, d: String): DataFrame = {
+    val imgs = quantNoRipple(Engine.images(s, d)).filter(idx % 2 === 0)
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val base = java.nio.file.Files.createTempDirectory("graft_q111").toString
+    val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
+    try {
+      churnSnapshots(s, imgs, target, tilesRoot,
+        floor(idx / 6) % 3,
+        "(CAST(substring(image_id, 5, 8) AS INT) DIV 6) % 3",
+        () => graft.operators.StatsView.refresh(s, tilesRoot, mvRoot))
+      val out = explodeStats(graft.operators.StatsView.stats(s, mvRoot),
+        ntx, Seq("count", "mean", "std", "vmin", "vmax"))
+      detachViaParquet(s, out)
+    } finally graft.sources.SnapshotTable.deleteRecursively(base)
+  }
+
+  /** q112: q110's incrementally-maintained OLS trend view, driven through
+    * the same churn history; strict oracle = the q42 twin over the final
+    * state (even-index trend subset). */
+  def trendCellsIncrementalChurn(s: SparkSession, d: String): DataFrame = {
+    val imgs = trendSubset(Engine.images(s, d)).filter(idx % 2 === 0)
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val base = java.nio.file.Files.createTempDirectory("graft_q112").toString
+    val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
+    try {
+      churnSnapshots(s, imgs, target, tilesRoot,
+        floor(idx / 18) % 3,
+        "(CAST(substring(image_id, 5, 8) AS INT) DIV 18) % 3",
+        () => graft.operators.TrendView.refresh(s, tilesRoot, mvRoot))
+      val out = explodeStats(graft.operators.TrendView.trend(s, mvRoot),
+        ntx, Seq("count", "slope_yr", "intercept", "r2", "t_stat"))
+      detachViaParquet(s, out)
+    } finally graft.sources.SnapshotTable.deleteRecursively(base)
+  }
+
   /** q42 oracle form: per-pixel OLS slope/intercept/r²/t-stat over the
     * exact-time subset, via TileTrendAgg (diagnostics included). */
   def trendCells(s: SparkSession, d: String): DataFrame = {
@@ -308,10 +384,10 @@ object EngineOracle {
        |  WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg)""".stripMargin
   }
 
-  /** DuckDB twin of q41: grouped exact sums reproduce TileStatsAgg.finish. */
-  val stackCellsSql: String =
-    s"""${cellSql(trendOnly = false)}
-       |SELECT x AS px, y AS py, count(*)::INT AS n,
+  /** Finishing SELECT shared by the q41 twin and its churn variant (q111):
+    * grouped exact sums reproduce TileStatsAgg.finish. */
+  private val stackSelect: String =
+    s"""SELECT x AS px, y AS py, count(*)::INT AS n,
        |  CAST(CAST(CAST(sum(v) AS DOUBLE) / count(*) AS FLOAT) AS DOUBLE) AS mean,
        |  CASE WHEN count(*) <= 1 THEN CAST(-9999.0::FLOAT AS DOUBLE)
        |       ELSE CAST(CAST(sqrt(greatest(0.0::DOUBLE,
@@ -321,10 +397,24 @@ object EngineOracle {
        |  CAST(min(v) AS DOUBLE) AS vmin, CAST(max(v) AS DOUBLE) AS vmax
        |FROM cells GROUP BY x, y""".stripMargin
 
-  /** DuckDB twin of q42: the TileTrendAgg.finish normal-equation chain,
-    * op-for-op (every intermediate is the same correctly-rounded double). */
-  val trendCellsSql: String =
-    s"""${cellSql(trendOnly = true)},
+  /** DuckDB twin of q41. */
+  val stackCellsSql: String =
+    s"""${cellSql(trendOnly = false)}
+       |$stackSelect""".stripMargin
+
+  /** DuckDB twin of q111: the SAME finishing arithmetic over the churn
+    * fixture's even-index half — the Spark side drives the stats view
+    * through merge/delete/re-append churn whose FINAL live state equals
+    * this subset, so any double-count/stale-moment bug fails the hash. */
+  val stackCellsChurnSql: String =
+    s"""${cellSql(trendOnly = false, halfFilter = "AND i % 2 = 0")}
+       |$stackSelect""".stripMargin
+
+  /** Normal-equation tail shared by the q42 twin and its churn variant
+    * (q112): the TileTrendAgg.finish chain, op-for-op (every intermediate
+    * is the same correctly-rounded double). */
+  private val trendTail: String =
+    s""",
        |ts AS (
        |  SELECT x, y, v,
        |    CAST(((19723 + day) * 86400 + hr * 3600)::BIGINT * 1000000 AS DOUBLE)
@@ -357,6 +447,13 @@ object EngineOracle {
        |       THEN CAST(CAST(sl / sqrt((syyc - sl * sxy) / (n - 2) / sxx) AS FLOAT) AS DOUBLE)
        |       ELSE -9999.0 END AS t_stat
        |FROM f""".stripMargin
+
+  /** DuckDB twin of q42. */
+  val trendCellsSql: String = cellSql(trendOnly = true) + trendTail
+
+  /** DuckDB twin of q112 (trend-view churn, even-index trend subset). */
+  val trendCellsChurnSql: String =
+    cellSql(trendOnly = true, halfFilter = "AND i % 2 = 0") + trendTail
 
   /** DuckDB twin of q47: per-side exact composite means → float32 diff. */
   val diffCellsSql: String = {
