@@ -188,6 +188,9 @@ object SparkEntry {
     // engine's recompute path, strict-oracled against the batch twins
     "q111_stack_incr_churn"  -> (EngineOracle.stackCellsIncrementalChurn _),
     "q112_trend_incr_churn"  -> (EngineOracle.trendCellsIncrementalChurn _),
+    // round-7: the lossy JPEG codec leg — PSNR ≥ 40 dB re-encode invariant
+    // exercised non-vacuously, per-image hash-gated (q55's technique)
+    "q113_jpeg_roundtrip"    -> (Engine.jpegAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,5 +311,6 @@ object SparkEntry {
     "q110_trend_incr"        -> EngineOracle.trendCellsSql,
     "q111_stack_incr_churn"  -> EngineOracle.stackCellsChurnSql,
     "q112_trend_incr_churn"  -> EngineOracle.trendCellsChurnSql,
+    "q113_jpeg_roundtrip"    -> Engine.jpegAuditSql,
   )
 }

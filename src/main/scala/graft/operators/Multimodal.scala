@@ -171,4 +171,35 @@ object Multimodal {
       .select(col("id1"), col("id2"), lit(0).cast("int").as("hamming"))
     cross.unionByName(same)
   }
+
+  /** Lossy re-encode audit — BASELINE.json's "PSNR ≥ 40 dB for lossy
+    * re-encode" invariant exercised NON-vacuously (the fixture formats are
+    * all lossless, so until the JPEG leg existed the invariant only ever
+    * held as PSNR = ∞). Per image: decode the stored payload, push it
+    * through the JPEG leg twice, decode back, and report
+    *   - PSNR over the ORIGINAL's valid mask (validity is external for
+    *     lossy formats — Codec object doc),
+    *   - byte-level encode determinism (fixed input + explicit quality →
+    *     identical bits; what makes q113's hash gate meaningful),
+    *   - the valid-pixel count (closed-form checkable).
+    * Narrow map over the image table — no shuffle, scale-shape identical
+    * to imageFeatures. */
+  def jpegRoundtrip(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      it.map { img =>
+        val ndv = img.ndv.toFloat
+        val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, ndv)
+        val jb = Codec.encode(px, img.w, img.h, "jpg")
+        val jb2 = Codec.encode(px, img.w, img.h, "jpg")
+        val dec = Codec.decode(jb, img.w, img.h, "jpg", ndv)
+        var nValid = 0L
+        var i = 0
+        while (i < px.length) { if (px(i) != ndv) nValid += 1; i += 1 }
+        (img.image_id, img.w, img.h, nValid,
+         Codec.psnr(px, dec, ndv) >= 40.0,
+         java.util.Arrays.equals(jb, jb2))
+      }
+    }.toDF("image_id", "w", "h", "n_valid", "psnr_ge_40", "deterministic")
+  }
 }

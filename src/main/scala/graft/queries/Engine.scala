@@ -205,6 +205,30 @@ object Engine {
     Multimodal.resize(s, images(s, d), 8, 8)
       .select(col("image_id"), col("w"), col("h"), length(col("bytes")).as("n_bytes"))
 
+  /** q113: the lossy JPEG leg's re-encode audit over every image —
+    * PSNR ≥ 40 dB + deterministic bytes, hash-gated per image. */
+  def jpegAudit(s: SparkSession, d: String): DataFrame =
+    Multimodal.jpegRoundtrip(s, images(s, d))
+
+  /** DuckDB twin of q113: image ids/dims/valid counts in closed form; the
+    * two invariant booleans are TRUE constants — the hash gate fails on
+    * ANY image whose JPEG roundtrip drops below 40 dB or whose encode is
+    * nondeterministic (the invariant-oracle pattern; decode values
+    * themselves are not SQL-derivable for a lossy codec). */
+  val jpegAuditSql: String =
+    """WITH im AS (
+      |  SELECT i,
+      |    printf('img_%08d_%s_%02d00', i,
+      |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
+      |      i % 24) AS image_id,
+      |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
+      |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg
+      |  FROM generate_series(0, 799) t(i))
+      |SELECT image_id, w, h,
+      |  CAST((w - 2 * marg) * (h - 2 * marg) AS BIGINT) AS n_valid,
+      |  TRUE AS psnr_ge_40, TRUE AS deterministic
+      |FROM im""".stripMargin
+
   /** Multimodal: REAL video frame sampling — AVI containers encoded and
     * parsed by VideoTable (round 4; was an id-seeded stub). Oracle contract:
     * fixed 200 videos everywhere except the sf0.1 bench path (the Aud.nClips

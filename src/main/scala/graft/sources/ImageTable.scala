@@ -181,7 +181,18 @@ object ImageTable {
   * PSNR ≥ 40 dB / allclose decode invariant). NDV inside png/bmp is packed
   * as the reserved byte 0 with value bytes shifted to 1..255? No — kept
   * simple: NDV encodes as byte 0 and decode restores NDV where 0 (the
-  * value-encoded nullability rule of `iolib.py:349-350`). */
+  * value-encoded nullability rule of `iolib.py:349-350`).
+  *
+  * `jpg` is the LOSSY leg (the reference opens any GDAL format,
+  * `iolib.py:93-101`, and a real image+caption corpus is overwhelmingly
+  * JPEG): 8-bit gray via the JDK's ImageIO JPEG plugin at an explicit
+  * quality, under the BASELINE re-encode invariant PSNR ≥ 40 dB. A lossy
+  * codec CANNOT carry a value-encoded sentinel — DCT ringing smears any
+  * reserved byte both ways — so, following the public GDAL practice of
+  * pairing JPEG with a mask band, validity rides EXTERNALLY: encode fills
+  * NDV pixels by nearest-valid replication (keeps the luma field smooth so
+  * ringing at mask edges doesn't wreck the PSNR budget), decode returns
+  * every sample as a value and the caller applies its own mask. */
 object Codec {
   import java.awt.image.BufferedImage
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
@@ -212,7 +223,95 @@ object Codec {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, fmt, bos)
       bos.toByteArray
+    case "jpg" | "jpeg" => encodeJpeg(px, w, h, ImageTable.Ndv, JpegQuality)
     case other => throw new IllegalArgumentException(s"unknown fmt $other")
+  }
+
+  /** Explicit JPEG quality: deterministic (the quantization tables derive
+    * from it), and high enough that the smooth fixture surfaces re-encode
+    * well above the 40 dB invariant with headroom for mask-edge ringing. */
+  val JpegQuality = 0.95f
+
+  /** Lossy 8-bit gray JPEG encode. NDV pixels are filled by nearest-valid
+    * replication before the DCT (validity is EXTERNAL for lossy formats —
+    * see the object doc); values round to 0..255. */
+  def encodeJpeg(px: Array[Float], w: Int, h: Int, ndv: Float,
+                 quality: Float): Array[Byte] = {
+    val filled = fillNdvForLossy(px, w, h, ndv)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < filled.length) {
+      raster.setSample(i % w, i / w, 0,
+        math.max(0, math.min(255, math.rint(filled(i)).toInt)))
+      i += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Nearest-valid fill for lossy encode: per-row nearest valid value
+    * (ties to the left), then fully-empty rows copy the nearest valid row;
+    * an all-NDV image flattens to mid-gray. Deterministic, O(w·h). */
+  private[graft] def fillNdvForLossy(px: Array[Float], w: Int, h: Int,
+                                     ndv: Float): Array[Float] = {
+    var any = false; var k = 0
+    while (k < px.length && !any) { any = px(k) == ndv; k += 1 }
+    if (!any) return px
+    val out = px.clone()
+    val rowHasValid = new Array[Boolean](h)
+    val leftV = new Array[Float](w); val leftD = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val b = y * w
+      var lv = ndv; var ld = Int.MaxValue
+      var x = 0
+      while (x < w) {
+        if (px(b + x) != ndv) { lv = px(b + x); ld = 0; rowHasValid(y) = true }
+        else if (ld != Int.MaxValue) ld += 1
+        leftV(x) = lv; leftD(x) = ld
+        x += 1
+      }
+      var rv = ndv; var rd = Int.MaxValue
+      x = w - 1
+      while (x >= 0) {
+        if (px(b + x) != ndv) { rv = px(b + x); rd = 0 }
+        else {
+          if (rd != Int.MaxValue) rd += 1
+          out(b + x) =
+            if (leftD(x) != Int.MaxValue && (rd == Int.MaxValue || leftD(x) <= rd))
+              leftV(x)
+            else if (rd != Int.MaxValue) rv
+            else ndv // fully-empty row: pass 2
+        }
+        x -= 1
+      }
+      y += 1
+    }
+    y = 0
+    while (y < h) {
+      if (!rowHasValid(y)) {
+        var d = 1; var src = -1
+        while (src < 0 && (y - d >= 0 || y + d < h)) {
+          if (y - d >= 0 && rowHasValid(y - d)) src = y - d
+          else if (y + d < h && rowHasValid(y + d)) src = y + d
+          else d += 1
+        }
+        if (src >= 0) System.arraycopy(out, src * w, out, y * w, w)
+        else java.util.Arrays.fill(out, y * w, y * w + w, 128f)
+      }
+      y += 1
+    }
+    out
   }
 
   /** Decode to float32 with NDV restored — the `b_getma` analog
@@ -233,6 +332,19 @@ object Codec {
       while (i < px.length) {
         val v = raster.getSample(i % w, i / w, 0)
         px(i) = if (v == NdvByte) ndv else v.toFloat
+        i += 1
+      }
+      px
+    case "jpg" | "jpeg" =>
+      // lossy: every sample is a VALUE (no sentinel restore — ringing
+      // makes any byte reachable); validity is the caller's external mask
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "undecodable jpg payload")
+      val raster = img.getRaster
+      val px = new Array[Float](w * h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = raster.getSample(i % w, i / w, 0).toFloat
         i += 1
       }
       px

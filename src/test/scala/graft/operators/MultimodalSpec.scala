@@ -164,4 +164,68 @@ class MultimodalSpec extends AnyFunSuite {
     val d4 = Multimodal.phashDedup(spark, imgs, maxDist = 8).count()
     assert(d4 > 0)
   }
+
+  test("jpg leg: lossy (PSNR finite) yet >= 40 dB, incl. masked-margin images") {
+    for (i <- Seq(0, 1, 2, 5, 7)) { // i%5==0 rows carry NDV margins
+      val g = ImageTable.gridOf(i)
+      val px = ImageTable.renderPixels(i)
+      val jb = Codec.encode(px, g.w, g.h, "jpg")
+      val dec = Codec.decode(jb, g.w, g.h, "jpg", ImageTable.Ndv)
+      val p = Codec.psnr(px, dec, ImageTable.Ndv)
+      assert(p >= 40.0, s"image $i PSNR $p < 40 dB")
+      assert(!p.isInfinity, s"image $i roundtrip lossless — the lossy " +
+        "invariant would be vacuous again")
+      // lossy decode carries NO sentinel: every sample is a value
+      assert(dec.forall(v => v >= 0f && v <= 255f))
+      // and jpg bytes actually compress relative to the raw payload
+      assert(jb.length < g.w * g.h * 4)
+    }
+  }
+
+  test("jpg encode is deterministic; NDV fill replicates nearest valid") {
+    val g = ImageTable.gridOf(5) // margin image
+    val px = ImageTable.renderPixels(5)
+    val a = Codec.encode(px, g.w, g.h, "jpg")
+    val b = Codec.encode(px, g.w, g.h, "jpg")
+    assert(java.util.Arrays.equals(a, b))
+    // fill golden: a 4x3 grid, NDV frame around two valid pixels
+    val n = ImageTable.Ndv
+    val grid = Array(
+      n, n, n, n,
+      n, 10f, 20f, n,
+      n, n, n, n)
+    val filled = Codec.fillNdvForLossy(grid, 4, 3, n)
+    // row 1: left/right replicate nearest valid (tie goes left)
+    assert(filled.slice(4, 8).toSeq == Seq(10f, 10f, 20f, 20f))
+    // empty rows copy the nearest valid row
+    assert(filled.slice(0, 4).toSeq == Seq(10f, 10f, 20f, 20f))
+    assert(filled.slice(8, 12).toSeq == Seq(10f, 10f, 20f, 20f))
+    // all-NDV image flattens to mid-gray, not a crash
+    val flat = Codec.fillNdvForLossy(Array(n, n, n, n), 2, 2, n)
+    assert(flat.forall(_ == 128f))
+  }
+
+  test("features and thumbnails run over lossy jpg payloads (full plumbing)") {
+    import spark.implicits._
+    import graft.sources.ImageRow
+    // re-encode the fixture table through the jpg leg, then run the
+    // standard multimodal operators over the LOSSY payloads
+    val jpgTable = ImageTable.generate(spark, 12).as[ImageRow].map { img =>
+      val px = Codec.decode(img.bytes, img.w, img.h, img.fmt, img.ndv.toFloat)
+      img.copy(bytes = Codec.encode(px, img.w, img.h, "jpg"), fmt = "jpg")
+    }.toDF()
+    val feats = Multimodal.imageFeatures(spark, jpgTable).collect()
+    assert(feats.length == 12)
+    feats.foreach { r =>
+      assert(r.getDouble(4) == 1.0, "jpg decode is mask-free: all samples valid")
+      assert(r.getDouble(5) > 0 && r.getDouble(5) < 255, "sane mean")
+    }
+    val thumbs = Multimodal.resize(spark, jpgTable, 8, 8).collect()
+    assert(thumbs.length == 12)
+    // roundtrip audit over the audit operator itself
+    val audit = Multimodal.jpegRoundtrip(spark, ImageTable.generate(spark, 12))
+      .collect()
+    assert(audit.length == 12 &&
+      audit.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+  }
 }
