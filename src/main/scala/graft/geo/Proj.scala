@@ -295,8 +295,155 @@ object Proj {
       case "EPSG:3031" => stere(north = false, -71.0, 0.0)
       case "EPSG:3857" | "EPSG:900913" => MercatorSphere(0.0)
       case p4 if p4.startsWith("+proj=") => fromProj4(p4, ell)
+      case w if isWkt(w) => fromWkt(w, ell)
       case other => throw new IllegalArgumentException(
         s"no deterministic projection registered for CRS '$other'")
+    }
+  }
+
+  /** `parse_srs` accepts WKT text too (`ImportFromWkt`, warplib.py:304-306). */
+  private def isWkt(s: String): Boolean = {
+    val t = s.trim.toUpperCase
+    Seq("PROJCS[", "GEOGCS[", "PROJCRS[", "GEOGCRS[", "GEODCRS[")
+      .exists(t.startsWith)
+  }
+
+  // ------------------------------------------------------------------ WKT
+  // Minimal WKT1 / WKT2 CRS parser for the families this engine projects —
+  // the `parse_srs` ImportFromWkt branch (warplib.py:304-306). The grammar
+  // is NODE[arg, ...] with quoted strings, numbers, bare enum keywords and
+  // nested nodes; [] and () are interchangeable, keywords case-insensitive
+  // (both facts from the public OGC 18-010r7 / ISO 19162 spec).
+  private sealed trait WktNode
+  private final case class WktObj(name: String, args: List[WktNode]) extends WktNode
+  private final case class WktStr(s: String) extends WktNode
+  private final case class WktNum(v: Double) extends WktNode
+
+  private def parseWkt(s: String): WktObj = {
+    var i = 0
+    def err(msg: String) = throw new IllegalArgumentException(
+      s"WKT parse error at ${math.min(i, s.length)}: $msg")
+    def ws(): Unit = while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
+    def node(): WktNode = {
+      ws()
+      if (i >= s.length) err("unexpected end")
+      s(i) match {
+        case '"' =>
+          i += 1; val b = new StringBuilder
+          // WKT escapes a literal quote as "" (doubled)
+          var done = false
+          while (!done) {
+            if (i >= s.length) err("unterminated string")
+            else if (s(i) == '"' && i + 1 < s.length && s(i + 1) == '"') {
+              b.append('"'); i += 2
+            } else if (s(i) == '"') { i += 1; done = true }
+            else { b.append(s(i)); i += 1 }
+          }
+          WktStr(b.toString)
+        case c if c == '-' || c == '+' || c == '.' || c.isDigit =>
+          val j = i
+          while (i < s.length && "+-.eE0123456789".indexOf(s(i)) >= 0) i += 1
+          WktNum(java.lang.Double.parseDouble(s.substring(j, i)))
+        case _ =>
+          val j = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          if (i == j) err(s"unexpected '${s(i)}'")
+          val name = s.substring(j, i)
+          ws()
+          if (i < s.length && (s(i) == '[' || s(i) == '(')) {
+            val close = if (s(i) == '[') ']' else ')'
+            i += 1
+            val args = List.newBuilder[WktNode]
+            ws()
+            while (i < s.length && s(i) != close) { args += node(); ws() }
+            if (i >= s.length) err(s"missing '$close'")
+            i += 1
+            WktObj(name.toUpperCase, args.result())
+          } else WktStr(name) // bare enum keyword (NORTH, EAST, ...)
+      }
+    }
+    node() match {
+      case o: WktObj => o
+      case _ => err("top-level WKT must be an object")
+    }
+  }
+
+  private def wktFind(n: WktNode, names: Set[String]): Seq[WktObj] = n match {
+    case o: WktObj =>
+      (if (names(o.name)) Seq(o) else Nil) ++
+        o.args.flatMap(wktFind(_, names))
+    case _ => Nil
+  }
+
+  /** Lowercased alnum-only normalization for method/parameter names —
+    * WKT1 "Transverse_Mercator" and WKT2 "Transverse Mercator" collapse. */
+  private def wktNorm(s: String): String =
+    s.toLowerCase.filter(_.isLetterOrDigit)
+
+  /** WKT1/WKT2 → the registered projection families. Resolution order:
+    * (1) a top-level EPSG AUTHORITY/ID that names a registered CRS wins
+    * (authority codes are authoritative over possibly-rounded parameter
+    * text); (2) otherwise PROJECTION/METHOD + PARAMETERs map onto the
+    * tmerc / polar-stereo / mercator forms; geographic roots go straight
+    * to [[Geographic]]. A SPHEROID/ELLIPSOID named "sphere" (or with
+    * inverse flattening 0) pins the spherical forms, like proj4's
+    * `+ellps=sphere`. Unsupported methods or parameters (non-zero tmerc
+    * latitude of origin, polar-stereo false offsets) are LOUD errors. */
+  private[geo] def fromWkt(wkt: String, ellDefault: Boolean = true): Proj = {
+    val root = parseWkt(wkt)
+    if (Set("GEOGCS", "GEOGCRS", "GEODCRS")(root.name)) return Geographic
+    require(root.name == "PROJCS" || root.name == "PROJCRS",
+      s"unsupported WKT root ${root.name}")
+    // (1) top-level authority shortcut — only the ROOT's own id (a nested
+    // GEOGCS/DATUM id must not hijack the projected CRS)
+    val rootId = root.args.collectFirst {
+      case WktObj(n, List(WktStr(auth), code)) if (n == "AUTHORITY" || n == "ID") &&
+          auth.equalsIgnoreCase("EPSG") =>
+        code match { case WktStr(c) => c; case WktNum(v) => v.toLong.toString; case _ => "" }
+    }
+    rootId.foreach { code =>
+      try return of(s"EPSG:$code", if (ellDefault) Wgs84 else Sphere)
+      catch { case _: IllegalArgumentException => () } // unregistered: use params
+    }
+    // (2) method + parameters
+    val ell = ellDefault && !wktFind(root, Set("SPHEROID", "ELLIPSOID")).exists {
+      case WktObj(_, WktStr(name) :: _ :: rest) =>
+        name.toLowerCase.contains("sphere") ||
+          rest.headOption.exists { case WktNum(invf) => invf == 0.0; case _ => false }
+      case _ => false
+    }
+    val method = wktFind(root, Set("PROJECTION", "METHOD")).flatMap(_.args).collectFirst {
+      case WktStr(m) => wktNorm(m)
+    }.getOrElse(throw new IllegalArgumentException("WKT lacks PROJECTION/METHOD"))
+    val params: Map[String, Double] = wktFind(root, Set("PARAMETER")).collect {
+      case WktObj(_, WktStr(k) :: WktNum(v) :: _) => wktNorm(k) -> v
+    }.toMap
+    def p(dflt: Double, keys: String*): Double =
+      keys.flatMap(params.get).headOption.getOrElse(dflt)
+    val lon0 = p(0, "centralmeridian", "longitudeofnaturalorigin", "longitudeoforigin")
+    val fe = p(0, "falseeasting")
+    val fn = p(0, "falsenorthing")
+    method match {
+      case "transversemercator" =>
+        val lat0 = p(0, "latitudeofnaturalorigin", "latitudeoforigin")
+        require(lat0 == 0.0,
+          s"WKT tmerc with non-zero latitude of origin ($lat0) is not a registered form")
+        val k0 = p(1.0, "scalefactor", "scalefactoratnaturalorigin")
+        if (ell) TmercKruger(lon0, k0, fe, fn) else TmercSphere(lon0, k0, fe, fn)
+      case m if m.startsWith("polarstereographic") =>
+        require(fe == 0.0 && fn == 0.0,
+          s"WKT polar stereo with false offsets ($fe, $fn) is not a registered form")
+        // WKT1 carries the standard parallel in latitude_of_origin; WKT2
+        // variant B names it explicitly
+        val latTs = p(p(90, "latitudeofnaturalorigin", "latitudeoforigin"),
+          "latitudeofstandardparallel", "standardparallel1")
+        val north = latTs >= 0
+        if (ell) PolarStereoEll(north, latTs, lon0)
+        else PolarStereoSphere(north, latTs, lon0)
+      case m if m.startsWith("mercator") || m == "popularvisualisationpseudomercator" =>
+        MercatorSphere(lon0)
+      case other => throw new IllegalArgumentException(
+        s"no deterministic projection for WKT method '$other'")
     }
   }
 

@@ -214,4 +214,86 @@ class ProjSpec extends AnyFunSuite {
     val (lo, la) = pole.inverse(x1, y1)
     assert(math.abs(lo - 33.0) < 1e-9 && math.abs(la - 75.0) < 1e-9)
   }
+
+  test("WKT1/WKT2 strings resolve to the same projections as their EPSG twins") {
+    // WKT1 with parameters only (no authority): the parameter branch
+    val utmWkt1 = """PROJCS["WGS 84 / UTM zone 10N",
+      GEOGCS["WGS 84", DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+      PROJECTION["Transverse_Mercator"],
+      PARAMETER["latitude_of_origin",0],
+      PARAMETER["central_meridian",-123],
+      PARAMETER["scale_factor",0.9996],
+      PARAMETER["false_easting",500000],
+      PARAMETER["false_northing",0],
+      UNIT["metre",1], AXIS["Easting",EAST], AXIS["Northing",NORTH]]"""
+    // WKT1 with a root AUTHORITY: the authority shortcut
+    val utmWkt1Auth = utmWkt1.dropRight(1) + """, AUTHORITY["EPSG","32610"]]"""
+    // WKT2 (PROJCRS / CONVERSION / METHOD, "" quote escape in the name)
+    val utmWkt2 = """PROJCRS["WGS 84 / UTM ""zone"" 10N",
+      BASEGEOGCRS["WGS 84", DATUM["World Geodetic System 1984",
+        ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]]],
+      CONVERSION["UTM zone 10N",
+        METHOD["Transverse Mercator",ID["EPSG",9807]],
+        PARAMETER["Latitude of natural origin",0],
+        PARAMETER["Longitude of natural origin",-123],
+        PARAMETER["Scale factor at natural origin",0.9996],
+        PARAMETER["False easting",500000],
+        PARAMETER["False northing",0]],
+      CS[Cartesian,2]]"""
+    // WKT1 polar stereo (lat_ts rides in latitude_of_origin — GDAL form)
+    val psWkt1 = """PROJCS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+      GEOGCS["WGS 84", DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+      PROJECTION["Polar_Stereographic"],
+      PARAMETER["latitude_of_origin",70],
+      PARAMETER["central_meridian",-45],
+      PARAMETER["false_easting",0], PARAMETER["false_northing",0],
+      UNIT["metre",1]]"""
+    val psSouth = """PROJCS["WGS 84 / Antarctic Polar Stereographic",
+      GEOGCS["WGS 84", DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+      PROJECTION["Polar_Stereographic"],
+      PARAMETER["latitude_of_origin",-71],
+      PARAMETER["central_meridian",0],
+      UNIT["metre",1], AUTHORITY["EPSG","3031"]]"""
+    for ((wkt, epsg, pt) <- Seq(
+        (utmWkt1, "EPSG:32610", (-123.4, 47.1)),
+        (utmWkt1Auth, "EPSG:32610", (-123.4, 47.1)),
+        (utmWkt2, "EPSG:32610", (-122.0, 38.5)),
+        (psWkt1, "EPSG:3413", (-40.0, 75.0)),
+        (psSouth, "EPSG:3031", (10.0, -80.0)))) {
+      assert(Proj.of(wkt).forward(pt._1, pt._2) ==
+        Proj.of(epsg).forward(pt._1, pt._2), s"WKT vs $epsg")
+      // and under the spherical datum mode too
+      assert(Proj.of(wkt, Proj.Sphere).forward(pt._1, pt._2) ==
+        Proj.of(epsg, Proj.Sphere).forward(pt._1, pt._2), s"WKT vs $epsg sphere")
+    }
+    // geographic roots short-circuit
+    assert(Proj.of("""GEOGCS["WGS 84", DATUM["WGS_1984",
+      SPHEROID["WGS 84",6378137,298.257223563]], PRIMEM["Greenwich",0],
+      UNIT["degree",0.0174532925199433], AUTHORITY["EPSG","4326"]]""")
+      == Geographic)
+    // a spheroid NAMED sphere pins the spherical form regardless of mode
+    val sphWkt = """PROJCS["sphere tmerc",
+      GEOGCS["unnamed", DATUM["unnamed", SPHEROID["sphere",6371008.8,0]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+      PROJECTION["Transverse_Mercator"],
+      PARAMETER["central_meridian",-123], PARAMETER["scale_factor",0.9996],
+      PARAMETER["false_easting",500000], PARAMETER["false_northing",0]]"""
+    assert(Proj.of(sphWkt).isInstanceOf[TmercSphere])
+    // unsupported forms fail LOUDLY, never a silent identity
+    intercept[IllegalArgumentException] {
+      Proj.of("""PROJCS["x", PROJECTION["Albers_Conic_Equal_Area"],
+        PARAMETER["standard_parallel_1",29.5]]""")
+    }
+    intercept[IllegalArgumentException] {
+      Proj.of("""PROJCS["x", PROJECTION["Transverse_Mercator"],
+        PARAMETER["latitude_of_origin",49],
+        PARAMETER["central_meridian",-2]]""")
+    }
+  }
 }
