@@ -196,6 +196,22 @@ private[operators] object IncrementalView {
     } finally affected.unpersist(blocking = false)
   }
 
+  /** View-table maintenance: every refresh is a `merge` commit, so a
+    * long-lived view accretes snapshots and small files forever without
+    * this. One call = sort-ordered compaction on `tile_id` (rewritten
+    * files hold DISJOINT tile ranges, so the refresh path's stats-pruned
+    * old-view read plans ~1 file per delta envelope instead of all of
+    * them) + snapshot expiry/GC. Safe at any point between refreshes: the
+    * compact/expire carry the refresh marker map forward (`SnapshotTable`
+    * txn carry), so `refreshedVersion` survives and the next refresh is
+    * exactly as incremental as it would have been. Returns
+    * (versionsDropped, dataDirsDeleted). */
+  def maintain(spark: SparkSession, mvRoot: String, targetFiles: Int = 1,
+               keepLast: Int = 3): (Int, Int) = {
+    SnapshotTable.compact(spark, mvRoot, targetFiles, sortCols = Seq("tile_id"))
+    SnapshotTable.expire(mvRoot, keepLast)
+  }
+
   // ---- while-loop array combiners shared by the views' `combine`s ----
   private[operators] def addI(a: Array[Int], b: Array[Int]): Array[Int] = {
     val n = a.length; val o = new Array[Int](n)

@@ -85,6 +85,12 @@ object StatsView {
       tid => agg.finish(agg.zero).copy(tile_id = tid))
   }
 
+  /** View-table maintenance (tile-sorted compaction + snapshot expiry);
+    * refresh markers survive — see [[IncrementalView.maintain]]. */
+  def maintain(spark: SparkSession, mvRoot: String, targetFiles: Int = 1,
+               keepLast: Int = 3): (Int, Int) =
+    IncrementalView.maintain(spark, mvRoot, targetFiles, keepLast)
+
   /** Finished per-tile statistics from the stored moments — the same
     * emission as `TileStatsAgg.finish`, restated over the view columns so
     * finished values are bit-identical to the batch fold on exact-sum

@@ -78,6 +78,12 @@ object TrendView {
       tid => agg.finish(agg.zero).copy(tile_id = tid))
   }
 
+  /** View-table maintenance (tile-sorted compaction + snapshot expiry);
+    * refresh markers survive — see [[IncrementalView.maintain]]. */
+  def maintain(spark: SparkSession, mvRoot: String, targetFiles: Int = 1,
+               keepLast: Int = 3): (Int, Int) =
+    IncrementalView.maintain(spark, mvRoot, targetFiles, keepLast)
+
   /** Finished per-tile OLS from the stored moments — the batch
     * `TileTrendAgg.finish` run over a `TrendBuf` reconstructed from view
     * rows, so slope/intercept/r²/T0 are the same correctly-rounded doubles

@@ -206,6 +206,40 @@ class StatsViewSpec extends AnyFunSuite {
     assertViewEqualsLive(tilesRoot, mvRoot)
   }
 
+  test("maintain (compact+expire) keeps markers: refresh stays incremental and exact") {
+    val tilesRoot = freshRoot("mnt_t"); val mvRoot = freshRoot("mnt_mv")
+    val images = ImageTable.generate(spark, 18)
+    val target = Warp.analyze(images, "min", "union")
+    val idx = substring(col("image_id"), 5, 8).cast("int")
+    // several refreshes → several merge commits and small files
+    (0 until 3).foreach { b =>
+      SnapshotTable.commit(spark, tilesRoot,
+        Warp.warpToTiles(spark, images.filter(idx % 3 === b), target, "near").toDF())
+      assert(StatsView.refresh(spark, tilesRoot, mvRoot) == b + 1)
+    }
+    val filesBefore = SnapshotTable
+      .snapshot(mvRoot, SnapshotTable.currentVersion(mvRoot)).files.size
+    val (dropped, gcd) = StatsView.maintain(spark, mvRoot, targetFiles = 1,
+      keepLast = 1)
+    assert(dropped > 0 && gcd > 0, "maintenance must reclaim history")
+    val snapAfter = SnapshotTable
+      .snapshot(mvRoot, SnapshotTable.currentVersion(mvRoot))
+    assert(snapAfter.files.size == 1 && filesBefore > 1,
+      s"compaction must shrink $filesBefore files to the 1 target file " +
+        s"(got ${snapAfter.files.size})")
+    // the refresh marker SURVIVED compaction + expiry of all prior versions
+    assert(StatsView.refreshedVersion(mvRoot, tilesRoot) == 3)
+    // a replayed refresh is still a no-op on the compacted view
+    val vAfter = SnapshotTable.currentVersion(mvRoot)
+    assert(StatsView.refresh(spark, tilesRoot, mvRoot) == 3)
+    assert(SnapshotTable.currentVersion(mvRoot) == vAfter)
+    // and a real incremental refresh on top of the compacted view is exact
+    SnapshotTable.commit(spark, tilesRoot, Warp.warpToTiles(spark,
+      ImageTable.generate(spark, 24).filter(idx >= 18), target, "near").toDF())
+    assert(StatsView.refresh(spark, tilesRoot, mvRoot) == 4)
+    assertViewEqualsLive(tilesRoot, mvRoot)
+  }
+
   test("rollback and cdc-off churn fall back to a full rebuild, still exact") {
     val tilesRoot = freshRoot("rb_t"); val mvRoot = freshRoot("rb_mv")
     val images = ImageTable.generate(spark, 12)
