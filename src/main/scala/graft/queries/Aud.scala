@@ -16,14 +16,17 @@ import graft.operators.Audio
   * cannot silently diverge. */
 private[queries] object FixtureScale {
   def count(d: String): Int =
-    if (d.contains("sf1")) 20000 else if (d.contains("sf0.1")) 2000 else 200
+    if (Fix.pinned) Fix.nClip // fixture-scale oracle pass (see Fix.scala)
+    else if (d.contains("sf1")) 20000
+    else if (d.contains("sf0.1")) 2000 else 200
 }
 
 object Aud {
-  /** Oracle contract: featuresSql/goertzelSql are generated over clipSql(199)
-    * = 200 clips, so every dir except the sf0.1 bench path uses exactly 200 —
-    * the twins agree at sf0.01 (the driver's gate) AND any ad-hoc small dir
-    * (e.g. the verify recipe's sf0.001). Only the bench scales up. */
+  /** Oracle contract: featuresSql/goertzelSql are generated over
+    * clipSql(Fix.nClip - 1) — 200 clips at the default mult=1, so every dir
+    * except the sf0.1 bench path uses exactly 200 and the twins agree at
+    * sf0.01 (the driver's gate) AND any ad-hoc small dir (e.g. the verify
+    * recipe's sf0.001). Only the bench (or SPARK_GRAFT_FIX_MULT) scales. */
   def nClips(d: String): Int = FixtureScale.count(d)
 
   /** q83 — time-domain features over PCM16 payloads; every value a fixed
@@ -43,7 +46,7 @@ object Aud {
        |      FROM c, generate_series(0, 1023) g(t))""".stripMargin
 
   val featuresSql: String =
-    s"""WITH ${clipSql(199)},
+    s"""WITH ${clipSql(Fix.nClip - 1)},
        |lagd AS (SELECT audio_id, v,
        |           lag(v) OVER (PARTITION BY audio_id ORDER BY t) AS pv
        |         FROM smp),
@@ -73,7 +76,7 @@ object Aud {
     val rows = GoertzelBins
       .map(k => s"(${k}, ${f(Audio.goertzelCoeff(k, AudioTable.N))})")
       .mkString(", ")
-    s"""WITH RECURSIVE ${clipSql(199)},
+    s"""WITH RECURSIVE ${clipSql(Fix.nClip - 1)},
        |kc AS (SELECT * FROM (VALUES $rows) kc(k, cf)),
        |st AS (
        |  SELECT s.i, s.audio_id, kc.k, kc.cf, s.t,

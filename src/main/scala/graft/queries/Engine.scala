@@ -16,7 +16,8 @@ object Engine {
     * efficiency criterion is meaningful (at 4k images every stage was
     * overhead-bound and 32 cores ran no faster than 8). */
   def nImages(d: String): Int =
-    if (d.contains("sf1")) 160000
+    if (Fix.pinned) Fix.nImg // fixture-scale oracle pass (see Fix.scala)
+    else if (d.contains("sf1")) 160000
     else if (d.contains("sf0.1")) 16000 else if (d.contains("sf0.01")) 800 else 120
 
   // memoized per (session, dir): Verify/Bench invoke many queries in one
@@ -89,7 +90,8 @@ object Engine {
   }
 
   def nPolys(d: String): Int =
-    if (d.contains("sf1")) 1300
+    if (Fix.pinned) Fix.nPoly // fixture-scale oracle pass (see Fix.scala)
+    else if (d.contains("sf1")) 1300
     else if (d.contains("sf0.1")) 400 else if (d.contains("sf0.01")) 120 else 24
   def nPoints(d: String): Int = nImages(d) * 50
 
@@ -216,14 +218,14 @@ object Engine {
     * nondeterministic (the invariant-oracle pattern; decode values
     * themselves are not SQL-derivable for a lossy codec). */
   val jpegAuditSql: String =
-    """WITH im AS (
+    s"""WITH im AS (
       |  SELECT i,
       |    printf('img_%08d_%s_%02d00', i,
       |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
       |      i % 24) AS image_id,
       |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h,
       |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg
-      |  FROM generate_series(0, 799) t(i))
+      |  FROM generate_series(0, ${Fix.nImg - 1}) t(i))
       |SELECT image_id, w, h,
       |  CAST((w - 2 * marg) * (h - 2 * marg) AS BIGINT) AS n_valid,
       |  TRUE AS psnr_ge_40, TRUE AS deterministic
@@ -288,7 +290,7 @@ object Engine {
     * oracle, not a scale query). */
   def warpAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val n = 800
+    val n = Fix.nImg
     val meta = s.createDataset(0 until n).map { i =>
       val g = ImageTable.gridOf(i)
       (i, g.ulx, g.uly, g.res, g.w, g.h, g.crs)
@@ -305,12 +307,12 @@ object Engine {
   }
 
   val warpAssignSql: String =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT i::INT AS i,
       |    500000.0 + (i % 7) * 10.0 AS ulx, 5300000.0 - (i % 5) * 8.0 AS uly,
       |    CASE i % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 3.0 ELSE 4.0 END AS res,
       |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h
-      |  FROM generate_series(0, 799) t(i)),
+      |  FROM generate_series(0, ${Fix.nImg - 1}) t(i)),
       |tgt AS (
       |  SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
       |    round((max(ulx + w*res) - min(ulx)) / min(res))::INT AS ns,

@@ -302,7 +302,7 @@ object EngineOracle {
     * rectangles (PolygonTable.polygon kinds 0 and 3) — every coordinate is
     * an integer, so both engines' area sums are exact. */
   val geomUnionSql: String =
-    """WITH p AS (SELECT i FROM generate_series(0, 119) t(i) WHERE i % 4 = 0 OR i % 4 = 3),
+    s"""WITH p AS (SELECT i FROM generate_series(0, ${Fix.nPoly - 1}) t(i) WHERE i % 4 = 0 OR i % 4 = 3),
       |c AS (SELECT i, 500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy FROM p),
       |r AS (
       |  SELECT i, cx AS x1, cx + 80 AS x2, cy - 60 AS y1, cy AS y2 FROM c WHERE i % 4 = 0
@@ -349,7 +349,7 @@ object EngineOracle {
        |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
        |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
        |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-       |  FROM generate_series(0, 799) t(i)
+       |  FROM generate_series(0, ${Fix.nImg - 1}) t(i)
        |  WHERE $subset $halfFilter),
        |tgt AS (
        |  SELECT min(ulx) AS tulx, max(uly) AS tuly, min(res) AS tres,
@@ -483,13 +483,13 @@ object EngineOracle {
        |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
        |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
        |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-       |  FROM generate_series(0, 799) t(i)
+       |  FROM generate_series(0, ${Fix.nImg - 1}) t(i)
        |  WHERE i % 3 <> 2 AND (i // 3) % 3 <> 0),
        |pt AS (
        |  SELECT printf('pt_%07d', i) AS pt_id,
        |    (499900 + (i * 131) % 8592)::DOUBLE AS x,
        |    (5300100 - (i * 71) % 2400)::DOUBLE AS y
-       |  FROM generate_series(0, 9999) t(i)),
+       |  FROM generate_series(0, ${Fix.nImg * 50 / 4 - 1}) t(i)),
        |hit AS (
        |  SELECT pt.pt_id, pt.x, pt.y, im.*,
        |    floor(((pt.x - im.ulx) / im.res - 0.5::DOUBLE) + 0.5::DOUBLE)::INT AS cx,
@@ -521,8 +521,8 @@ object EngineOracle {
   /** DuckDB twin of q52: ids rebuilt via strftime, parsed epoch µs closed
     * form — verifies the TimeParse regex cascade independently. */
   val idDatesSql: String =
-    """WITH im AS (
-      |  SELECT i, (i * 3) % 360 AS day, i % 24 AS hr FROM generate_series(0, 799) t(i))
+    s"""WITH im AS (
+      |  SELECT i, (i * 3) % 360 AS day, i % 24 AS hr FROM generate_series(0, ${Fix.nImg - 1}) t(i))
       |SELECT printf('img_%08d_%s_%02d00', i,
       |         strftime(DATE '2024-01-01' + INTERVAL (day) DAY, '%Y%m%d'), hr) AS image_id,
       |  ((19723 + day) * 86400 + hr * 3600)::BIGINT * 1000000 AS parsed_us
@@ -530,14 +530,14 @@ object EngineOracle {
 
   /** DuckDB twin of q69: get_sub_dim decimation arithmetic (iolib.py:164-247). */
   val subsampleSql: String =
-    """WITH im AS (
+    s"""WITH im AS (
       |  SELECT i,
       |    printf('img_%08d_%s_%02d00', i,
       |      strftime(DATE '2024-01-01' + INTERVAL ((i * 3) % 360) DAY, '%Y%m%d'),
       |      i % 24) AS image_id,
       |    CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END::DOUBLE AS res,
       |    48 + (i % 4) * 8 AS w, 40 + (i % 5) * 8 AS h
-      |  FROM generate_series(0, 799) t(i)),
+      |  FROM generate_series(0, ${Fix.nImg - 1}) t(i)),
       |sc AS (SELECT *, greatest(w / 48.0::DOUBLE, h / 48.0::DOUBLE) AS scale FROM im)
       |SELECT image_id, w, h,
       |  CASE WHEN greatest(w, h) <= 48 THEN w ELSE round_even(w / scale, 0)::INT END AS sub_w,
@@ -618,7 +618,7 @@ object EngineOracle {
     * enumeration on the 64 m grid, half-open center containment, packed
     * cell id ((cx+2³⁰)·2³¹ + (cy+2³⁰), PlanarCell.pack). */
   val heatmapRectsSql: String =
-    """WITH p AS (SELECT i FROM generate_series(0, 119) t(i) WHERE i % 4 = 0 OR i % 4 = 3),
+    s"""WITH p AS (SELECT i FROM generate_series(0, ${Fix.nPoly - 1}) t(i) WHERE i % 4 = 0 OR i % 4 = 3),
       |c AS (SELECT i, 500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy FROM p),
       |r AS (
       |  SELECT i, cx AS x1, cx + 80 AS x2, cy - 60 AS y1, cy AS y2 FROM c WHERE i % 4 = 0
@@ -642,9 +642,9 @@ object EngineOracle {
     * (horizontal edges never satisfy (yi>py) != (yj>py)); the donut hole
     * and the disjoint multipolygon boxes fall out of crossing PARITY. */
   private val polyEdgesSql: String =
-    """c AS (SELECT i, printf('poly_%05d', i) AS poly_id,
+    s"""c AS (SELECT i, printf('poly_%05d', i) AS poly_id,
       |        500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy
-      |      FROM generate_series(0, 119) t(i)),
+      |      FROM generate_series(0, ${Fix.nPoly - 1}) t(i)),
       |e AS (
       |  SELECT i, poly_id, cx AS xe, cy - 60 AS ylo, cy AS yhi FROM c WHERE i % 4 = 0
       |  UNION ALL SELECT i, poly_id, cx + 80, cy - 60, cy FROM c WHERE i % 4 = 0
@@ -671,7 +671,7 @@ object EngineOracle {
        |    (499900 + (i * 131) % 8592)::DOUBLE AS x,
        |    (5300100 - (i * 71) % 2400)::DOUBLE AS y,
        |    100 + i % 50 + 0.25::DOUBLE * (i % 7) AS z
-       |  FROM generate_series(0, 39999) t(i)),
+       |  FROM generate_series(0, ${Fix.nImg * 50 - 1}) t(i)),
        |$polyEdgesSql,
        |hit AS (
        |  SELECT pt.pt_id, e.poly_id, any_value(pt.z) AS z
@@ -715,7 +715,7 @@ object EngineOracle {
        |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
        |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
        |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-       |  FROM generate_series(0, 799) t(i)
+       |  FROM generate_series(0, ${Fix.nImg - 1}) t(i)
        |  WHERE $where)""".stripMargin
 
   /** DuckDB twin of q49: NDV margins are the ONLY invalid pixels in source
@@ -1121,13 +1121,13 @@ object EngineOracle {
     * engine's full cross-product window. sf0.01 sizes: 40,000 candidates,
     * 1,000 query points (Engine.nPoints / knnRing's nq rule). */
   val knnRingSql: String =
-    """WITH pts AS (SELECT i, printf('pt_%07d', i) AS pt_id,
+    s"""WITH pts AS (SELECT i, printf('pt_%07d', i) AS pt_id,
       |    (499900 + (i * 131) % 8592)::DOUBLE AS x,
       |    (5300100 - (i * 71) % 2400)::DOUBLE AS y
-      |  FROM generate_series(0, 39999) t(i)),
+      |  FROM generate_series(0, ${Fix.nImg * 50 - 1}) t(i)),
       |j AS (SELECT q.pt_id AS q_id, c.pt_id AS c_id,
       |        sqrt(pow(c.x - q.x, 2) + pow(c.y - q.y, 2)) AS dist
-      |      FROM pts q CROSS JOIN pts c WHERE q.i < 1000),
+      |      FROM pts q CROSS JOIN pts c WHERE q.i < ${math.max(200, Fix.nImg * 50 / 40)}),
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |        ORDER BY dist ASC, c_id ASC) AS rnk FROM j)
       |SELECT q_id, c_id, dist, rnk FROM r WHERE rnk <= 5""".stripMargin
@@ -1141,7 +1141,7 @@ object EngineOracle {
   val frameSampleSql: String =
     s"""WITH v AS (SELECT i, printf('vid_%07d', i) AS video_id,
        |    28 + (i % 3) * 2 AS w, 20 + (i % 2) * 4 AS h, 12 + i % 5 AS nf
-       |  FROM generate_series(0, 199) t(i)),
+       |  FROM generate_series(0, ${Fix.nClip - 1}) t(i)),
        |fr AS (SELECT v.*, unnest(generate_series(0, nf - 1, 4)) AS t FROM v),
        |xs AS (SELECT fr.*, unnest(generate_series(0, w - 1)) AS x FROM fr),
        |pxl AS (SELECT xs.*, unnest(generate_series(0, h - 1)) AS y FROM xs)
@@ -1187,7 +1187,7 @@ object EngineOracle {
     * and elided images (res == tres on the lattice) use the direct copy
     * mapping. Matched 3280/3280 against the executed operator. */
   val warpTilesSql: String =
-    warpGridSql(799) + """,
+    warpGridSql(Fix.nImg - 1) + """,
       |f AS (
       |  SELECT i, image_id, marg, w, h, ns, x, y,
       |    (tulx + (x + 0.5::DOUBLE) * tres - ulx) / res - 0.5::DOUBLE AS pxf,
@@ -1271,7 +1271,7 @@ object EngineOracle {
     * twin pins exactly that (the morphology itself is exercised on
     * island-bearing fixtures in StencilSpec, set-exact vs whole-array). */
   val removeIslandsSql: String =
-    warpGridSql(799) + """,
+    warpGridSql(Fix.nImg - 1) + """,
       |src AS (
       |  SELECT i, image_id, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -1331,7 +1331,7 @@ object EngineOracle {
        |    CASE WHEN i % 5 = 0 THEN 3 ELSE 0 END AS marg,
        |    (500000 + (i % 7) * 10 + ((i // 20) % 32) * 256)::DOUBLE AS ulx,
        |    (5300000 - (i % 5) * 8 - ((i // 20) // 32) * 256)::DOUBLE AS uly
-       |  FROM generate_series(0, 799) t(i)
+       |  FROM generate_series(0, ${Fix.nImg - 1}) t(i)
        |  WHERE i % 3 <> 2 AND (i // 3) % 3 <> 0),
        |seg AS (SELECT 8192.0::DOUBLE AS dx, -70.0::DOUBLE AS dy,
        |               sqrt(8192.0::DOUBLE * 8192.0::DOUBLE + 70.0::DOUBLE * 70.0::DOUBLE) AS len),
@@ -1377,7 +1377,7 @@ object EngineOracle {
     * rectangle — counts are coverage arithmetic (the shading VALUES are
     * pinned by StencilSpec closed forms on the affine surface). */
   val demFamilySql: String =
-    warpGridSql(799) + """,
+    warpGridSql(Fix.nImg - 1) + """,
       |src AS (
       |  SELECT i, image_id, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -1406,7 +1406,7 @@ object EngineOracle {
     * crossing-parity PIP → per-(image, tile) counts. Zero-valid tiles drop,
     * matching clipTiles' nValid > 0 emission. */
   val clipTilesSql: String =
-    warpGridSql(799) + """,
+    warpGridSql(Fix.nImg - 1) + s""",
       |src AS (
       |  SELECT i AS img, image_id, ns, tulx, tuly, tres, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -1422,7 +1422,7 @@ object EngineOracle {
       |    tuly - (y + 0.5::DOUBLE) * tres AS my
       |  FROM src WHERE sx >= marg AND sy >= marg AND sx < w - marg AND sy < h - marg),
       |c AS (SELECT i, 500040 + (i * 97) % 8192 AS cx, 5299960 - (i * 53) % 1024 AS cy
-      |      FROM generate_series(0, 119) t(i)),
+      |      FROM generate_series(0, ${Fix.nPoly - 1}) t(i)),
       |e AS (
       |  SELECT i, cx AS xe, cy - 60 AS ylo, cy AS yhi FROM c WHERE i % 4 = 0
       |  UNION ALL SELECT i, cx + 80, cy - 60, cy FROM c WHERE i % 4 = 0
@@ -1468,7 +1468,7 @@ object EngineOracle {
     * grow-into-neighbor strip-only tiles fall out of the same arithmetic.
     * Fill VALUES (cubic-exact) stay under FillSpec. */
   val fillInterpSql: String =
-    warpGridSql(799) + """,
+    warpGridSql(Fix.nImg - 1) + """,
       |src AS (
       |  SELECT i, image_id, ns, nl, marg, w, h, x, y,
       |    CASE WHEN i % 3 = 0 THEN x + round((tulx - ulx) / tres)::INT
@@ -2495,7 +2495,7 @@ object EngineOracle {
   // ---------------------------------------------------------------------
 
   private[graft] val MbBands = 3
-  private[graft] val MbImgs = 12
+  private[graft] val MbImgs = 12 * Fix.mult
 
   /** Per-band closed-form integer payload — distinct coefficient/modulus
     * triples per band, so any cross-band contamination (a band-b sample

@@ -230,15 +230,25 @@ object Stream {
       |  length(text)::BIGINT AS n_chars_obs
       |FROM documents""".stripMargin
 
+  /** Session breaks computed over DISTINCT (user, ts) groups, not raw rows:
+    * with duplicate timestamps (e.g. the GenScale 10x replicas at sf1) a
+    * row-level `sum(brk) OVER (ORDER BY t_us ROWS ...)` is nondeterministic
+    * — the break row can sort anywhere among its equal-ts peers, splitting
+    * a session's duplicates across two sids (observed 14/6 vs the correct
+    * 10/10 at sf1). Grouping first makes the break a property of the
+    * timestamp, matching `session_window` exactly; per-ts partial v sums
+    * are absorbed by the same round(..., 6) the engine side applies. */
   val streamSessionsSql: String =
     """WITH t AS (SELECT user_id, epoch_us(ts) AS t_us, value AS v FROM events),
+      |g AS (SELECT user_id, t_us, count(*)::BIGINT AS n, sum(v) AS sv
+      |      FROM t GROUP BY user_id, t_us),
       |b AS (SELECT *, CASE WHEN t_us - lag(t_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS brk
-      |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC)),
+      |      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC)),
       |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t_us ASC
       |                                ROWS UNBOUNDED PRECEDING) AS sid
       |       FROM b)
       |SELECT user_id, min(t_us) AS t_start_us,
       |       max(t_us) + 14400000000 AS t_end_us,
-      |       count(*)::BIGINT AS n_events, round(sum(v), 6) AS v_sum
+      |       sum(n)::BIGINT AS n_events, round(sum(sv), 6) AS v_sum
       |FROM sx GROUP BY user_id, sid""".stripMargin
 }
