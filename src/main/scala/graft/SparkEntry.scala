@@ -191,6 +191,7 @@ object SparkEntry {
     // round-7: the lossy JPEG codec leg — PSNR ≥ 40 dB re-encode invariant
     // exercised non-vacuously, per-image hash-gated (q55's technique)
     "q113_jpeg_roundtrip"    -> (Engine.jpegAudit _),
+    "q114_stream_view"       -> (EngineOracle.streamViewIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -312,5 +313,6 @@ object SparkEntry {
     "q111_stack_incr_churn"  -> EngineOracle.stackCellsChurnSql,
     "q112_trend_incr_churn"  -> EngineOracle.trendCellsChurnSql,
     "q113_jpeg_roundtrip"    -> Engine.jpegAuditSql,
+    "q114_stream_view"       -> EngineOracle.stackCellsSql,
   )
 }

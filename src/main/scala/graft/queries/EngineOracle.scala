@@ -123,6 +123,75 @@ object EngineOracle {
     } finally graft.sources.SnapshotTable.deleteRecursively(base)
   }
 
+  /** q114: the full STREAM → CATALOG → VIEW chain — the composition of
+    * q107 (streaming ingest commits snapshot epochs exactly-once) and
+    * q108 (a materialized view advances off the catalog's CDC) that
+    * neither row exercises end-to-end. The q41 tile batches land as
+    * parquet FILES in a streaming source dir; a file-source stream
+    * (`StreamOps.parquetStreamToSnapshot`, maxFilesPerTrigger=1) commits
+    * one APPEND snapshot per micro-batch with the (streamId, epochId) txn
+    * marker; `StatsView.refresh` folds each epoch's delta. The run
+    * "crashes" after epochs 0–1, re-delivers epoch 1 straight into the
+    * sink (must be a no-op commit AND a no-op refresh — exactly-once
+    * holds through the VIEW, not just the table), then resumes from the
+    * checkpoint for epoch 2. The strict oracle is q41's twin VERBATIM: a
+    * replayed epoch that double-folds, a missed delta, or a stream commit
+    * that breaks the view's append-only contract shifts an exact integer
+    * moment and fails the hash. */
+  def streamViewIncremental(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val imgs = quantNoRipple(Engine.images(s, d))
+    val target = Warp.analyze(imgs, "min", "union")
+    val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
+    val base = Files.createTempDirectory("graft_q114").toString
+    val srcDir = s"$base/src"; val tilesRoot = s"$base/tiles"
+    val ckptDir = s"$base/ckpt"; val mvRoot = s"$base/mv"
+    Files.createDirectories(Paths.get(srcDir))
+    val streamId = "q114_tiles"
+    def tilesOf(b: Int) =
+      Warp.warpToTiles(s, imgs.filter(idx % 3 === b), target, "near").toDF()
+    val tileSchema = tilesOf(0).schema
+    def land(b: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_q114w").toString
+      tilesOf(b).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = Paths.get(srcDir, s"f$b.parquet")
+      Files.move(part, dst)
+      // deterministic pickup order for the file source
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1704067200000L + b * 2000L))
+      graft.sources.SnapshotTable.deleteRecursively(tmp)
+    }
+    try {
+      land(0); land(1)
+      val q1 = graft.streaming.StreamOps.parquetStreamToSnapshot(
+        s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
+      q1.processAllAvailable(); q1.stop() // "crash" after epochs 0,1
+      require(graft.sources.SnapshotTable.currentVersion(tilesRoot) == 2,
+        "expected one snapshot per epoch")
+      require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 2)
+      // crash-window replay of epoch 1: no-op commit, then no-op refresh
+      val replay = graft.sources.SnapshotTable.commitStreamBatch(
+        s, tilesRoot, tilesOf(1), streamId, 1L)
+      require(replay.isEmpty, s"replayed epoch 1 must be a no-op, got $replay")
+      val vBefore = graft.sources.SnapshotTable.currentVersion(mvRoot)
+      require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 2)
+      require(graft.sources.SnapshotTable.currentVersion(mvRoot) == vBefore,
+        "a refresh after a replayed epoch must not commit")
+      land(2)
+      val q2 = graft.streaming.StreamOps.parquetStreamToSnapshot(
+        s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
+      q2.processAllAvailable(); q2.stop() // resume: only f2 → epoch 2
+      require(graft.sources.SnapshotTable.currentVersion(tilesRoot) == 3,
+        "resume must deliver exactly the one new epoch")
+      require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 3)
+      val out = explodeStats(graft.operators.StatsView.stats(s, mvRoot),
+        ntx, Seq("count", "mean", "std", "vmin", "vmax"))
+      detachViaParquet(s, out)
+    } finally graft.sources.SnapshotTable.deleteRecursively(base)
+  }
+
   /** q110: q42's per-pixel OLS trend, computed INCREMENTALLY — the trend
     * stack lands in a snapshot-catalog table across three commits and a
     * materialized view of the normal-equation moments (Σt, Σt², Σv, Σtv,

@@ -114,6 +114,31 @@ object StreamOps {
       .start()
   }
 
+  /** Generic-schema form of [[tokenStreamToSnapshot]]: stream any parquet
+    * file source into the snapshot catalog unchanged, one epoch commit per
+    * micro-batch. This is the ingest leg of the stream→view chain (q114):
+    * tile rows stream in, each epoch lands as an APPEND snapshot with the
+    * (streamId, epochId) txn marker, and the incremental materialized
+    * views advance off the catalog's CDC — replayed epochs are no-ops all
+    * the way through (commit skipped → no new source version → refresh
+    * skipped by the marker). */
+  def parquetStreamToSnapshot(spark: SparkSession, inDir: String,
+                              root: String, ckptDir: String, streamId: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.SnapshotTable.commitStreamBatch(
+          spark, root, batch, streamId, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming per-key custom state — flatMapGroupsWithState: running
     * per-cell (count, mean, min, max) maintained explicitly, the shape for
     * state the built-in aggs can't express (e.g. per-cell layer timelines).
