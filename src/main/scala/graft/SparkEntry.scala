@@ -192,6 +192,7 @@ object SparkEntry {
     // exercised non-vacuously, per-image hash-gated (q55's technique)
     "q113_jpeg_roundtrip"    -> (Engine.jpegAudit _),
     "q114_stream_view"       -> (EngineOracle.streamViewIncremental _),
+    "q115_stream_trend"      -> (EngineOracle.streamTrendIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -314,5 +315,6 @@ object SparkEntry {
     "q112_trend_incr_churn"  -> EngineOracle.trendCellsChurnSql,
     "q113_jpeg_roundtrip"    -> Engine.jpegAuditSql,
     "q114_stream_view"       -> EngineOracle.stackCellsSql,
+    "q115_stream_trend"      -> EngineOracle.trendCellsSql,
   )
 }

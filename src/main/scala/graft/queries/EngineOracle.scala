@@ -138,21 +138,47 @@ object EngineOracle {
     * replayed epoch that double-folds, a missed delta, or a stream commit
     * that breaks the view's append-only contract shifts an exact integer
     * moment and fails the hash. */
-  def streamViewIncremental(s: SparkSession, d: String): DataFrame = {
+  def streamViewIncremental(s: SparkSession, d: String): DataFrame =
+    streamViewChain(s, "q114",
+      quantNoRipple(Engine.images(s, d)), b => idx % 3 === b,
+      (tilesRoot, mvRoot) => graft.operators.StatsView.refresh(s, tilesRoot, mvRoot),
+      mvRoot => graft.operators.StatsView.stats(s, mvRoot),
+      Seq("count", "mean", "std", "vmin", "vmax"))
+
+  /** q115: the stream → catalog → view chain for the TREND view — same
+    * protocol as q114 (crash after epochs 0–1, epoch-1 replay must be a
+    * no-op commit AND refresh, checkpoint resume for epoch 2), strict
+    * oracle = q42's batch twin verbatim. Together q114/q115 prove BOTH
+    * view types advance correctly off streamed epoch commits. */
+  def streamTrendIncremental(s: SparkSession, d: String): DataFrame =
+    streamViewChain(s, "q115",
+      trendSubset(Engine.images(s, d)), b => floor(idx / 9) % 3 === b,
+      (tilesRoot, mvRoot) => graft.operators.TrendView.refresh(s, tilesRoot, mvRoot),
+      mvRoot => graft.operators.TrendView.trend(s, mvRoot),
+      Seq("count", "slope_yr", "intercept", "r2", "t_stat"))
+
+  /** Shared q114/q115 driver: land 3 tile batches as files → stream them
+    * into the catalog (one epoch commit per micro-batch) → refresh the
+    * view after each stream leg, with the crash/replay/resume protocol
+    * described on [[streamViewIncremental]]. */
+  private def streamViewChain(s: SparkSession, tag: String, imgs: DataFrame,
+                              batchPred: Int => Column,
+                              refresh: (String, String) => Long,
+                              finished: String => DataFrame,
+                              fields: Seq[String]): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val imgs = quantNoRipple(Engine.images(s, d))
     val target = Warp.analyze(imgs, "min", "union")
     val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
-    val base = Files.createTempDirectory("graft_q114").toString
+    val base = Files.createTempDirectory(s"graft_$tag").toString
     val srcDir = s"$base/src"; val tilesRoot = s"$base/tiles"
     val ckptDir = s"$base/ckpt"; val mvRoot = s"$base/mv"
     Files.createDirectories(Paths.get(srcDir))
-    val streamId = "q114_tiles"
+    val streamId = s"${tag}_tiles"
     def tilesOf(b: Int) =
-      Warp.warpToTiles(s, imgs.filter(idx % 3 === b), target, "near").toDF()
+      Warp.warpToTiles(s, imgs.filter(batchPred(b)), target, "near").toDF()
     val tileSchema = tilesOf(0).schema
     def land(b: Int): Unit = {
-      val tmp = Files.createTempDirectory("graft_q114w").toString
+      val tmp = Files.createTempDirectory(s"graft_${tag}w").toString
       tilesOf(b).coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head.toPath
@@ -170,13 +196,13 @@ object EngineOracle {
       q1.processAllAvailable(); q1.stop() // "crash" after epochs 0,1
       require(graft.sources.SnapshotTable.currentVersion(tilesRoot) == 2,
         "expected one snapshot per epoch")
-      require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 2)
+      require(refresh(tilesRoot, mvRoot) == 2)
       // crash-window replay of epoch 1: no-op commit, then no-op refresh
       val replay = graft.sources.SnapshotTable.commitStreamBatch(
         s, tilesRoot, tilesOf(1), streamId, 1L)
       require(replay.isEmpty, s"replayed epoch 1 must be a no-op, got $replay")
       val vBefore = graft.sources.SnapshotTable.currentVersion(mvRoot)
-      require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 2)
+      require(refresh(tilesRoot, mvRoot) == 2)
       require(graft.sources.SnapshotTable.currentVersion(mvRoot) == vBefore,
         "a refresh after a replayed epoch must not commit")
       land(2)
@@ -185,9 +211,8 @@ object EngineOracle {
       q2.processAllAvailable(); q2.stop() // resume: only f2 → epoch 2
       require(graft.sources.SnapshotTable.currentVersion(tilesRoot) == 3,
         "resume must deliver exactly the one new epoch")
-      require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 3)
-      val out = explodeStats(graft.operators.StatsView.stats(s, mvRoot),
-        ntx, Seq("count", "mean", "std", "vmin", "vmax"))
+      require(refresh(tilesRoot, mvRoot) == 3)
+      val out = explodeStats(finished(mvRoot), ntx, fields)
       detachViaParquet(s, out)
     } finally graft.sources.SnapshotTable.deleteRecursively(base)
   }

@@ -12,8 +12,8 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("registry sizes match the documented counts") {
-    assert(SparkEntry.queries.size == 110, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 107, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 111, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 108, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("query names are well-formed qNN_ prefixes") {
