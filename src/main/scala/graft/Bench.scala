@@ -16,7 +16,40 @@ import graft.sources.{ImageTable, PolygonTable}
   * this binary at SPARK_GRAFT_CPUS=8 and =32 on the same SPARK_GRAFT_SF_DIR
   * (tools/run_scaling.sh) and compare images_per_sec. */
 object Bench {
+  /** Single-thread host probe on the same two dimensions as
+    * tools/probe_host.py: register-bound LCG throughput (k-iters/ms, blind
+    * to memory pressure) and 64 MB array-copy bandwidth (MB/s, read+write
+    * — the dimension the engine's array-heavy phases live on). Run before
+    * AND after the timed work so every BENCH artifact carries the host
+    * state it was measured under (the co-tenant bandwidth-squeeze story,
+    * BENCH.md §11/§13) — a number without its window is unreadable on
+    * this box. ABSOLUTE scale differs from the python probe (JIT'd
+    * System.arraycopy vs an interpreted buffer copy; observed ~3-4×
+    * higher here in the same minute) — compare these fields ACROSS BENCH
+    * ARTIFACTS, not against probe_host.py logs. */
+  private def probeHost(): (Long, Long) = {
+    var x = 1L; var iters = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 200000000L) { // 0.2 s burn
+      var i = 0
+      while (i < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      iters += 100000
+    }
+    val cpuKipms = iters / math.max(1L, (System.nanoTime() - t0) / 1000000L) / 1000L
+    val n = 8 * 1024 * 1024 // 64 MB of doubles
+    val a = new Array[Double](n); val b = new Array[Double](n)
+    java.util.Arrays.fill(a, 1.0 + (x & 1L))    // keep the LCG live
+    val t1 = System.nanoTime()
+    var reps = 0L
+    while (System.nanoTime() - t1 < 400000000L) { // 0.4 s copy
+      System.arraycopy(a, 0, b, 0, n); reps += 1
+    }
+    val mbps = (reps * 128L / ((System.nanoTime() - t1) / 1e9)).toLong
+    (cpuKipms, mbps)
+  }
+
   def main(args: Array[String]): Unit = {
+    val (cpuPre, bwPre) = probeHost()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -124,8 +157,10 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum + pipelineSec
     val pipelineRunsJson = pipelineRuns.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+    val (cpuPost, bwPost) = probeHost()
+    val probeJson = s"""{"pre":{"cpu_kips_ms":$cpuPre,"membw_mbps":$bwPre},"post":{"cpu_kips_ms":$cpuPost,"membw_mbps":$bwPost}}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"passes":$passes,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"pipeline_sec":$pipelineSec%.3f,"pipeline_runs":$pipelineRunsJson,"images_per_sec":$imagesPerSec%.1f,"pipeline_counts":{"tiles":$nTiles,"stats":$nStats,"trend":$nTrend,"pip":$nPip,"heat":$nHeat,"knn":$nKnn}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"passes":$passes,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"pipeline_sec":$pipelineSec%.3f,"pipeline_runs":$pipelineRunsJson,"images_per_sec":$imagesPerSec%.1f,"pipeline_counts":{"tiles":$nTiles,"stats":$nStats,"trend":$nTrend,"pip":$nPip,"heat":$nHeat,"knn":$nKnn},"host_probe":$probeJson}""")
     Engine.clearImageCache()
     spark.stop()
   }
