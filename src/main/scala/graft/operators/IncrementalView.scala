@@ -72,6 +72,35 @@ private[operators] object IncrementalView {
     val to = SnapshotTable.currentVersion(tilesRoot).toLong
     val from = refreshedVersion(mvRoot, tilesRoot, kind)
     if (to <= math.max(from, 0L)) return from
+    // split/partition sizing scoped to the refresh (restored on exit):
+    // tile payloads and moment buffers compress ~100-200× in parquet and
+    // in shuffle blocks, so Spark's byte-based planning (128 MB splits,
+    // 64 MB AQE advisory, 4 MB per-file open cost) packs the whole
+    // CPU-heavy decode+fold+merge onto 1-2 tasks (measured: 2-task fold
+    // over 24 MB of shuffle bytes = 660 MB decoded). Sizing by
+    // bytes-AFTER-decode keeps the stages wide; values are ratios of the
+    // observed compression, not local core counts, so they hold at any
+    // cluster size (guide §2.2/§6).
+    val scoped = Seq(
+      "spark.sql.files.maxPartitionBytes" -> (16L * 1024 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> (512L * 1024).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (4L * 1024 * 1024).toString)
+    val saved = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try refreshInner(spark, tilesRoot, mvRoot, kind, fold, combine, zero,
+      to, from)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def refreshInner[V](spark: SparkSession, tilesRoot: String,
+                              mvRoot: String, kind: String,
+                              fold: DataFrame => Dataset[V],
+                              combine: (V, V) => V, zero: Long => V,
+                              to: Long, from: Long)
+                             (implicit enc: Encoder[V]): Long = {
     val marker = markerId(tilesRoot, kind)
     val fromI = math.max(from, 0L).toInt
 
@@ -114,33 +143,42 @@ private[operators] object IncrementalView {
       // affected-tile envelope bounds BOTH the old-view read and the
       // merge's file rewrites; conservative (range, not id set), O(1) plan
       val env = deltaP.toDF().agg(min(col("tile_id")), max(col("tile_id"))).head()
-      val combined =
-        if (env.isNullAt(0)) deltaP // empty delta (all-NDV commit): marker-only
-        else {
-          val prune = Seq(SnapshotTable.ColRange("tile_id",
-            env.getLong(0).toDouble, env.getLong(1).toDouble))
-          // the old-view side must NEVER broadcast: its rows are fat
-          // moment arrays (~¼ MB each), so a row-count-flattered size
-          // estimate turns "small" into a multi-hundred-MB driver collect
-          // + per-task rebuild (measured 240 s for a 2k-row join on a
-          // bandwidth-squeezed host). Both sides are hash-partitionable on
-          // tile_id — a shuffle join moves each fat row exactly once.
-          // `.as[V]` tolerates the nullability drift of views written by
-          // older engine versions (containsNull=true array columns): the
-          // deserializer only narrows, and the commit-side gate
-          // (requireCompatible) normalizes nullability before comparing.
-          val old = SnapshotTable.read(spark, mvRoot, prune = prune).as[V]
-            .hint("merge")
-          deltaP.hint("merge")
-            .joinWith(old, deltaP.col("tile_id") === old.col("tile_id"),
-              "left_outer")
-            .map { case (d, o) => if (o == null) d else combine(d, o) }
-        }
-      // cdc = false: the view's row-level history is replayable from the
-      // SOURCE table's CDC; persisting a full pre-image copy of every
-      // refreshed view row would be pure write amplification
-      SnapshotTable.merge(spark, mvRoot, combined.toDF(), Seq("tile_id"),
-        txn = Some(marker -> to), cdc = false)
+      if (env.isNullAt(0)) {
+        // empty delta (all-NDV commit): marker-only merge
+        SnapshotTable.merge(spark, mvRoot, deltaP.toDF(), Seq("tile_id"),
+          txn = Some(marker -> to), cdc = false)
+      } else {
+        val prune = Seq(SnapshotTable.colRangeLong("tile_id",
+          env.getLong(0), env.getLong(1)))
+        // the old-view side must NEVER broadcast: its rows are fat
+        // moment arrays (~¼ MB each), so a row-count-flattered size
+        // estimate turns "small" into a multi-hundred-MB driver collect
+        // + per-task rebuild (measured 240 s for a 2k-row join on a
+        // bandwidth-squeezed host). Both sides are hash-partitionable on
+        // tile_id — a shuffle join moves each fat row exactly once.
+        // `.as[V]` tolerates the nullability drift of views written by
+        // older engine versions (containsNull=true array columns): the
+        // deserializer only narrows, and the commit-side gate
+        // (requireCompatible) normalizes nullability before comparing.
+        val old = SnapshotTable.read(spark, mvRoot, prune = prune).as[V]
+          .hint("merge")
+        // FULL-outer: the combined set carries every surviving row of the
+        // pruned old-view files (old-only tiles pass through untouched), so
+        // the merge commit can take them as those files' full replacement
+        // (replaceAllPrune) and skip its survivor-routing scan — the old
+        // view is read ONCE per refresh instead of twice (guide §2.4).
+        val combined = deltaP.hint("merge")
+          .joinWith(old, deltaP.col("tile_id") === old.col("tile_id"),
+            "full_outer")
+          .map { case (d, o) =>
+            if (o == null) d else if (d == null) o else combine(d, o) }
+        // cdc = false: the view's row-level history is replayable from the
+        // SOURCE table's CDC; persisting a full pre-image copy of every
+        // refreshed view row would be pure write amplification
+        SnapshotTable.merge(spark, mvRoot, combined.toDF(), Seq("tile_id"),
+          txn = Some(marker -> to), cdc = false,
+          replaceAllPrune = Some(prune))
+      }
     } finally deltaP.unpersist(blocking = false)
   }
 
@@ -176,8 +214,8 @@ private[operators] object IncrementalView {
           Seq("tile_id"), txn = Some(marker -> to), cdc = false)
         return
       }
-      val prune = Seq(SnapshotTable.ColRange("tile_id",
-        env.getLong(0).toDouble, env.getLong(1).toDouble))
+      val prune = Seq(SnapshotTable.colRangeLong("tile_id",
+        env.getLong(0), env.getLong(1)))
       val src = SnapshotTable.read(spark, tilesRoot, prune = prune)
         .join(affected, Seq("tile_id"), "left_semi")
       val recomputed = fold(src)

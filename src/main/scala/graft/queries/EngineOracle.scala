@@ -65,6 +65,70 @@ object EngineOracle {
     zipped.select(cols: _*).filter(col("n") > 0)
   }
 
+  /** Scan/partition sizing for the incremental-view protocol drivers
+    * (restored on exit): tile payloads compress ~100-200× in parquet and
+    * shuffle blocks, so default byte-based planning (128 MB splits, 4 MB
+    * per-file open cost, 64 MB AQE advisory) packs the CPU-heavy
+    * decode+fold+merge work of the catalog reads onto 1-2 tasks. Sizing by
+    * bytes-after-decode keeps every stage wide; ratios, not core counts,
+    * so they hold at any cluster size (guide §2.2/§6). */
+  private def withFatRowScanConf[T](s: SparkSession)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.files.maxPartitionBytes" -> (16L * 1024 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> (512L * 1024).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (4L * 1024 * 1024).toString)
+    val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** ONE parquet file from a DataFrame without serializing the encode: the
+    * earlier `repartition(1).write` funneled every row through a single
+    * task — ~3 s of CPU per epoch file pushing ~10⁸ array elements through
+    * the parquet writer — and produced a single row group (dictionary
+    * encoding keeps the buffered estimate below any block size), so the
+    * downstream scan decoded the whole file on ONE task too. Here the
+    * encode runs wide (normal distributed write, small row groups), then
+    * the part files' row groups are concatenated BYTE-FOR-BYTE on the
+    * driver (`ParquetFileWriter.appendFile` — no decode, no re-encode;
+    * the parquet-tools merge primitive). Many row groups also give the
+    * one-file epoch real scan parallelism (guide §6). */
+  private def writeOneFileParquet(s: SparkSession, df: DataFrame,
+                                  dst: java.nio.file.Path): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onefile").toString
+    try {
+      df.write.mode("overwrite")
+        .option("parquet.block.size", (256 * 1024).toString)
+        .option("compression", "none")
+        .parquet(tmp)
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+        .sortBy(_.getName)
+      require(parts.nonEmpty, s"no parquet parts under $tmp")
+      val conf = s.sessionState.newHadoopConf()
+      val r0 = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(parts.head.getPath), conf))
+      val (schema, kv) =
+        try (r0.getFooter.getFileMetaData.getSchema,
+             r0.getFooter.getFileMetaData.getKeyValueMetaData)
+        finally r0.close()
+      java.nio.file.Files.deleteIfExists(dst)
+      val w = new ParquetFileWriter(
+        HadoopOutputFile.fromPath(new HPath(dst.toString), conf),
+        schema, ParquetFileWriter.Mode.CREATE, 256L * 1024, 0)
+      w.start()
+      parts.foreach(p =>
+        w.appendFile(HadoopInputFile.fromPath(new HPath(p.getPath), conf)))
+      w.end(kv)
+    } finally graft.sources.SnapshotTable.deleteRecursively(tmp)
+  }
+
   /** Detach a result from scratch inputs the caller is about to delete:
     * a DISTRIBUTED parquet write to a JVM-lifetime temp dir, re-read
     * lazily. The collect()+createDataFrame alternative materializes every
@@ -104,7 +168,7 @@ object EngineOracle {
     val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
     val base = java.nio.file.Files.createTempDirectory("graft_q108").toString
     val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
-    try {
+    try withFatRowScanConf(s) {
       (0 until 3).foreach { b =>
         val batch = imgs.filter(idx % 3 === b)
         graft.sources.SnapshotTable.commit(s, tilesRoot,
@@ -178,42 +242,49 @@ object EngineOracle {
       Warp.warpToTiles(s, imgs.filter(batchPred(b)), target, "near").toDF()
     val tileSchema = tilesOf(0).schema
     def land(b: Int): Unit = {
-      val tmp = Files.createTempDirectory(s"graft_${tag}w").toString
-      tilesOf(b).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head.toPath
       val dst = Paths.get(srcDir, s"f$b.parquet")
-      Files.move(part, dst)
+      writeOneFileParquet(s, tilesOf(b), dst)
       // deterministic pickup order for the file source
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1704067200000L + b * 2000L))
-      graft.sources.SnapshotTable.deleteRecursively(tmp)
     }
-    try {
-      land(0); land(1)
-      val q1 = graft.streaming.StreamOps.parquetStreamToSnapshot(
-        s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
-      q1.processAllAvailable(); q1.stop() // "crash" after epochs 0,1
+    def label[T](what: String)(body: => T): T = {
+      s.sparkContext.setJobDescription(s"$tag $what") // guide §1.5
+      try body finally s.sparkContext.setJobDescription(null)
+    }
+    try withFatRowScanConf(s) {
+      label("land epochs 0,1") { land(0); land(1) }
+      label("stream leg 1") {
+        val q1 = graft.streaming.StreamOps.parquetStreamToSnapshot(
+          s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
+        q1.processAllAvailable(); q1.stop() // "crash" after epochs 0,1
+      }
       require(graft.sources.SnapshotTable.currentVersion(tilesRoot) == 2,
         "expected one snapshot per epoch")
-      require(refresh(tilesRoot, mvRoot) == 2)
+      require(label("refresh epochs 0,1") { refresh(tilesRoot, mvRoot) } == 2)
       // crash-window replay of epoch 1: no-op commit, then no-op refresh
-      val replay = graft.sources.SnapshotTable.commitStreamBatch(
-        s, tilesRoot, tilesOf(1), streamId, 1L)
+      val replay = label("replay epoch 1") {
+        graft.sources.SnapshotTable.commitStreamBatch(
+          s, tilesRoot, tilesOf(1), streamId, 1L)
+      }
       require(replay.isEmpty, s"replayed epoch 1 must be a no-op, got $replay")
       val vBefore = graft.sources.SnapshotTable.currentVersion(mvRoot)
       require(refresh(tilesRoot, mvRoot) == 2)
       require(graft.sources.SnapshotTable.currentVersion(mvRoot) == vBefore,
         "a refresh after a replayed epoch must not commit")
-      land(2)
-      val q2 = graft.streaming.StreamOps.parquetStreamToSnapshot(
-        s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
-      q2.processAllAvailable(); q2.stop() // resume: only f2 → epoch 2
+      label("land epoch 2") { land(2) }
+      label("stream leg 2") {
+        val q2 = graft.streaming.StreamOps.parquetStreamToSnapshot(
+          s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
+        q2.processAllAvailable(); q2.stop() // resume: only f2 → epoch 2
+      }
       require(graft.sources.SnapshotTable.currentVersion(tilesRoot) == 3,
         "resume must deliver exactly the one new epoch")
-      require(refresh(tilesRoot, mvRoot) == 3)
-      val out = explodeStats(finished(mvRoot), ntx, fields)
-      detachViaParquet(s, out)
+      require(label("refresh epoch 2") { refresh(tilesRoot, mvRoot) } == 3)
+      label("explode + detach") {
+        val out = explodeStats(finished(mvRoot), ntx, fields)
+        detachViaParquet(s, out)
+      }
     } finally graft.sources.SnapshotTable.deleteRecursively(base)
   }
 
@@ -232,7 +303,7 @@ object EngineOracle {
     val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
     val base = java.nio.file.Files.createTempDirectory("graft_q110").toString
     val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
-    try {
+    try withFatRowScanConf(s) {
       (0 until 3).foreach { b =>
         // trendSubset already pins idx % 3 == 0 and drops (idx/3) % 3 == 0
         // (raw fmt) — batch on idx/9 so all three commits are non-empty
@@ -267,23 +338,31 @@ object EngineOracle {
                              batchOf: Column, batchSql: String,
                              refresh: () => Long): Unit = {
     val ST = graft.sources.SnapshotTable
-    def tiles(b: Int): DataFrame =
+    // b0's tiles feed three commits (append, corrupt-merge, restore-merge)
+    // and b1's two — persist each batch's warp ONCE instead of re-running
+    // the image-scan + kernel per consumer (within this invocation only;
+    // released in the caller's finally)
+    val tileCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def tiles(b: Int): DataFrame = tileCache.getOrElseUpdate(b,
       Warp.warpToTiles(s, imgs.filter(batchOf === b), target, "near").toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def step(v: Long)(commit: => Unit): Unit = {
       commit
       val covered = refresh()
       require(covered == v, s"refresh covered v$covered, expected v$v")
     }
     val ndvF = s"CAST(${graft.sources.ImageTable.Ndv} AS FLOAT)"
-    step(1) { ST.commit(s, tilesRoot, tiles(0)) }
-    step(2) { ST.commit(s, tilesRoot, tiles(1)) }
-    step(3) { ST.merge(s, tilesRoot, tiles(0).withColumn("payload",
-      expr(s"transform(payload, v -> IF(v = $ndvF, v, v + CAST(1.0 AS FLOAT)))")),
-      Seq("image_id", "tile_id")) }
-    step(4) { ST.merge(s, tilesRoot, tiles(0), Seq("image_id", "tile_id")) }
-    step(5) { ST.delete(s, tilesRoot, expr(s"$batchSql = 1")) }
-    step(6) { ST.commit(s, tilesRoot, tiles(1)) }
-    step(7) { ST.commit(s, tilesRoot, tiles(2)) }
+    try {
+      step(1) { ST.commit(s, tilesRoot, tiles(0)) }
+      step(2) { ST.commit(s, tilesRoot, tiles(1)) }
+      step(3) { ST.merge(s, tilesRoot, tiles(0).withColumn("payload",
+        expr(s"transform(payload, v -> IF(v = $ndvF, v, v + CAST(1.0 AS FLOAT)))")),
+        Seq("image_id", "tile_id")) }
+      step(4) { ST.merge(s, tilesRoot, tiles(0), Seq("image_id", "tile_id")) }
+      step(5) { ST.delete(s, tilesRoot, expr(s"$batchSql = 1")) }
+      step(6) { ST.commit(s, tilesRoot, tiles(1)) }
+      step(7) { ST.commit(s, tilesRoot, tiles(2)) }
+    } finally tileCache.values.foreach(_.unpersist(blocking = false))
   }
 
   /** q111: q108's incrementally-maintained stack stats, driven through
@@ -298,7 +377,7 @@ object EngineOracle {
     val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
     val base = java.nio.file.Files.createTempDirectory("graft_q111").toString
     val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
-    try {
+    try withFatRowScanConf(s) {
       churnSnapshots(s, imgs, target, tilesRoot,
         floor(idx / 6) % 3,
         "(CAST(substring(image_id, 5, 8) AS INT) DIV 6) % 3",
@@ -318,7 +397,7 @@ object EngineOracle {
     val ntx = (target.w + Warp.TileSize - 1) / Warp.TileSize
     val base = java.nio.file.Files.createTempDirectory("graft_q112").toString
     val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
-    try {
+    try withFatRowScanConf(s) {
       churnSnapshots(s, imgs, target, tilesRoot,
         floor(idx / 18) % 3,
         "(CAST(substring(image_id, 5, 8) AS INT) DIV 18) % 3",

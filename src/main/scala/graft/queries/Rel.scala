@@ -210,13 +210,15 @@ object Rel {
   /** n·MAD filter — `mad_fltr` `filtlib.py:60-69`: mask outside med ± 2·NMAD. */
   def madFltr(s: SparkSession, d: String): DataFrame = {
     val t = li(s, d)
-    val med = t.agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-    val nmad = t.crossJoin(med)
-      .agg(first(col("med")).as("med"),
-           expr("1.4826 * percentile(abs(l_extendedprice - med), 0.5)").as("nmad"))
-    t.crossJoin(nmad)
-      .filter(col("l_extendedprice").between(col("med") - col("nmad") * 2,
-                                             col("med") + col("nmad") * 2))
+    // Pct.exactPercentiles = the builtin percentile() parallelized (same
+    // selection, same interpolation arithmetic — bit-identical under the
+    // strict oracle); the two sequential passes stay, each now a parallel
+    // selection instead of a single-reducer map merge
+    val med = Pct.exactPercentiles(t, col("l_extendedprice"), Seq(0.5)).head
+    val nmad = 1.4826 * Pct.exactPercentiles(t,
+      abs(col("l_extendedprice") - lit(med)), Seq(0.5)).head
+    t.filter(col("l_extendedprice").between(lit(med) - lit(nmad) * 2,
+                                            lit(med) + lit(nmad) * 2))
       .groupBy(col("l_linestatus"))
       .agg(count(lit(1)).as("n_kept"), r6(avg(col("l_extendedprice"))).as("kept_mean"))
   }

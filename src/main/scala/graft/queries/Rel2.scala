@@ -24,11 +24,10 @@ object Rel2 {
     * the [p5, p95] band; per-flag survivor stats. */
   def percFltr(s: SparkSession, d: String): DataFrame = {
     val t = li(s, d)
-    // one array-percentile sort, not two full-column buffers (q88 pattern)
-    val p = t.agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("ps"))
-      .select(element_at(col("ps"), 1).as("lo"), element_at(col("ps"), 2).as("hi"))
-    t.crossJoin(p)
-      .filter(col("l_extendedprice").between(col("lo"), col("hi")))
+    // parallel exact selection (Pct scaladoc); bit-identical to the
+    // builtin array-percentile under the strict oracle
+    val ps = Pct.exactPercentiles(t, col("l_extendedprice"), Seq(0.05, 0.95))
+    t.filter(col("l_extendedprice").between(lit(ps(0)), lit(ps(1))))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_kept"), round(avg(col("l_extendedprice")), 6).as("kept_mean"))
   }
@@ -62,19 +61,16 @@ object Rel2 {
   def hist2dClipped(s: SparkSession, d: String): DataFrame = {
     val t = li(s, d).select(col("l_quantity").cast("double").as("x"),
                             col("l_extendedprice").cast("double").as("y"))
-    // one array-percentile buffer per column, not four (q88 pattern)
-    val lims = t.agg(
-        expr("percentile(x, array(0.001D, 0.999D))").as("px"),
-        expr("percentile(y, array(0.001D, 0.999D))").as("py"))
-      .select(element_at(col("px"), 1).as("xlo"), element_at(col("px"), 2).as("xhi"),
-              element_at(col("py"), 1).as("ylo"), element_at(col("py"), 2).as("yhi"))
-    t.crossJoin(lims)
-      .filter(col("x").between(col("xlo"), col("xhi")) &&
-              col("y").between(col("ylo"), col("yhi")))
+    // parallel exact selection per column (Pct scaladoc)
+    val px = Pct.exactPercentiles(t, col("x"), Seq(0.001, 0.999))
+    val py = Pct.exactPercentiles(t, col("y"), Seq(0.001, 0.999))
+    val (xlo, xhi, ylo, yhi) = (px(0), px(1), py(0), py(1))
+    t.filter(col("x").between(lit(xlo), lit(xhi)) &&
+             col("y").between(lit(ylo), lit(yhi)))
       .select(
-        least(floor((col("x") - col("xlo")) / (col("xhi") - col("xlo")) * 16), lit(15L))
+        least(floor((col("x") - lit(xlo)) / (lit(xhi) - lit(xlo)) * 16), lit(15L))
           .cast("long").as("bx"),
-        least(floor((col("y") - col("ylo")) / (col("yhi") - col("ylo")) * 16), lit(15L))
+        least(floor((col("y") - lit(ylo)) / (lit(yhi) - lit(ylo)) * 16), lit(15L))
           .cast("long").as("by"))
       .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("n"))
   }
@@ -104,13 +100,12 @@ object Rel2 {
   def madFltrSampled(s: SparkSession, d: String): DataFrame = {
     val t = li(s, d)
     val samp = t.filter(pmod(col("l_orderkey"), lit(16)) === 0)
-    val med = samp.agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-    val nmad = samp.crossJoin(med)
-      .agg(first(col("med")).as("med"),
-           expr("1.4826 * percentile(abs(l_extendedprice - med), 0.5)").as("nmad"))
-    t.crossJoin(nmad)
-      .filter(col("l_extendedprice").between(col("med") - col("nmad") * 2,
-                                             col("med") + col("nmad") * 2))
+    // parallel exact selection over the sample (Pct scaladoc)
+    val med = Pct.exactPercentiles(samp, col("l_extendedprice"), Seq(0.5)).head
+    val nmad = 1.4826 * Pct.exactPercentiles(samp,
+      abs(col("l_extendedprice") - lit(med)), Seq(0.5)).head
+    t.filter(col("l_extendedprice").between(lit(med) - lit(nmad) * 2,
+                                            lit(med) + lit(nmad) * 2))
       .groupBy(col("l_linestatus"))
       .agg(count(lit(1)).as("n_kept"),
            Rel.r6(avg(col("l_extendedprice"))).as("kept_mean"))
@@ -213,26 +208,19 @@ object Rel2 {
     * same interpolating-percentile + fixed-op chain in both engines. */
   def robustSpreadFltr(s: SparkSession, d: String): DataFrame = {
     val t = li(s, d)
-    // ONE array-percentile agg: five scalar percentile() calls each buffer
-    // the full column (5× merge cost, measured 6.0 s at sf0.1); the array
-    // form sorts once — 3.9 s — and yields identical interpolated values
-    val p = t.agg(expr(
-        "percentile(l_extendedprice, array(0.5D, 0.16D, 0.84D, 0.001D, 0.999D))")
-        .as("ps"))
-      .select(
-        element_at(col("ps"), 1).as("med"), element_at(col("ps"), 2).as("p16"),
-        element_at(col("ps"), 3).as("p84"), element_at(col("ps"), 4).as("q_lo"),
-        element_at(col("ps"), 5).as("q_hi"))
-      .withColumn("spread", abs((col("p84") - col("p16")) / 2))
-      .withColumn("sym", greatest(abs(col("q_lo")), abs(col("q_hi"))))
-    t.crossJoin(p)
-      .filter(col("l_extendedprice") > col("med") - lit(3) * col("spread") &&
-              col("l_extendedprice") < col("med") + lit(3) * col("spread"))
+    // parallel exact selection, one pass for all five probes (Pct scaladoc)
+    val ps = Pct.exactPercentiles(t, col("l_extendedprice"),
+      Seq(0.5, 0.16, 0.84, 0.001, 0.999))
+    val (med, p16, p84, qLo, qHi) = (ps(0), ps(1), ps(2), ps(3), ps(4))
+    val spread = math.abs((p84 - p16) / 2)
+    val sym = math.max(math.abs(qLo), math.abs(qHi))
+    t.filter(col("l_extendedprice") > lit(med) - lit(3) * lit(spread) &&
+             col("l_extendedprice") < lit(med) + lit(3) * lit(spread))
       .agg(count(lit(1)).as("n_kept"),
            round(avg(col("l_extendedprice")), 6).as("kept_mean"),
-           first(col("med")).as("med"), first(col("spread")).as("spread"),
-           round(-first(col("sym")), 6).as("sym_lo"),
-           round(first(col("sym")), 6).as("sym_hi"))
+           lit(med).as("med"), lit(spread).as("spread"),
+           round(lit(-sym), 6).as("sym_lo"),
+           round(lit(sym), 6).as("sym_hi"))
   }
 
   val robustSpreadFltrSql: String =

@@ -61,6 +61,13 @@ object SnapshotTable {
     * pinned as-if-UTC), so callers must construct [lo, hi] in micros. */
   final case class ColRange(colName: String, lo: Double, hi: Double)
 
+  /** [[ColRange]] from exact Long bounds with DIRECTED rounding (lo toward
+    * −∞, hi toward +∞) — a plain `.toDouble` nearest-rounds and can shrink
+    * the interval by ½ ulp above 2⁵³, silently pruning a matching file in
+    * any consumer that lacks planFiles' comparison-time widening. */
+  def colRangeLong(colName: String, lo: Long, hi: Long): ColRange =
+    ColRange(colName, dirDouble(lo, up = false), dirDouble(hi, up = true))
+
   private def metaDir(root: String): Path = Paths.get(root, "meta")
 
   private def listNames(dir: Path): Seq[String] = {
@@ -406,13 +413,128 @@ object SnapshotTable {
     case n: java.lang.Number => n.doubleValue() // int/short/byte: exact
   }
 
+  /** Manifest stats for freshly-written files: per-file row count + min/max
+    * of every numeric / timestamp column (timestamps as epoch MICROS).
+    * Fast path ([[footerStats]], guide §6 — stats from metadata, not data):
+    * the parquet FOOTERS the write just produced already carry exact
+    * per-column min/max and row counts, readable on the driver with zero
+    * Spark jobs; used whenever every tracked column's footer statistics are
+    * provably bit-identical to the scan aggregation's (plain signed
+    * int32/int64, float/double, int64 micro timestamps). Anything else
+    * (INT96 timestamps, decimals, unsigned ints) falls back to the one-pass
+    * [[scanStats]] so recorded bounds never change meaning. */
+  private def computeStats(spark: SparkSession, root: String,
+                           files: Seq[String]): Map[String, FileStats] = {
+    if (files.isEmpty) return Map.empty
+    footerStats(spark, root, files).getOrElse(scanStats(spark, root, files))
+  }
+
+  /** Driver-side footer read for [[computeStats]]. Returns None when any
+    * column the scan path would track cannot be replicated exactly from
+    * footer statistics — the caller then runs the scan; bounds in the two
+    * paths are otherwise identical (per-file directed rounding is monotone,
+    * so per-file mins/maxes compose to the same global envelope the agg
+    * computed; parquet's ±0.0 widening compares identically in planFiles).
+    * Float/double stats carrying NaN drop that column for the file — the
+    * same "no usable bound, keep the file" outcome the scan's NaN bounds
+    * produce through the manifest's NaN filter. */
+  private def footerStats(spark: SparkSession, root: String,
+                          files: Seq[String]): Option[Map[String, FileStats]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val out = Map.newBuilder[String, FileStats]
+    for (f <- files) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$f")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val md = reader.getFooter
+        val msg = md.getFileMetaData.getSchema
+        // classify top-level fields: Some(name) = track, None = skip; a
+        // tracked-but-unreplicable type aborts the whole fast path
+        val tracked: Seq[String] = msg.getFields.asScala.toSeq.flatMap { t =>
+          if (!t.isPrimitive) None // arrays/structs: scan skips them too
+          else {
+            val pt = t.asPrimitiveType().getPrimitiveTypeName
+            val ann = t.getLogicalTypeAnnotation
+            pt match {
+              case PrimitiveTypeName.BOOLEAN => None
+              case PrimitiveTypeName.BINARY |
+                   PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY => ann match {
+                case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  return None // decimal: scan tracks natively — fall back
+                case _ => None // strings/uuids: scan skips
+              }
+              case PrimitiveTypeName.INT96 => return None // legacy ts: fall back
+              case PrimitiveTypeName.INT32 => ann match {
+                case null => Some(t.getName)
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                  if i.isSigned => Some(t.getName)
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                  None // DateType: scan skips it
+                case _ => return None
+              }
+              case PrimitiveTypeName.INT64 => ann match {
+                case null => Some(t.getName)
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                  if i.isSigned => Some(t.getName)
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  // LTZ: instant micros == unix_micros; NTZ: wall micros ==
+                  // the as-if-UTC pin — both equal the scan's statExpr
+                  Some(t.getName)
+                case _ => return None
+              }
+              case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                Some(t.getName)
+            }
+          }
+        }
+        var rows = 0L
+        val lo = scala.collection.mutable.Map.empty[String, Double]
+        val hi = scala.collection.mutable.Map.empty[String, Double]
+        val dropped = scala.collection.mutable.Set.empty[String] // NaN bounds
+        for (b <- md.getBlocks.asScala) {
+          rows += b.getRowCount
+          for (cc <- b.getColumns.asScala if cc.getPath.size == 1) {
+            val name = cc.getPath.toDotString
+            if (tracked.contains(name)) {
+              val st = cc.getStatistics
+              if (st == null) return None // stats absent: fall back
+              if (!st.hasNonNullValue) {
+                // all-null chunk contributes nothing; an unset-stats chunk
+                // with values present cannot be distinguished from it safely
+                // unless null counts are recorded — fall back in that case
+                if (!st.isNumNullsSet || st.getNumNulls != cc.getValueCount)
+                  return None
+              } else {
+                val bLo = dirDouble(st.genericGetMin, up = false)
+                val bHi = dirDouble(st.genericGetMax, up = true)
+                if (bLo.isNaN || bHi.isNaN) dropped += name
+                else {
+                  lo.updateWith(name)(o => Some(o.fold(bLo)(math.min(_, bLo))))
+                  hi.updateWith(name)(o => Some(o.fold(bHi)(math.max(_, bHi))))
+                }
+              }
+            }
+          }
+        }
+        dropped.foreach { n => lo.remove(n); hi.remove(n) }
+        out += f -> FileStats(rows,
+          lo.keys.map(n => n -> (lo(n), hi(n))).toMap)
+      } finally reader.close()
+    }
+    Some(out.result())
+  }
+
   /** One scan over `files`: per-file row count + min/max of every numeric /
     * timestamp column (timestamps as epoch MICROS). min/max run in the
     * column's NATIVE type (long for BIGINT/timestamps, decimal for
     * DECIMAL); the lossy narrowing to the manifest's double bounds happens
     * once on the driver via [[dirDouble]], outward. */
-  private def computeStats(spark: SparkSession, root: String,
-                           files: Seq[String]): Map[String, FileStats] = {
+  private def scanStats(spark: SparkSession, root: String,
+                        files: Seq[String]): Map[String, FileStats] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     if (files.isEmpty) return Map.empty
@@ -791,10 +913,15 @@ object SnapshotTable {
   def merge(spark: SparkSession, root: String, df: DataFrame,
             keyCols: Seq[String],
             txn: Option[(String, Long)] = None,
-            cdc: Boolean = true): Int = {
+            cdc: Boolean = true,
+            replaceAllPrune: Option[Seq[ColRange]] = None): Int = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    // replaceAll skips the tombstone pre-image pass, so row-level CDC for
+    // such a commit cannot be recorded — callers must opt out of CDC too
+    require(replaceAllPrune.isEmpty || !cdc,
+      "replaceAllPrune requires cdc = false (no pre-image pass runs)")
     val base = currentVersion(root)
     require(base >= 1, s"merge into an empty table at $root — commit first")
     val prev = snapshot(root, base)
@@ -803,31 +930,45 @@ object SnapshotTable {
     // incoming key envelope → pruning conjuncts; key columns without stats
     // support (strings, arrays) contribute no conjunct — planFiles then
     // keeps more files, which is conservative, never wrong
-    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     val statKeys = df.schema.fields.filter(f => keyCols.contains(f.name) &&
       (f.dataType.isInstanceOf[NumericType] ||
        f.dataType == TimestampType || f.dataType == TimestampNTZType)).toSeq
-    val ranges: Seq[ColRange] = if (statKeys.isEmpty) Nil else {
-      val aggs = statKeys.flatMap(f =>
-        Seq(min(statExpr(f, sessionTz)), max(statExpr(f, sessionTz))))
-      val r = df.agg(aggs.head, aggs.tail: _*).head()
-      statKeys.zipWithIndex.flatMap { case (f, i) =>
-        val lo = r.get(2 * i); val hi = r.get(2 * i + 1)
-        if (lo == null || hi == null) None
-        else Some(ColRange(f.name, dirDouble(lo, up = false), dirDouble(hi, up = true)))
-      }
-    }
-    // the delta lands first; the anti-join reads it BACK from its own
-    // files so `df` is computed exactly once
+    // the delta lands first; BOTH the key envelope and the anti-join read
+    // it back from its own files, so `df` is computed exactly once — the
+    // previous pre-write envelope agg recomputed the caller's whole plan a
+    // second time (for the incremental views: the entire old⊕new merge
+    // join, measured ~40% of a refresh at sf0.1)
     val (deltaFiles, deltaStats) = writeAttempt(spark, root, v, df)
     // an EMPTY incoming batch (or all-null keys → no stats) must not
     // degrade to a full-table rewrite: zero delta rows replace nothing
     val deltaRows = deltaStats.valuesIterator.map(_.rows).sum
+    // incoming key envelope from the delta's own per-file stats (same
+    // statExpr units; directed rounding is monotone, so the min/max over
+    // per-file directed-rounded bounds equals the directed-rounded global
+    // envelope the old agg computed). Key columns without stats support
+    // (strings, arrays, all-null files) contribute no conjunct — planFiles
+    // then keeps more files, which is conservative, never wrong.
+    val ranges: Seq[ColRange] = statKeys.flatMap { f =>
+      val bs = deltaStats.valuesIterator.flatMap(_.cols.get(f.name)).toSeq
+      if (bs.isEmpty) None
+      else Some(ColRange(f.name, bs.map(_._1).min, bs.map(_._2).max))
+    }
+    // replaceAllPrune (the incremental views' refresh contract): the caller
+    // read EXACTLY planFiles(base, p), merged every surviving row of those
+    // files into `df` itself (full-outer combine), and commits the result as
+    // the touched files' full replacement — no survivor-routing scan, so the
+    // old rows are read ONCE per refresh (by the caller) instead of twice.
+    // The touched set is recomputed here from the SAME prune against the
+    // SAME base manifest (planFiles is pure), so caller and merge can never
+    // disagree on which files are replaced.
     val touched =
-      if (deltaRows == 0L) Nil else planFiles(root, base, ranges)
+      if (deltaRows == 0L) Nil
+      else replaceAllPrune.fold(planFiles(root, base, ranges))(
+        p => planFiles(root, base, p))
     val untouched = prev.files.filterNot(touched.toSet)
     val (survFiles, survStats, tombFiles) =
-      if (touched.isEmpty) (Seq.empty[String], Map.empty[String, FileStats], Seq.empty[String])
+      if (touched.isEmpty || replaceAllPrune.isDefined)
+        (Seq.empty[String], Map.empty[String, FileStats], Seq.empty[String])
       else {
         val reader = prev.schema.fold(spark.read)(spark.read.schema)
         val old = reader.parquet(touched.map(f => s"$root/$f"): _*)

@@ -211,12 +211,24 @@ class StatsViewSpec extends AnyFunSuite {
     val images = ImageTable.generate(spark, 18)
     val target = Warp.analyze(images, "min", "union")
     val idx = substring(col("image_id"), 5, 8).cast("int")
-    // several refreshes → several merge commits and small files
-    (0 until 3).foreach { b =>
-      SnapshotTable.commit(spark, tilesRoot,
-        Warp.warpToTiles(spark, images.filter(idx % 3 === b), target, "near").toDF())
+    // several refreshes over DISJOINT tile ranges → the envelope-pruned
+    // replacement leaves earlier ranges' files untouched, so the view
+    // accretes per-range files (a full-range delta would replace the whole
+    // view in one file per refresh and leave compaction nothing to do)
+    val allTiles = Warp.warpToTiles(spark, images, target, "near").toDF()
+      .persist()
+    val ids = allTiles.agg(org.apache.spark.sql.functions.min(col("tile_id")),
+      org.apache.spark.sql.functions.max(col("tile_id"))).head()
+    val (tmin, tmax) = (ids.getLong(0), ids.getLong(1))
+    val t1 = tmin + (tmax - tmin + 1) / 3
+    val t2 = tmin + 2 * (tmax - tmin + 1) / 3
+    val slices = Seq(col("tile_id") < t1,
+      col("tile_id") >= t1 && col("tile_id") < t2, col("tile_id") >= t2)
+    slices.zipWithIndex.foreach { case (p, b) =>
+      SnapshotTable.commit(spark, tilesRoot, allTiles.filter(p))
       assert(StatsView.refresh(spark, tilesRoot, mvRoot) == b + 1)
     }
+    allTiles.unpersist()
     val filesBefore = SnapshotTable
       .snapshot(mvRoot, SnapshotTable.currentVersion(mvRoot)).files.size
     val (dropped, gcd) = StatsView.maintain(spark, mvRoot, targetFiles = 1,
