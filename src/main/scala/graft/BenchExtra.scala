@@ -81,6 +81,7 @@ object BenchExtra {
 
     val phaseFn: (String, () => Unit) => Unit = (n, b) => phase(n)(b())
     if (which("q111")) runQ111(spark, sfDir, phaseFn)
+    if (which("q112")) runQ112(spark, sfDir, phaseFn)
     if (which("q108")) runQ108(spark, sfDir, phaseFn)
     if (which("q114")) {
       phase("q114 full") {
@@ -197,6 +198,51 @@ object BenchExtra {
         graft.operators.StatsView.stats(s, mvRoot).count(); ()
       }
     } finally ST.deleteRecursively(base)
+  }
+
+  /** q112 churn protocol, step-timed (TrendView sibling of runQ111). */
+  private def runQ112(s: SparkSession, d: String,
+                      ph: (String, () => Unit) => Unit): Unit = {
+    def phase(n: String)(b: => Unit): Unit = ph(n, () => b)
+    val ST = graft.sources.SnapshotTable
+    val imgs = Engine.images(s, d)
+      .filter(idx % 3 === 0 && col("fmt") =!= "raw")
+      .filter(idx % 2 === 0)
+    val target = Warp.analyze(imgs, "min", "union")
+    val base = java.nio.file.Files.createTempDirectory("graft_x112").toString
+    val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
+    val batchOf = floor(idx / 18) % 3
+    val batchSql = "(CAST(substring(image_id, 5, 8) AS INT) DIV 18) % 3"
+    val tileCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def tiles(b: Int): DataFrame = tileCache.getOrElseUpdate(b,
+      Warp.warpToTiles(s, imgs.filter(batchOf === b), target, "near").toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def refresh(): Unit = { graft.operators.TrendView.refresh(s, tilesRoot, mvRoot); () }
+    val ndvF = s"CAST(${graft.sources.ImageTable.Ndv} AS FLOAT)"
+    try {
+      phase("q112 s1 commit b0") { ST.commit(s, tilesRoot, tiles(0)); () }
+      phase("q112 s1 refresh")   { refresh() }
+      phase("q112 s2 commit b1") { ST.commit(s, tilesRoot, tiles(1)); () }
+      phase("q112 s2 refresh")   { refresh() }
+      phase("q112 s3 merge corrupt") { ST.merge(s, tilesRoot, tiles(0).withColumn("payload",
+        expr(s"transform(payload, v -> IF(v = $ndvF, v, v + CAST(1.0 AS FLOAT)))")),
+        Seq("image_id", "tile_id")); () }
+      phase("q112 s3 refresh (churn)") { refresh() }
+      phase("q112 s4 merge restore") { ST.merge(s, tilesRoot, tiles(0), Seq("image_id", "tile_id")); () }
+      phase("q112 s4 refresh (churn)") { refresh() }
+      phase("q112 s5 delete b1") { ST.delete(s, tilesRoot, expr(s"$batchSql = 1")); () }
+      phase("q112 s5 refresh (churn)") { refresh() }
+      phase("q112 s6 commit b1 again") { ST.commit(s, tilesRoot, tiles(1)); () }
+      phase("q112 s6 refresh")   { refresh() }
+      phase("q112 s7 commit b2") { ST.commit(s, tilesRoot, tiles(2)); () }
+      phase("q112 s7 refresh")   { refresh() }
+      phase("q112 read view + count") {
+        graft.operators.TrendView.trend(s, mvRoot).count(); ()
+      }
+    } finally {
+      tileCache.values.foreach(_.unpersist(blocking = false))
+      ST.deleteRecursively(base)
+    }
   }
 
   /** q114 stream→catalog→view chain, step-timed (mirrors streamViewChain). */

@@ -48,11 +48,28 @@ class Pipeline(spark: SparkSession, rootDir: String) {
       val df = build
       df.write.mode("overwrite").parquet(dir)
       val out = spark.read.parquet(dir)
-      // per-partition lineage metrics (file-level row histogram)
-      val parts = out.groupBy(spark_partition_id().as("pid"))
-        .agg(count(lit(1)).as("rows")).orderBy(col("pid")).collect()
-      val rows = parts.map(_.getLong(1)).sum
-      val hist = parts.map(r => s"""{"pid": ${r.getInt(0)}, "rows": ${r.getLong(1)}}""")
+      // per-partition lineage metrics (file-level row histogram) from the
+      // parquet FOOTERS of the files just written — driver-side, zero
+      // jobs; the previous groupBy(spark_partition_id) re-scanned every
+      // stage's full output a second time (guide §6: row counts are
+      // already in the metadata)
+      val conf = spark.sessionState.newHadoopConf()
+      val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+        .sortBy(_.getName)
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getPath), conf))
+          try {
+            var n = 0L
+            r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+            n
+          } finally r.close()
+        }
+      val rows = parts.sum
+      val hist = parts.zipWithIndex
+        .map { case (n, pid) => s"""{"pid": $pid, "rows": $n}""" }
         .mkString("[", ",", "]")
       val secs = (System.nanoTime() - t0) / 1e9
       val json =

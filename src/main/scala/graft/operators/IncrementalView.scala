@@ -135,21 +135,35 @@ private[operators] object IncrementalView {
                                   (implicit enc: Encoder[V]): Unit = {
     val delta = SnapshotTable.changes(spark, tilesRoot, fromI, to.toInt)
     val deltaP = fold(delta)
-    // the folded delta feeds three consumers (the envelope agg, the merge
-    // commit's delta write, and the old⊕new join probe) — without a cache
-    // each one re-runs the upstream CDC scan + fold
-    deltaP.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // affected-tile envelope bounds BOTH the old-view read and the
-      // merge's file rewrites; conservative (range, not id set), O(1) plan
-      val env = deltaP.toDF().agg(min(col("tile_id")), max(col("tile_id"))).head()
-      if (env.isNullAt(0)) {
+      // merge's file rewrites; conservative (range, not id set). Derived
+      // from the SOURCE manifests' added-file stats when recorded — zero
+      // jobs, and the fold keys are exactly the delta's tile ids so the
+      // envelope is the same interval (manifest bounds are directed-rounded
+      // outward; pruning stays conservative). Falls back to one agg job
+      // for legacy manifests without stats.
+      val env: Option[(Double, Double)] =
+        SnapshotTable.changedRange(tilesRoot, fromI, to.toInt, "tile_id") match {
+          case Some((0L, _)) => None                     // empty delta
+          case Some((_, Some(b))) => Some(b)
+          case _ => // legacy manifests without stats: one agg job
+            val r = deltaP.toDF()
+              .agg(min(col("tile_id")), max(col("tile_id"))).head()
+            if (r.isNullAt(0)) None
+            else {
+              val cr = SnapshotTable.colRangeLong("tile_id",
+                r.getLong(0), r.getLong(1))
+              Some((cr.lo, cr.hi))
+            }
+        }
+      if (env.isEmpty) {
         // empty delta (all-NDV commit): marker-only merge
         SnapshotTable.merge(spark, mvRoot, deltaP.toDF(), Seq("tile_id"),
           txn = Some(marker -> to), cdc = false)
       } else {
-        val prune = Seq(SnapshotTable.colRangeLong("tile_id",
-          env.getLong(0), env.getLong(1)))
+        val (lo, hi) = env.get
+        val prune = Seq(SnapshotTable.ColRange("tile_id", lo, hi))
         // the old-view side must NEVER broadcast: its rows are fat
         // moment arrays (~¼ MB each), so a row-count-flattered size
         // estimate turns "small" into a multi-hundred-MB driver collect
@@ -179,7 +193,7 @@ private[operators] object IncrementalView {
           txn = Some(marker -> to), cdc = false,
           replaceAllPrune = Some(prune))
       }
-    } finally deltaP.unpersist(blocking = false)
+    }
   }
 
   /** Full rebuild: fold the live snapshot at `to`, replace the view. */
@@ -227,9 +241,17 @@ private[operators] object IncrementalView {
             "left_anti")
           .as(org.apache.spark.sql.Encoders.scalaLong)
           .map(zero)(enc)
+        // the UNAFFECTED rows of the envelope-pruned view files ride along
+        // as survivors, so the merge commit can take the union as those
+        // files' full replacement (replaceAllPrune) instead of re-scanning
+        // them for survivor routing — one view read and one write per
+        // churn refresh where there were two of each (guide §2.4)
+        val survivors = SnapshotTable.read(spark, mvRoot, prune = prune)
+          .join(affected, Seq("tile_id"), "left_anti").as[V]
         SnapshotTable.merge(spark, mvRoot,
-          recomputed.union(vanished).toDF(), Seq("tile_id"),
-          txn = Some(marker -> to), cdc = false)
+          recomputed.union(vanished).union(survivors).toDF(), Seq("tile_id"),
+          txn = Some(marker -> to), cdc = false,
+          replaceAllPrune = Some(prune))
       } finally recomputed.unpersist(blocking = false)
     } finally affected.unpersist(blocking = false)
   }
@@ -248,6 +270,92 @@ private[operators] object IncrementalView {
                keepLast: Int = 3): (Int, Int) = {
     SnapshotTable.compact(spark, mvRoot, targetFiles, sortCols = Seq("tile_id"))
     SnapshotTable.expire(mvRoot, keepLast)
+  }
+
+  // ---- packed little-endian codecs + combiners for the view stores ----
+  // The view tables store their dense per-pixel moment arrays as BINARY
+  // cells in a fixed little-endian layout: parquet writes/reads a binary
+  // cell as one memcopy, where an array<double> column goes through the
+  // per-element record consumer (measured ~8 s of executor CPU per trend
+  // refresh just encoding the store). Packing is view-INTERNAL — the bit
+  // patterns round-trip exactly (raw IEEE bits), finished outputs are
+  // unchanged, which the strict oracles gate.
+  import java.nio.{ByteBuffer, ByteOrder}
+  private def bb(a: Array[Byte]) =
+    ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+  private[operators] def packI(a: Array[Int]): Array[Byte] = {
+    val o = new Array[Byte](a.length * 4); bb(o).asIntBuffer.put(a); o
+  }
+  private[operators] def unpackI(a: Array[Byte]): Array[Int] = {
+    val o = new Array[Int](a.length / 4); bb(a).asIntBuffer.get(o); o
+  }
+  private[operators] def packD(a: Array[Double]): Array[Byte] = {
+    val o = new Array[Byte](a.length * 8); bb(o).asDoubleBuffer.put(a); o
+  }
+  private[operators] def unpackD(a: Array[Byte]): Array[Double] = {
+    val o = new Array[Double](a.length / 8); bb(a).asDoubleBuffer.get(o); o
+  }
+  private[operators] def packF(a: Array[Float]): Array[Byte] = {
+    val o = new Array[Byte](a.length * 4); bb(o).asFloatBuffer.put(a); o
+  }
+  private[operators] def unpackF(a: Array[Byte]): Array[Float] = {
+    val o = new Array[Float](a.length / 4); bb(a).asFloatBuffer.get(o); o
+  }
+  private[operators] def addIP(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val n = a.length / 4; val o = new Array[Byte](a.length)
+    val ab = bb(a).asIntBuffer; val xb = bb(b).asIntBuffer
+    val ob = bb(o).asIntBuffer
+    var i = 0; while (i < n) { ob.put(i, ab.get(i) + xb.get(i)); i += 1 }; o
+  }
+  private[operators] def addDP(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val n = a.length / 8; val o = new Array[Byte](a.length)
+    val ab = bb(a).asDoubleBuffer; val xb = bb(b).asDoubleBuffer
+    val ob = bb(o).asDoubleBuffer
+    var i = 0; while (i < n) { ob.put(i, ab.get(i) + xb.get(i)); i += 1 }; o
+  }
+  private[operators] def minDP(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val n = a.length / 8; val o = new Array[Byte](a.length)
+    val ab = bb(a).asDoubleBuffer; val xb = bb(b).asDoubleBuffer
+    val ob = bb(o).asDoubleBuffer
+    var i = 0
+    while (i < n) {
+      val x = ab.get(i); val y = xb.get(i)
+      ob.put(i, if (x <= y) x else y); i += 1
+    }
+    o
+  }
+  private[operators] def maxDP(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val n = a.length / 8; val o = new Array[Byte](a.length)
+    val ab = bb(a).asDoubleBuffer; val xb = bb(b).asDoubleBuffer
+    val ob = bb(o).asDoubleBuffer
+    var i = 0
+    while (i < n) {
+      val x = ab.get(i); val y = xb.get(i)
+      ob.put(i, if (x >= y) x else y); i += 1
+    }
+    o
+  }
+  private[operators] def minFP(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val n = a.length / 4; val o = new Array[Byte](a.length)
+    val ab = bb(a).asFloatBuffer; val xb = bb(b).asFloatBuffer
+    val ob = bb(o).asFloatBuffer
+    var i = 0
+    while (i < n) {
+      val x = ab.get(i); val y = xb.get(i)
+      ob.put(i, if (x <= y) x else y); i += 1
+    }
+    o
+  }
+  private[operators] def maxFP(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val n = a.length / 4; val o = new Array[Byte](a.length)
+    val ab = bb(a).asFloatBuffer; val xb = bb(b).asFloatBuffer
+    val ob = bb(o).asFloatBuffer
+    var i = 0
+    while (i < n) {
+      val x = ab.get(i); val y = xb.get(i)
+      ob.put(i, if (x >= y) x else y); i += 1
+    }
+    o
   }
 
   // ---- while-loop array combiners shared by the views' `combine`s ----

@@ -94,7 +94,24 @@ object StackOps {
   private[operators] def partialFold[B, O: Encoder](
       tiles: Dataset[TileRow], agg: Aggregator[TileRow, B, O], maxLive: Int)(
       finish: (Long, B) => O)(implicit ebt: Encoder[(Long, B)]): Dataset[O] = {
-    val partials = tiles.mapPartitions { it =>
+    // co-locate rows by tile BEFORE the buffer fold: a tile's dense moment
+    // buffer is 100-300 KB regardless of how many rows feed it, and the
+    // raw layout spreads each tile's ~20 rows over every input partition —
+    // one buffer per (partition, tile) meant ~P× the allocations (measured
+    // 20-25 s of executor CPU zeroing/collecting trend buffers per refresh
+    // fold at sf0.1, against ~5 MB of actual row data). After the
+    // repartition exactly ONE buffer per tile exists; the raw-row shuffle
+    // itself is small (payloads compress well) — guide §2.3's "shuffle
+    // fewer bytes" here means shuffling rows, not buffers. Explicit
+    // partition count (not AQE-advisory-sized): the fold is CPU-bound per
+    // decoded byte, and the compressed shuffle size would coalesce it to
+    // 1-2 tasks (same pathology as the catalog scans).
+    val spark = tiles.sparkSession
+    import org.apache.spark.sql.functions.col
+    val p = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val coloc = tiles.repartition(p, col("tile_id"))
+    val partials = coloc.mapPartitions { it =>
       val m = new java.util.LinkedHashMap[Long, B](16, 0.75f, true) // access-order LRU
       new scala.collection.AbstractIterator[(Long, B)] {
         private var pending: (Long, B) = _

@@ -38,22 +38,29 @@ import graft.sources.{ImageTable, SnapshotTable}
 object StatsView {
 
   /** One view row: tile id + the raw mergeable buffer (NOT the finished
-    * mean/std — finishing is not mergeable; the view stores moments). */
-  final case class MvRow(tile_id: Long, n: Int, cnt: Array[Int],
-                         sum: Array[Double], sumsq: Array[Double],
-                         vmin: Array[Float], vmax: Array[Float])
+    * mean/std — finishing is not mergeable; the view stores moments).
+    * Arrays are PACKED little-endian binary cells
+    * ([[IncrementalView.packD]] family): parquet moves a binary cell as
+    * one memcopy where array columns pay a per-element writer call; the
+    * bits round-trip exactly, so finished stats are unchanged. */
+  final case class MvRow(tile_id: Long, n: Int, cnt: Array[Byte],
+                         sum: Array[Byte], sumsq: Array[Byte],
+                         vmin: Array[Byte], vmax: Array[Byte])
 
   /** The batch stats fold re-targeted to emit raw buffers: zero/reduce/
     * merge ARE TileStatsAgg's (one definition of the moments), only finish
-    * differs. */
+    * differs (it packs). */
   private class MvAgg(tileLen: Int, ndv: Float)
       extends Aggregator[TileRow, StackOps.StatsBuf, MvRow] with Serializable {
     private val inner = new StackOps.TileStatsAgg(tileLen, ndv)
     def zero: StackOps.StatsBuf = inner.zero
     def reduce(b: StackOps.StatsBuf, t: TileRow): StackOps.StatsBuf = inner.reduce(b, t)
     def merge(a: StackOps.StatsBuf, b: StackOps.StatsBuf): StackOps.StatsBuf = inner.merge(a, b)
-    def finish(b: StackOps.StatsBuf): MvRow =
-      MvRow(-1L, b.n, b.cnt, b.sum, b.sumsq, b.vmin, b.vmax)
+    def finish(b: StackOps.StatsBuf): MvRow = {
+      import IncrementalView._
+      MvRow(-1L, b.n, packI(b.cnt), packD(b.sum), packD(b.sumsq),
+        packF(b.vmin), packF(b.vmax))
+    }
     def bufferEncoder: Encoder[StackOps.StatsBuf] = Encoders.product[StackOps.StatsBuf]
     def outputEncoder: Encoder[MvRow] = Encoders.product[MvRow]
   }
@@ -79,9 +86,9 @@ object StatsView {
     IncrementalView.refresh[MvRow](spark, tilesRoot, mvRoot, "statsview",
       delta => StackOps.partialFold(delta.as[TileRow], agg, maxLiveBuffers)(
         (tid, b) => agg.finish(b).copy(tile_id = tid)),
-      (d, o) => MvRow(d.tile_id, d.n + o.n, addI(d.cnt, o.cnt),
-        addD(d.sum, o.sum), addD(d.sumsq, o.sumsq),
-        minF(d.vmin, o.vmin), maxF(d.vmax, o.vmax)),
+      (d, o) => MvRow(d.tile_id, d.n + o.n, addIP(d.cnt, o.cnt),
+        addDP(d.sum, o.sum), addDP(d.sumsq, o.sumsq),
+        minFP(d.vmin, o.vmin), maxFP(d.vmax, o.vmax)),
       tid => agg.finish(agg.zero).copy(tile_id = tid))
   }
 
@@ -101,22 +108,26 @@ object StatsView {
     import spark.implicits._
     val tileLen = tileSize * tileSize
     SnapshotTable.read(spark, mvRoot).as[MvRow].map { r =>
+      import IncrementalView._
+      val cnt = unpackI(r.cnt); val sum = unpackD(r.sum)
+      val sumsq = unpackD(r.sumsq)
+      val vmin = unpackF(r.vmin); val vmax = unpackF(r.vmax)
       val mean = new Array[Float](tileLen); val std = new Array[Float](tileLen)
       val mn = new Array[Float](tileLen); val mx = new Array[Float](tileLen)
       var i = 0
       while (i < tileLen) {
-        if (r.cnt(i) == 0) {
+        if (cnt(i) == 0) {
           mean(i) = ndv; std(i) = ndv; mn(i) = ndv; mx(i) = ndv
         } else {
-          val m = r.sum(i) / r.cnt(i)
+          val m = sum(i) / cnt(i)
           mean(i) = m.toFloat
-          std(i) = if (r.cnt(i) <= 1) ndv
-                   else math.sqrt(math.max(0.0, r.sumsq(i) / r.cnt(i) - m * m)).toFloat
-          mn(i) = r.vmin(i); mx(i) = r.vmax(i)
+          std(i) = if (cnt(i) <= 1) ndv
+                   else math.sqrt(math.max(0.0, sumsq(i) / cnt(i) - m * m)).toFloat
+          mn(i) = vmin(i); mx(i) = vmax(i)
         }
         i += 1
       }
-      StackOps.TileStats(r.tile_id, r.n, r.cnt, mean, std, mn, mx)
+      StackOps.TileStats(r.tile_id, r.n, cnt, mean, std, mn, mx)
     }.toDF()
   }
 }

@@ -27,11 +27,11 @@ object TrendView {
 
   /** One view row: tile id + the raw mergeable OLS buffer (finishing —
     * slope/r²/T0 — is not mergeable; the view stores moments). */
-  final case class MvRow(tile_id: Long, n: Int, cnt: Array[Int],
-                         st: Array[Double], stt: Array[Double],
-                         sy: Array[Double], sty: Array[Double],
-                         syy: Array[Double],
-                         tmin: Array[Double], tmax: Array[Double])
+  final case class MvRow(tile_id: Long, n: Int, cnt: Array[Byte],
+                         st: Array[Byte], stt: Array[Byte],
+                         sy: Array[Byte], sty: Array[Byte],
+                         syy: Array[Byte],
+                         tmin: Array[Byte], tmax: Array[Byte])
 
   /** The batch trend fold re-targeted to emit raw buffers: zero/reduce/
     * merge ARE TileTrendAgg's, only finish differs. */
@@ -42,8 +42,11 @@ object TrendView {
     def zero: StackOps.TrendBuf = inner.zero
     def reduce(b: StackOps.TrendBuf, t: TileRow): StackOps.TrendBuf = inner.reduce(b, t)
     def merge(a: StackOps.TrendBuf, b: StackOps.TrendBuf): StackOps.TrendBuf = inner.merge(a, b)
-    def finish(b: StackOps.TrendBuf): MvRow =
-      MvRow(-1L, b.n, b.cnt, b.st, b.stt, b.sy, b.sty, b.syy, b.tmin, b.tmax)
+    def finish(b: StackOps.TrendBuf): MvRow = {
+      import IncrementalView._
+      MvRow(-1L, b.n, packI(b.cnt), packD(b.st), packD(b.stt), packD(b.sy),
+        packD(b.sty), packD(b.syy), packD(b.tmin), packD(b.tmax))
+    }
     def bufferEncoder: Encoder[StackOps.TrendBuf] = Encoders.product[StackOps.TrendBuf]
     def outputEncoder: Encoder[MvRow] = Encoders.product[MvRow]
   }
@@ -56,9 +59,9 @@ object TrendView {
     * operand order) as a JIT-friendly while-loop. */
   private[operators] def combineRows(d: MvRow, o: MvRow): MvRow = {
     import IncrementalView._
-    MvRow(d.tile_id, d.n + o.n, addI(d.cnt, o.cnt), addD(d.st, o.st),
-      addD(d.stt, o.stt), addD(d.sy, o.sy), addD(d.sty, o.sty),
-      addD(d.syy, o.syy), minD(d.tmin, o.tmin), maxD(d.tmax, o.tmax))
+    MvRow(d.tile_id, d.n + o.n, addIP(d.cnt, o.cnt), addDP(d.st, o.st),
+      addDP(d.stt, o.stt), addDP(d.sy, o.sy), addDP(d.sty, o.sty),
+      addDP(d.syy, o.syy), minDP(d.tmin, o.tmin), maxDP(d.tmax, o.tmax))
   }
 
   /** Advance the view at `mvRoot` to cover `tilesRoot`'s current version.
@@ -100,8 +103,10 @@ object TrendView {
     val fin = new StackOps.TileTrendAgg(tileLen, ndv, nThresh, minDtPtp,
       confTest, alpha, diagnostics)
     SnapshotTable.read(spark, mvRoot).as[MvRow].map { r =>
-      fin.finish(StackOps.TrendBuf(r.n, r.cnt, r.st, r.stt, r.sy, r.sty,
-        r.syy, r.tmin, r.tmax)).copy(tile_id = r.tile_id)
+      import IncrementalView._
+      fin.finish(StackOps.TrendBuf(r.n, unpackI(r.cnt), unpackD(r.st),
+        unpackD(r.stt), unpackD(r.sy), unpackD(r.sty), unpackD(r.syy),
+        unpackD(r.tmin), unpackD(r.tmax))).copy(tile_id = r.tile_id)
     }.toDF()
   }
 }

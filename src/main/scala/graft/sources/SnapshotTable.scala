@@ -831,10 +831,10 @@ object SnapshotTable {
     * consumers after every compaction) and `rollback` republishes old
     * files, also nothing. `prune` as in `read`; an empty increment is an
     * empty DataFrame, not an error. */
-  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
-              prune: Seq[ColRange] = Nil): DataFrame = {
-    require(toV > fromV && toV >= 1, s"bad change range v$fromV..v$toV")
-    val allAdded = (math.max(1, fromV + 1) to toV).flatMap { v =>
+  /** Files ADDED over (fromV, toV] — the walk shared by [[changes]] and
+    * [[changedRange]] so the two can never disagree on what the delta is. */
+  private def addedFilesIn(root: String, fromV: Int, toV: Int): Seq[String] = {
+    (math.max(1, fromV + 1) to toV).flatMap { v =>
       require(Files.exists(metaDir(root).resolve(s"v$v.json")),
         s"changes(v$fromV, v$toV) needs manifest v$v, which is expired")
       val snap = snapshot(root, v)
@@ -856,6 +856,47 @@ object SnapshotTable {
         case _ => Nil
       }
     }.distinct
+  }
+
+  /** Row count + bounds of one column over the files a [[changes]] call
+    * for the same range would read, straight from the manifests — zero
+    * Spark jobs (the incremental views' envelope shortcut). Returns None
+    * when any added file lacks recorded stats, or the column's bounds are
+    * missing on a file that has rows — callers fall back to aggregating.
+    * Bounds are the commit-time directed-rounded values, so intervals are
+    * conservative and identical in meaning to the scan-side stats. */
+  def changedRange(root: String, fromV: Int, toV: Int,
+                   colName: String): Option[(Long, Option[(Double, Double)])] = {
+    val added = addedFilesIn(root, fromV, toV)
+    if (added.isEmpty) return Some((0L, None))
+    // each added file's stats live in the manifest of the version that
+    // introduced it (and ride forward while live); walk the range newest-
+    // last so later re-records win
+    val statsByFile = (math.max(1, fromV + 1) to toV)
+      .foldLeft(Map.empty[String, FileStats]) { (m, v) =>
+        m ++ snapshot(root, v).stats
+      }
+    var rows = 0L
+    var lo = Double.PositiveInfinity; var hi = Double.NegativeInfinity
+    var haveBounds = true
+    added.foreach { f =>
+      statsByFile.get(f) match {
+        case None => return None // legacy file without stats: aggregate
+        case Some(fs) =>
+          rows += fs.rows
+          fs.cols.get(colName) match {
+            case Some((l, h)) => lo = math.min(lo, l); hi = math.max(hi, h)
+            case None => if (fs.rows > 0) haveBounds = false
+          }
+      }
+    }
+    Some((rows, if (haveBounds && rows > 0) Some((lo, hi)) else None))
+  }
+
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
+              prune: Seq[ColRange] = Nil): DataFrame = {
+    require(toV > fromV && toV >= 1, s"bad change range v$fromV..v$toV")
+    val allAdded = addedFilesIn(root, fromV, toV)
     val planned = planFiles(root, toV, prune).toSet ++
       // files added mid-range but no longer live in toV carry no toV stats;
       // keep them (conservative) unless their own snapshot pruned them out
