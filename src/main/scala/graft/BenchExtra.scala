@@ -90,11 +90,12 @@ object BenchExtra {
     }
     if (which("q114s")) runQ114Steps(spark, sfDir, phaseFn)
     if (which("noop")) {
-      val targets = Seq("q07_mad_fltr", "q66_fill_interp", "q48_stencil_gauss",
+      val targets = sys.env.get("SPARK_GRAFT_NOOP").map(_.split(",").toSeq)
+        .getOrElse(Seq("q07_mad_fltr", "q66_fill_interp", "q48_stencil_gauss",
         "q36_perc_fltr", "q60_hist2d_clipped", "q88_robust_spread",
         "q91_neardup_clusters", "q92_doc_clusters", "q67_remove_islands",
         "q65_dem_family", "q97_training_flagship", "q103_snapshot_merge",
-        "q75_stream_sessions", "q74_stream_dedup")
+        "q75_stream_sessions", "q74_stream_dedup"))
       targets.foreach { name =>
         phase(s"$name noop") {
           SparkEntry.queries(name)(spark, sfDir)

@@ -79,22 +79,47 @@ object Stencil {
     //    from any part (all parts of one image share its timestamp), so
     //    grow-into-neighbor kernels (dilate/fill) emit correctly-addressed
     //    tiles; all-NDV results are dropped like warpToTiles drops empties.
-    parts.groupByKey(p => (p.image_id, p.tile_id))
-      .mapGroups { (key: (String, Long), it: Iterator[HaloPart]) =>
-        val (imageId, tileId) = key
-        val padded = Array.fill(P * P)(ndv)
-        var tsUs = 0L
-        it.foreach { p =>
-          tsUs = p.ts_us
-          var yy = 0
-          while (yy < p.ph) {
-            System.arraycopy(p.strip, yy * p.pw, padded, (p.py0 + yy) * P + p.px0, p.pw)
-            yy += 1
+    //    The grouping is an EXPLICIT-width repartition + local sort with a
+    //    streaming run iterator (one padded frame live at a time — the same
+    //    memory shape groupByKey's sorted stream had): the kernel stage is
+    //    pure CPU (40-55 s of executor time at sf0.1) and groupByKey would
+    //    run it on spark.sql.shuffle.partitions tasks — half the machine
+    //    idle at the bench's 16 (guide §2.6); 2× the core count also
+    //    smooths per-tile kernel-cost skew.
+    import org.apache.spark.sql.functions.col
+    val width = math.max(2 * spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    parts.repartition(width, col("image_id"), col("tile_id"))
+      .sortWithinPartitions(col("image_id"), col("tile_id"))
+      .mapPartitions { it =>
+        val in = it.buffered
+        new scala.collection.AbstractIterator[TileRow] {
+          def hasNext: Boolean = in.hasNext
+          def next(): TileRow = {
+            val head = in.next()
+            val imageId = head.image_id; val tileId = head.tile_id
+            val padded = Array.fill(P * P)(ndv)
+            var tsUs = head.ts_us
+            var p = head
+            var more = true
+            while (more) {
+              tsUs = p.ts_us
+              var yy = 0
+              while (yy < p.ph) {
+                System.arraycopy(p.strip, yy * p.pw, padded,
+                  (p.py0 + yy) * P + p.px0, p.pw)
+                yy += 1
+              }
+              if (in.hasNext && in.head.image_id == imageId &&
+                  in.head.tile_id == tileId) p = in.next()
+              else more = false
+            }
+            val tx = (tileId % ntx).toInt; val ty = (tileId / ntx).toInt
+            val core = kernel(padded, P, h, ndv)
+            TileRow(imageId, tsUs, tileId, tx, ty, core,
+              core.count(_ != ndv), elided = false)
           }
         }
-        val tx = (tileId % ntx).toInt; val ty = (tileId / ntx).toInt
-        val core = kernel(padded, P, h, ndv)
-        TileRow(imageId, tsUs, tileId, tx, ty, core, core.count(_ != ndv), elided = false)
       }
       .filter(_.n_valid > 0)
   }
@@ -782,11 +807,17 @@ object Stencil {
                     b(a2) = uxp(terms(a2)._1) * uyp(terms(a2)._2)
                     a2 += 1
                   }
+                  // upper triangle only: the normal matrix is symmetric and
+                  // b(r)·b(c) is the identical double either side, so the
+                  // post-loop mirror is bit-exact — halves the dominant
+                  // rank-1 update (81 neighbors × nT² fused ops per gap px)
                   var r = 0
                   while (r < nT) {
-                    var cIdx = 0
-                    while (cIdx < nT) { m(r)(cIdx) += b(r) * b(cIdx); cIdx += 1 }
-                    m(r)(nT) += b(r) * v
+                    val br = b(r)
+                    val mr = m(r)
+                    var cIdx = r
+                    while (cIdx < nT) { mr(cIdx) += br * b(cIdx); cIdx += 1 }
+                    mr(nT) += br * v
                     r += 1
                   }
                 }
@@ -795,6 +826,12 @@ object Stencil {
               dy += 1
             }
             if (n >= 2 * nT) {
+              var mr = 1
+              while (mr < nT) {
+                var mc = 0
+                while (mc < mr) { m(mr)(mc) = m(mc)(mr); mc += 1 }
+                mr += 1
+              }
               // Gaussian elimination w/ partial pivoting; only the (0,0)-term
               // coefficient is needed (polynomial value at the gap center)
               var ok = true

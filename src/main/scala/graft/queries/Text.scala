@@ -132,6 +132,12 @@ object Text {
     * Docs shorter than 3 tokens are dropped (both sides). */
   private[queries] def shinglesOf(docs: DataFrame): DataFrame =
     docs
+      // the doc table is a single small file (one scan split), but each
+      // shingle pays 4 md5s downstream — measured ~1 s single-task stages
+      // in the minhash paths; spreading the docs first costs a sub-MB
+      // shuffle and parallelizes the hash work (guide §2.1: the scan is
+      // cheap, the per-row work is not)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
