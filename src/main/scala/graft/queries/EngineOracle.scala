@@ -76,7 +76,13 @@ object EngineOracle {
     val scoped = Seq(
       "spark.sql.files.maxPartitionBytes" -> (16L * 1024 * 1024).toString,
       "spark.sql.files.openCostInBytes" -> (512L * 1024).toString,
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (4L * 1024 * 1024).toString)
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (4L * 1024 * 1024).toString,
+      // batch ROW count must follow row width too: the packed view rows
+      // are ~100-260 KB each, and the default 4096-row vectorized batches
+      // reserve ~0.5-1 GB of contiguous column buffers PER TASK at sf1
+      // (observed reader reserve failure at 10x scale); 128 rows bounds a
+      // batch to a few MB per column at any scale
+      "spark.sql.parquet.columnarReaderBatchSize" -> "128")
     val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
     scoped.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally saved.foreach {
