@@ -83,67 +83,51 @@ object StackOps {
     def outputEncoder: Encoder[TileStats] = Encoders.product[TileStats]
   }
 
-  /** Map-side partial fold with a BOUNDED live-buffer map, then a merge of
-    * partials per tile_id. Rationale: Spark's own hash aggregation holds
-    * every group's vector buffer simultaneously and spills (measured 5×
-    * slower in round 1); a bare groupByKey shuffles every tile payload
-    * (n_layers × 16 KB per tile_id). This fold keeps ≤ maxLive buffers per
-    * task (LRU-evicting partials into the output stream), so cluster-local
-    * input layouts compress the shuffle by ~n_layers× while adversarial
-    * layouts degrade gracefully to the plain-shuffle behavior. */
+  /** ONE-shuffle vector fold: co-locate rows by tile, sort each partition
+    * by tile_id, and stream one complete group at a time through the
+    * aggregator. Rationale: Spark's own hash aggregation holds every
+    * group's vector buffer simultaneously and spills (measured 5× slower
+    * in round 1); the earlier two-phase form (per-partition LRU partials +
+    * a groupByKey merge) became vestigial once the fold co-located rows by
+    * tile — with every row of a tile in one partition each partial IS the
+    * final buffer, yet the merge still paid a second Exchange of the fat
+    * 100-300 KB buffers plus their per-element encoder round-trip. The
+    * local sort makes each tile one contiguous run, so a single live
+    * buffer per task suffices and finished rows stream straight out
+    * (guide §2.4 — remove shuffles outright). Fold order changes with
+    * partitioning either way; outputs are order-independent on the
+    * engine's exact-sum payloads (integer-valued floats, dyadic time), as
+    * the strict oracle gate checks at two CPU counts. */
   private[operators] def partialFold[B, O: Encoder](
       tiles: Dataset[TileRow], agg: Aggregator[TileRow, B, O], maxLive: Int)(
-      finish: (Long, B) => O)(implicit ebt: Encoder[(Long, B)]): Dataset[O] = {
-    // co-locate rows by tile BEFORE the buffer fold: a tile's dense moment
-    // buffer is 100-300 KB regardless of how many rows feed it, and the
-    // raw layout spreads each tile's ~20 rows over every input partition —
-    // one buffer per (partition, tile) meant ~P× the allocations (measured
-    // 20-25 s of executor CPU zeroing/collecting trend buffers per refresh
-    // fold at sf0.1, against ~5 MB of actual row data). After the
-    // repartition exactly ONE buffer per tile exists; the raw-row shuffle
-    // itself is small (payloads compress well) — guide §2.3's "shuffle
-    // fewer bytes" here means shuffling rows, not buffers. Explicit
-    // partition count (not AQE-advisory-sized): the fold is CPU-bound per
-    // decoded byte, and the compressed shuffle size would coalesce it to
-    // 1-2 tasks (same pathology as the catalog scans).
+      finish: (Long, B) => O): Dataset[O] = {
+    // explicit partition count (not AQE-advisory-sized): the fold is
+    // CPU-bound per DECODED byte, and the ~100-200× compressed shuffle
+    // size would coalesce it to 1-2 tasks (same pathology as the catalog
+    // scans). A tile's rows land in one partition regardless of count —
+    // one buffer per tile exists in total; the raw-row shuffle is small
+    // (payloads compress well) — guide §2.3's "shuffle fewer bytes" here
+    // means shuffling rows, not buffers.
     val spark = tiles.sparkSession
     import org.apache.spark.sql.functions.col
     val p = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val coloc = tiles.repartition(p, col("tile_id"))
-    val partials = coloc.mapPartitions { it =>
-      val m = new java.util.LinkedHashMap[Long, B](16, 0.75f, true) // access-order LRU
-      new scala.collection.AbstractIterator[(Long, B)] {
-        private var pending: (Long, B) = _
-        private def advance(): Unit = {
-          while (pending == null && it.hasNext) {
-            val t = it.next()
-            var b = m.get(t.tile_id)
-            if (b == null) {
-              if (m.size >= maxLive) {
-                val eldest = m.entrySet().iterator().next()
-                pending = (eldest.getKey, eldest.getValue)
-                m.remove(eldest.getKey)
-              }
-              b = agg.zero
-              m.put(t.tile_id, b)
-            }
-            agg.reduce(b, t)
+      .sortWithinPartitions(col("tile_id"))
+    coloc.mapPartitions { it =>
+      new scala.collection.AbstractIterator[O] {
+        private var cur: TileRow = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = cur != null
+        def next(): O = {
+          val tid = cur.tile_id
+          var b = agg.zero
+          while (cur != null && cur.tile_id == tid) {
+            b = agg.reduce(b, cur)
+            cur = if (it.hasNext) it.next() else null
           }
-          if (pending == null && !it.hasNext && !m.isEmpty) {
-            val eldest = m.entrySet().iterator().next()
-            pending = (eldest.getKey, eldest.getValue)
-            m.remove(eldest.getKey)
-          }
-        }
-        def hasNext: Boolean = { advance(); pending != null }
-        def next(): (Long, B) = {
-          advance(); val r = pending; pending = null; r
+          finish(tid, b)
         }
       }
-    }
-    partials.groupByKey(_._1)(Encoders.scalaLong).mapGroups { (tid, it) =>
-      finish(tid, it.map(_._2).reduce(agg.merge))
     }
   }
 
