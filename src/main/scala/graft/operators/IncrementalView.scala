@@ -67,6 +67,7 @@ private[operators] object IncrementalView {
     * now covered (unchanged if already current). */
   def refresh[V](spark: SparkSession, tilesRoot: String, mvRoot: String,
                  kind: String, fold: DataFrame => Dataset[V],
+                 foldRun: (Long, Iterator[TileRow]) => V,
                  combine: (V, V) => V, zero: Long => V)
                 (implicit enc: Encoder[V]): Long = {
     val to = SnapshotTable.currentVersion(tilesRoot).toLong
@@ -93,8 +94,8 @@ private[operators] object IncrementalView {
       "spark.sql.parquet.columnarReaderBatchSize" -> "128")
     val saved = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
     scoped.foreach { case (k, v) => spark.conf.set(k, v) }
-    try refreshInner(spark, tilesRoot, mvRoot, kind, fold, combine, zero,
-      to, from)
+    try refreshInner(spark, tilesRoot, mvRoot, kind, fold, foldRun, combine,
+      zero, to, from)
     finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
@@ -104,6 +105,7 @@ private[operators] object IncrementalView {
   private def refreshInner[V](spark: SparkSession, tilesRoot: String,
                               mvRoot: String, kind: String,
                               fold: DataFrame => Dataset[V],
+                              foldRun: (Long, Iterator[TileRow]) => V,
                               combine: (V, V) => V, zero: Long => V,
                               to: Long, from: Long)
                              (implicit enc: Encoder[V]): Long = {
@@ -125,7 +127,8 @@ private[operators] object IncrementalView {
       sn.op != "rollback" && !sn.cdcOff))
 
     if (appendOnly)
-      refreshAppendOnly(spark, tilesRoot, mvRoot, marker, fromI, to, fold, combine)
+      refreshAppendOnly(spark, tilesRoot, mvRoot, marker, fromI, to, foldRun,
+        combine)
     else if (mvEmpty || !cdcReplayable)
       rebuild(spark, tilesRoot, mvRoot, marker, to, fold, mvEmpty)
     else
@@ -133,72 +136,106 @@ private[operators] object IncrementalView {
     to
   }
 
-  /** Fast path: adds-only delta fold + old⊕new keyed merge (O(delta)). */
+  /** Fast path: adds-only delta fold + old⊕new keyed merge (O(delta)),
+    * FUSED into one shuffle. The raw delta rows and the envelope-pruned
+    * old-view rows travel through a single tagged-union exchange keyed on
+    * tile_id; the post-shuffle stage sorts each partition by tile_id and
+    * streams one tile at a time — folding that tile's delta rows
+    * (`foldRun`) and combining with its at-most-one old row — straight
+    * into the merge commit's write. The earlier two-stage form (fold to a
+    * partial Dataset, then a full-outer sort-merge join) paid an extra
+    * Exchange of the fat ~100-300 KB fold buffers plus a separate join
+    * stage (guide §2.4 — remove shuffles outright). Fold/combine order is
+    * unchanged in spirit (delta-first operand order) and outputs are
+    * order-independent on the engine's exact-sum payloads, which the
+    * strict oracles gate. The old-view side still never broadcasts (no
+    * join exists to mis-broadcast); each fat row moves exactly once. */
   private def refreshAppendOnly[V](spark: SparkSession, tilesRoot: String,
                                    mvRoot: String, marker: String, fromI: Int,
-                                   to: Long, fold: DataFrame => Dataset[V],
+                                   to: Long,
+                                   foldRun: (Long, Iterator[TileRow]) => V,
                                    combine: (V, V) => V)
                                   (implicit enc: Encoder[V]): Unit = {
     val delta = SnapshotTable.changes(spark, tilesRoot, fromI, to.toInt)
-    val deltaP = fold(delta)
-    locally {
-      // affected-tile envelope bounds BOTH the old-view read and the
-      // merge's file rewrites; conservative (range, not id set). Derived
-      // from the SOURCE manifests' added-file stats when recorded — zero
-      // jobs, and the fold keys are exactly the delta's tile ids so the
-      // envelope is the same interval (manifest bounds are directed-rounded
-      // outward; pruning stays conservative). Falls back to one agg job
-      // for legacy manifests without stats.
-      val env: Option[(Double, Double)] =
-        SnapshotTable.changedRange(tilesRoot, fromI, to.toInt, "tile_id") match {
-          case Some((0L, _)) => None                     // empty delta
-          case Some((_, Some(b))) => Some(b)
-          case _ => // legacy manifests without stats: one agg job
-            val r = deltaP.toDF()
-              .agg(min(col("tile_id")), max(col("tile_id"))).head()
-            if (r.isNullAt(0)) None
-            else {
-              val cr = SnapshotTable.colRangeLong("tile_id",
-                r.getLong(0), r.getLong(1))
-              Some((cr.lo, cr.hi))
-            }
-        }
-      if (env.isEmpty) {
-        // empty delta (all-NDV commit): marker-only merge
-        SnapshotTable.merge(spark, mvRoot, deltaP.toDF(), Seq("tile_id"),
-          txn = Some(marker -> to), cdc = false)
-      } else {
-        val (lo, hi) = env.get
-        val prune = Seq(SnapshotTable.ColRange("tile_id", lo, hi))
-        // the old-view side must NEVER broadcast: its rows are fat
-        // moment arrays (~¼ MB each), so a row-count-flattered size
-        // estimate turns "small" into a multi-hundred-MB driver collect
-        // + per-task rebuild (measured 240 s for a 2k-row join on a
-        // bandwidth-squeezed host). Both sides are hash-partitionable on
-        // tile_id — a shuffle join moves each fat row exactly once.
-        // `.as[V]` tolerates the nullability drift of views written by
-        // older engine versions (containsNull=true array columns): the
-        // deserializer only narrows, and the commit-side gate
-        // (requireCompatible) normalizes nullability before comparing.
-        val old = SnapshotTable.read(spark, mvRoot, prune = prune).as[V]
-          .hint("merge")
-        // FULL-outer: the combined set carries every surviving row of the
-        // pruned old-view files (old-only tiles pass through untouched), so
-        // the merge commit can take them as those files' full replacement
-        // (replaceAllPrune) and skip its survivor-routing scan — the old
-        // view is read ONCE per refresh instead of twice (guide §2.4).
-        val combined = deltaP.hint("merge")
-          .joinWith(old, deltaP.col("tile_id") === old.col("tile_id"),
-            "full_outer")
-          .map { case (d, o) =>
-            if (o == null) d else if (d == null) o else combine(d, o) }
-        // cdc = false: the view's row-level history is replayable from the
-        // SOURCE table's CDC; persisting a full pre-image copy of every
-        // refreshed view row would be pure write amplification
-        SnapshotTable.merge(spark, mvRoot, combined.toDF(), Seq("tile_id"),
-          txn = Some(marker -> to), cdc = false,
-          replaceAllPrune = Some(prune))
+    // affected-tile envelope bounds BOTH the old-view read and the
+    // merge's file rewrites; conservative (range, not id set). Derived
+    // from the SOURCE manifests' added-file stats when recorded — zero
+    // jobs, and the fold keys are exactly the delta's tile ids so the
+    // envelope is the same interval (manifest bounds are directed-rounded
+    // outward; pruning stays conservative). Falls back to one agg job
+    // over the raw delta for legacy manifests without stats.
+    val env: Option[(Double, Double)] =
+      SnapshotTable.changedRange(tilesRoot, fromI, to.toInt, "tile_id") match {
+        case Some((0L, _)) => None                     // empty delta
+        case Some((_, Some(b))) => Some(b)
+        case _ => // legacy manifests without stats: one agg job
+          val r = delta.agg(min(col("tile_id")), max(col("tile_id"))).head()
+          if (r.isNullAt(0)) None
+          else {
+            val cr = SnapshotTable.colRangeLong("tile_id",
+              r.getLong(0), r.getLong(1))
+            Some((cr.lo, cr.hi))
+          }
       }
+    if (env.isEmpty) {
+      // empty delta (all-NDV commit): marker-only merge
+      SnapshotTable.merge(spark, mvRoot, spark.emptyDataset[V](enc).toDF(),
+        Seq("tile_id"), txn = Some(marker -> to), cdc = false)
+    } else {
+      val (lo, hi) = env.get
+      val prune = Seq(SnapshotTable.ColRange("tile_id", lo, hi))
+      val oldDf = SnapshotTable.read(spark, mvRoot, prune = prune)
+      val tEnc = org.apache.spark.sql.Encoders.product[TileRow]
+      // tagged union rows (_1 = tile_id, _2 = delta TileRow | null,
+      // _3 = old view row | null); the null legs deserialize to null
+      // tuple components (the joinWith contract this replaces)
+      val dU = delta.select(col("tile_id").cast("long").as("_1"),
+        struct(tEnc.schema.fieldNames.map(col).toSeq: _*).as("_2"),
+        lit(null).cast(enc.schema).as("_3"))
+      val oU = oldDf.select(col("tile_id").cast("long").as("_1"),
+        lit(null).cast(tEnc.schema).as("_2"),
+        struct(enc.schema.fieldNames.map(col).toSeq: _*).as("_3"))
+      implicit val tup: Encoder[(Long, TileRow, V)] =
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, tEnc, enc)
+      // explicit width (shared with the batch folds): the compressed
+      // shuffle size would let AQE coalesce the decode-bound fold+combine
+      // to 1-2 tasks
+      val p = StackOps.foldWidth(spark)
+      val combined: Dataset[V] = dU.unionByName(oU)
+        .repartition(p, col("_1")).sortWithinPartitions(col("_1"))
+        .as[(Long, TileRow, V)]
+        .mapPartitions { it =>
+          new scala.collection.AbstractIterator[V] {
+            private var cur: (Long, TileRow, V) =
+              if (it.hasNext) it.next() else null
+            def hasNext: Boolean = cur != null
+            def next(): V = {
+              val k = cur._1
+              val rows = scala.collection.mutable.ArrayBuffer.empty[TileRow]
+              var o: V = null.asInstanceOf[V]
+              while (cur != null && cur._1 == k) {
+                if (cur._2 != null) rows += cur._2
+                if (cur._3 != null) o = cur._3     // unique per view key
+                cur = if (it.hasNext) it.next() else null
+              }
+              val d = if (rows.isEmpty) null.asInstanceOf[V]
+                      else foldRun(k, rows.iterator)
+              if (o == null) d else if (d == null) o else combine(d, o)
+            }
+          }
+        }
+      // the combined set carries every surviving row of the pruned
+      // old-view files (old-only tiles pass through untouched), so the
+      // merge commit takes them as those files' full replacement
+      // (replaceAllPrune) and skips its survivor-routing scan — the old
+      // view is read ONCE per refresh.
+      // cdc = false: the view's row-level history is replayable from the
+      // SOURCE table's CDC; persisting a full pre-image copy of every
+      // refreshed view row would be pure write amplification
+      SnapshotTable.merge(spark, mvRoot, combined.toDF(), Seq("tile_id"),
+        txn = Some(marker -> to), cdc = false,
+        replaceAllPrune = Some(prune))
     }
   }
 

@@ -98,6 +98,14 @@ object StackOps {
     * partitioning either way; outputs are order-independent on the
     * engine's exact-sum payloads (integer-valued floats, dyadic time), as
     * the strict oracle gate checks at two CPU counts. */
+  /** Explicit width for the CPU-bound vector-fold stages (shared with the
+    * incremental views' fused refresh): never below the machine's
+    * parallelism, because the ~100-200× compressed shuffle size would let
+    * AQE coalesce a decode-bound fold to 1-2 tasks. */
+  private[operators] def foldWidth(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
   private[operators] def partialFold[B, O: Encoder](
       tiles: Dataset[TileRow], agg: Aggregator[TileRow, B, O], maxLive: Int)(
       finish: (Long, B) => O): Dataset[O] = {
@@ -110,8 +118,7 @@ object StackOps {
     // means shuffling rows, not buffers.
     val spark = tiles.sparkSession
     import org.apache.spark.sql.functions.col
-    val p = math.max(spark.sparkContext.defaultParallelism,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val p = foldWidth(spark)
     val coloc = tiles.repartition(p, col("tile_id"))
       .sortWithinPartitions(col("tile_id"))
     coloc.mapPartitions { it =>

@@ -86,6 +86,11 @@ object StatsView {
     IncrementalView.refresh[MvRow](spark, tilesRoot, mvRoot, "statsview",
       delta => StackOps.partialFold(delta.as[TileRow], agg, maxLiveBuffers)(
         (tid, b) => agg.finish(b).copy(tile_id = tid)),
+      (tid, it) => {                 // one-tile fold for the fused refresh
+        var b = agg.zero
+        it.foreach(t => b = agg.reduce(b, t))
+        agg.finish(b).copy(tile_id = tid)
+      },
       (d, o) => MvRow(d.tile_id, d.n + o.n, addIP(d.cnt, o.cnt),
         addDP(d.sum, o.sum), addDP(d.sumsq, o.sumsq),
         minFP(d.vmin, o.vmin), maxFP(d.vmax, o.vmax)),

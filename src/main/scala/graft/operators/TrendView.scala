@@ -77,6 +77,11 @@ object TrendView {
     IncrementalView.refresh[MvRow](spark, tilesRoot, mvRoot, "trendview",
       delta => StackOps.partialFold(delta.as[TileRow], agg, maxLiveBuffers)(
         (tid, b) => agg.finish(b).copy(tile_id = tid)),
+      (tid, it) => {                 // one-tile fold for the fused refresh
+        var b = agg.zero
+        it.foreach(t => b = agg.reduce(b, t))
+        agg.finish(b).copy(tile_id = tid)
+      },
       combineRows,
       tid => agg.finish(agg.zero).copy(tile_id = tid))
   }
