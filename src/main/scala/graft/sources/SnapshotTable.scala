@@ -1002,23 +1002,88 @@ object SnapshotTable {
     // The touched set is recomputed here from the SAME prune against the
     // SAME base manifest (planFiles is pure), so caller and merge can never
     // disagree on which files are replaced.
-    val touched =
+    val candidates =
       if (deltaRows == 0L) Nil
       else replaceAllPrune.fold(planFiles(root, base, ranges))(
         p => planFiles(root, base, p))
-    val untouched = prev.files.filterNot(touched.toSet)
+    // The file-level contract is unchanged: every candidate file (key-stats
+    // envelope intersection) is REPLACED in this version — the documented
+    // write-amplification bound that q103's twin pins. What the hit-scan
+    // optimizes is the BYTES each replacement moves (guide §2.3 — decide
+    // with small rows, move big rows once): ONE keys-only columnar pass
+    // counts, per candidate file, its rows and how many match an incoming
+    // key, then
+    //   - 0 matches  → the "survivor rewrite" is a byte-identical file:
+    //     hardlink/copy the original into the new attempt dir (stats carry
+    //     over; no decode, no re-encode);
+    //   - all match  → no survivors exist and the tombstone pre-image set
+    //     IS the file: `removed` references the ORIGINAL (changesCdc reads
+    //     it as the exact pre-images, expire's GC tracks `removed` refs);
+    //   - partial    → the one-pass survivor/tombstone routing, as before,
+    //     now over only the files that genuinely mix both.
+    // A merge that replaces or misses whole files — the common shapes at
+    // scale — thus decodes and re-encodes nothing.
+    val (zeroHit, fullHit, partial) =
+      if (candidates.isEmpty || replaceAllPrune.isDefined)
+        (Seq.empty[String], Seq.empty[String], candidates)
+      else {
+        val reader = prev.schema.fold(spark.read)(spark.read.schema)
+        val keysScan =
+          if (deltaFiles.nonEmpty)
+            spark.read.schema(df.schema).parquet(deltaFiles.map(f => s"$root/$f"): _*)
+              .select(keyCols.map(col): _*).distinct()
+          else df.select(keyCols.map(col): _*).distinct()
+        val perFile = reader.parquet(candidates.map(f => s"$root/$f"): _*)
+          // input_file_name is single-source: capture it BEFORE the join
+          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+          .join(keysScan.withColumn("__hit", lit(1)), keyCols, "left")
+          .groupBy(col("__f"))
+          .agg(count(lit(1)).as("__n"), count(col("__hit")).as("__h"))
+          .collect()
+        val hit = perFile.flatMap { r =>
+          candidates.find(r.getString(0).endsWith)
+            .map(f => f -> (r.getLong(1), r.getLong(2)))
+        }.toMap
+        require(hit.size == perFile.length,
+          s"hit-scan file paths did not all resolve to candidates at $root")
+        // a candidate with stats but no scan row is empty — zero matches
+        (candidates.filter(f => hit.get(f).forall(_._2 == 0L)),
+         candidates.filter(f => hit.get(f).exists(x => x._2 > 0 && x._2 == x._1)),
+         candidates.filter(f => hit.get(f).exists(x => x._2 > 0 && x._2 < x._1)))
+      }
+    val untouched = prev.files.filterNot(candidates.toSet)
+    // byte-identical replacements for the match-free candidates: hardlink
+    // when the filesystem allows it, plain copy otherwise — either way the
+    // original's stats describe the new file exactly
+    val (copyFiles, copyStats) =
+      if (zeroHit.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
+      else {
+        val attempt = s"s$v-${java.util.UUID.randomUUID().toString.take(8)}"
+        Files.createDirectories(Paths.get(root, "data", attempt))
+        val moved = zeroHit.map { f =>
+          val fname = Paths.get(f).getFileName.toString
+          val dst = Paths.get(root, "data", attempt, fname)
+          val src = Paths.get(root, f)
+          try Files.createLink(dst, src)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(src, dst) }
+          f -> s"data/$attempt/$fname"
+        }
+        (moved.map(_._2),
+         moved.flatMap { case (o, n) => prev.stats.get(o).map(n -> _) }.toMap)
+      }
     val (survFiles, survStats, tombFiles) =
-      if (touched.isEmpty || replaceAllPrune.isDefined)
+      if (partial.isEmpty || replaceAllPrune.isDefined)
         (Seq.empty[String], Map.empty[String, FileStats], Seq.empty[String])
       else {
         val reader = prev.schema.fold(spark.read)(spark.read.schema)
-        val old = reader.parquet(touched.map(f => s"$root/$f"): _*)
+        val old = reader.parquet(partial.map(f => s"$root/$f"): _*)
         val keys =
           if (deltaFiles.nonEmpty)
             spark.read.schema(df.schema).parquet(deltaFiles.map(f => s"$root/$f"): _*)
               .select(keyCols.map(col): _*).distinct()
           else df.select(keyCols.map(col): _*).distinct()
-        // ONE pass over the touched files: a left join against the
+        // ONE pass over the partially-hit files: a left join against the
         // (distinct, broadcastable) incoming keys routes each row to the
         // survivor rewrite (no key match) or the CDC tombstone pre-images
         // (key match, i.e. the rows this upsert replaces — recorded under
@@ -1043,14 +1108,18 @@ object SnapshotTable {
           (sf, ss, Seq.empty[String])
         }
       }
-    val live = untouched ++ survFiles ++ deltaFiles
-    val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++
-      survStats ++ deltaStats
+    val live = untouched ++ copyFiles ++ survFiles ++ deltaFiles
+    val stats = prev.stats.filter { case (f, _) => !candidates.contains(f) } ++
+      copyStats ++ survStats ++ deltaStats
+    // fully-replaced originals become tombstones only when this commit
+    // records CDC; with cdc = false they simply leave the live list (the
+    // manifest's cdcOff flag already declares the history absent)
+    val zeroCopyTombs = if (cdc) fullHit else Seq.empty[String]
     publish(root, v, manifestJson(v, base, "merge",
       liveRows(spark, root, live, stats), live, stats, df.schema,
-      delta = deltaFiles, removed = tombFiles, txn = txn,
+      delta = deltaFiles, removed = zeroCopyTombs ++ tombFiles, txn = txn,
       txns = mergedTxns(root, prev) ++ txn,
-      cdcOff = !cdc && touched.nonEmpty))
+      cdcOff = !cdc && candidates.nonEmpty))
     v
   }
 
@@ -1072,15 +1141,31 @@ object SnapshotTable {
     val v = base + 1
     val reader = prev.schema.fold(spark.read)(spark.read.schema)
     val candidates = planFiles(root, base, prune)
-    val touched: Seq[String] =
-      if (candidates.isEmpty) Nil
+    // ONE pass over the candidates counts, per file, its rows and its
+    // predicate matches: match-free candidates carry forward untouched
+    // (as before), and FULLY-matched files — every row deleted — need no
+    // rewrite at all: the original file becomes the CDC tombstone
+    // (`removed` references it directly; changesCdc reads it as the exact
+    // pre-image set, expire's GC tracks `removed` references), so a
+    // delete that drops whole files moves no payload bytes.
+    val (touched: Seq[String], fullyDeleted: Seq[String]) =
+      if (candidates.isEmpty) (Nil, Nil)
       else {
-        val hit = reader.parquet(candidates.map(f => s"$root/$f"): _*)
-          .filter(predicate).groupBy(input_file_name().as("__f")).count().collect()
-        val rels = hit.flatMap(r => candidates.find(r.getString(0).endsWith)).toSet
-        candidates.filter(rels)
+        val perFile = reader.parquet(candidates.map(f => s"$root/$f"): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(count(lit(1)).as("__n"),
+               count(when(coalesce(predicate, lit(false)), 1)).as("__h"))
+          .collect()
+        val hit = perFile.flatMap { r =>
+          candidates.find(r.getString(0).endsWith)
+            .map(f => f -> (r.getLong(1), r.getLong(2)))
+        }.toMap
+        val withHits = candidates.filter(f => hit.get(f).exists(_._2 > 0))
+        (withHits.filter(f => { val (n, h) = hit(f); h < n }),
+         withHits.filter(f => { val (n, h) = hit(f); h == n }))
       }
-    val untouched = prev.files.filterNot(touched.toSet)
+    val replaced = (touched ++ fullyDeleted).toSet
+    val untouched = prev.files.filterNot(replaced)
     val (newFiles, newStats, tombFiles) =
       if (touched.isEmpty)
         (Seq.empty[String], Map.empty[String, FileStats], Seq.empty[String])
@@ -1101,15 +1186,18 @@ object SnapshotTable {
         }
       }
     val live = untouched ++ newFiles
-    val stats = prev.stats.filter { case (f, _) => !touched.contains(f) } ++ newStats
+    val stats = prev.stats.filter { case (f, _) => !replaced.contains(f) } ++ newStats
     val schema = prev.schema.getOrElse {
       require(prev.files.nonEmpty, s"snapshot v$base has no files at $root")
       spark.read.parquet(s"$root/${prev.files.head}").schema
     }
+    // fully-matched originals become tombstones only when this commit
+    // records CDC; with cdc = false they simply leave the live list
+    val zeroCopyTombs = if (cdc) fullyDeleted else Seq.empty[String]
     publish(root, v, manifestJson(v, base, "delete",
       liveRows(spark, root, live, stats), live, stats, schema,
-      removed = tombFiles, txns = mergedTxns(root, prev),
-      cdcOff = !cdc && touched.nonEmpty))
+      removed = zeroCopyTombs ++ tombFiles, txns = mergedTxns(root, prev),
+      cdcOff = !cdc && replaced.nonEmpty))
     v
   }
 
