@@ -261,15 +261,35 @@ object BenchExtra {
     def tilesOf(b: Int) =
       Warp.warpToTiles(s, imgs.filter(idx % 3 === b), target, "near").toDF()
     val tileSchema = tilesOf(0).schema
+    // mirrors EngineOracle.writeOneFileParquet (the production land path):
+    // distributed small-row-group write, then driver-side row-group concat
     def land(b: Int): Unit = {
+      import org.apache.hadoop.fs.{Path => HPath}
+      import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+      import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
       val tmp = Files.createTempDirectory("graft_x114w").toString
-      tilesOf(b).repartition(1).write.mode("overwrite")
-        .option("parquet.block.size", (8 * 1024 * 1024).toString)
-        .parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head.toPath
+      tilesOf(b).write.mode("overwrite")
+        .option("parquet.block.size", (256 * 1024).toString)
+        .option("compression", "none").parquet(tmp)
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+        .sortBy(_.getName)
+      val conf = s.sessionState.newHadoopConf()
+      val r0 = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(parts.head.getPath), conf))
+      val (schema, kv) =
+        try (r0.getFooter.getFileMetaData.getSchema,
+             r0.getFooter.getFileMetaData.getKeyValueMetaData)
+        finally r0.close()
       val dst = Paths.get(srcDir, s"f$b.parquet")
-      Files.move(part, dst)
+      Files.deleteIfExists(dst)
+      val w = new ParquetFileWriter(
+        HadoopOutputFile.fromPath(new HPath(dst.toString), conf),
+        schema, ParquetFileWriter.Mode.CREATE, 256L * 1024, 0)
+      w.start()
+      parts.foreach(p =>
+        w.appendFile(HadoopInputFile.fromPath(new HPath(p.getPath), conf)))
+      w.end(kv)
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1704067200000L + b * 2000L))
       graft.sources.SnapshotTable.deleteRecursively(tmp)
