@@ -175,13 +175,10 @@ object EngineOracle {
     val base = java.nio.file.Files.createTempDirectory("graft_q108").toString
     val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
     try withFatRowScanConf(s) {
-      (0 until 3).foreach { b =>
-        val batch = imgs.filter(idx % 3 === b)
-        graft.sources.SnapshotTable.commit(s, tilesRoot,
-          Warp.warpToTiles(s, batch, target, "near").toDF())
-        val covered = graft.operators.StatsView.refresh(s, tilesRoot, mvRoot)
-        require(covered == b + 1, s"refresh covered v$covered, expected v${b + 1}")
-      }
+      appendBatchesWithRefresh(s, tilesRoot,
+        (0 until 3).map(b => Warp.warpToTiles(s,
+          imgs.filter(idx % 3 === b), target, "near").toDF()),
+        () => graft.operators.StatsView.refresh(s, tilesRoot, mvRoot))
       // idempotence: nothing new to fold → marker unchanged, no commit
       val vBefore = graft.sources.SnapshotTable.currentVersion(mvRoot)
       require(graft.operators.StatsView.refresh(s, tilesRoot, mvRoot) == 3)
@@ -258,8 +255,21 @@ object EngineOracle {
       s.sparkContext.setJobDescription(s"$tag $what") // guide §1.5
       try body finally s.sparkContext.setJobDescription(null)
     }
+    // the three epoch builds are INDEPENDENT inputs — overlap them (guide
+    // §2.6): f0/f1 land concurrently, and f2 is built into a staging path
+    // during the leg-1/refresh driver phases (it must stay invisible to
+    // the file source until the resume leg) and only MOVED into the
+    // source dir at its protocol step. Same files, same mtimes, same
+    // pickup order — only the idle driver-phase cores get used.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    def async(body: => Unit): java.util.concurrent.Future[_] =
+      pool.submit(new Runnable { def run(): Unit = body })
+    val f2staging = Paths.get(base, "stage_f2.parquet")
     try withFatRowScanConf(s) {
-      label("land epochs 0,1") { land(0); land(1) }
+      val l0 = async { land(0) }
+      val l1 = async { land(1) }
+      val l2 = async { writeOneFileParquet(s, tilesOf(2), f2staging) }
+      label("land epochs 0,1") { l0.get(); l1.get() }
       label("stream leg 1") {
         val q1 = graft.streaming.StreamOps.parquetStreamToSnapshot(
           s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
@@ -278,7 +288,13 @@ object EngineOracle {
       require(refresh(tilesRoot, mvRoot) == 2)
       require(graft.sources.SnapshotTable.currentVersion(mvRoot) == vBefore,
         "a refresh after a replayed epoch must not commit")
-      label("land epoch 2") { land(2) }
+      label("land epoch 2") {
+        l2.get()
+        val dst = Paths.get(srcDir, "f2.parquet")
+        Files.move(f2staging, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1704067200000L + 2 * 2000L))
+      }
       label("stream leg 2") {
         val q2 = graft.streaming.StreamOps.parquetStreamToSnapshot(
           s, srcDir, tilesRoot, ckptDir, streamId, tileSchema)
@@ -291,7 +307,14 @@ object EngineOracle {
         val out = explodeStats(finished(mvRoot), ntx, fields)
         detachViaParquet(s, out)
       }
-    } finally graft.sources.SnapshotTable.deleteRecursively(base)
+    } finally {
+      // stop any still-running staging build BEFORE deleting its target
+      // dir (an abandoned l2 on the failure path would otherwise race the
+      // recursive delete)
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      graft.sources.SnapshotTable.deleteRecursively(base)
+    }
   }
 
   /** q110: q42's per-pixel OLS trend, computed INCREMENTALLY — the trend
@@ -310,15 +333,12 @@ object EngineOracle {
     val base = java.nio.file.Files.createTempDirectory("graft_q110").toString
     val tilesRoot = s"$base/tiles"; val mvRoot = s"$base/mv"
     try withFatRowScanConf(s) {
-      (0 until 3).foreach { b =>
-        // trendSubset already pins idx % 3 == 0 and drops (idx/3) % 3 == 0
-        // (raw fmt) — batch on idx/9 so all three commits are non-empty
-        val batch = imgs.filter(floor(idx / 9) % 3 === b)
-        graft.sources.SnapshotTable.commit(s, tilesRoot,
-          Warp.warpToTiles(s, batch, target, "near").toDF())
-        val covered = graft.operators.TrendView.refresh(s, tilesRoot, mvRoot)
-        require(covered == b + 1, s"refresh covered v$covered, expected v${b + 1}")
-      }
+      // trendSubset already pins idx % 3 == 0 and drops (idx/3) % 3 == 0
+      // (raw fmt) — batch on idx/9 so all three commits are non-empty
+      appendBatchesWithRefresh(s, tilesRoot,
+        (0 until 3).map(b => Warp.warpToTiles(s,
+          imgs.filter(floor(idx / 9) % 3 === b), target, "near").toDF()),
+        () => graft.operators.TrendView.refresh(s, tilesRoot, mvRoot))
       // idempotence: nothing new to fold → marker unchanged, no commit
       val vBefore = graft.sources.SnapshotTable.currentVersion(mvRoot)
       require(graft.operators.TrendView.refresh(s, tilesRoot, mvRoot) == 3)
@@ -328,6 +348,35 @@ object EngineOracle {
         ntx, Seq("count", "slope_yr", "intercept", "r2", "t_stat"))
       detachViaParquet(s, out)
     } finally graft.sources.SnapshotTable.deleteRecursively(base)
+  }
+
+  /** Append-protocol driver shared by q108/q110: commit each warped batch
+    * and refresh the view after every commit. Batches are independent
+    * inputs, so while batch b commits/refreshes, the warps of b+1.. fill
+    * their caches on the idle cores of the driver-side phases (guide
+    * §2.6); the commit→refresh protocol itself stays strictly serial. */
+  private def appendBatchesWithRefresh(s: SparkSession, tilesRoot: String,
+                                       batches: Seq[DataFrame],
+                                       refresh: () => Long): Unit = {
+    val cached = batches.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      cached.head.count() // the immediately-needed batch first
+      val prefetch = cached.tail.map(df => pool.submit(new Runnable {
+        def run(): Unit = { df.count(); () }
+      }))
+      cached.zipWithIndex.foreach { case (df, b) =>
+        if (b > 0) prefetch(b - 1).get() // cached before its commit
+        graft.sources.SnapshotTable.commit(s, tilesRoot, df)
+        val covered = refresh()
+        require(covered == b + 1, s"refresh covered v$covered, expected v${b + 1}")
+      }
+    } finally {
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      cached.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Shared churn driver for q111/q112: land `imgs` in a snapshot tiles
@@ -357,6 +406,14 @@ object EngineOracle {
       val covered = refresh()
       require(covered == v, s"refresh covered v$covered, expected v$v")
     }
+    // b1/b2's warps are independent of the first protocol steps — overlap
+    // them (guide §2.6): b0 materializes on the protocol path first (s1
+    // needs it now), then the b1/b2 cache fills ride the idle cores of
+    // s1/s2's driver-side phases. Registration happens on THIS thread
+    // (tileCache is not thread-safe); the background work is only the
+    // count() that materializes the already-registered persist.
+    Seq(0, 1, 2).foreach(tiles)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     // +1-corruption as a typed map, not a `transform(...)` higher-order
     // expression: HOFs evaluate their lambda INTERPRETED per element
     // (measured ~40 s of executor CPU over the batch's ~9·10⁷ elements);
@@ -372,15 +429,25 @@ object EngineOracle {
       t.copy(payload = p)
     }.toDF()
     try {
+      tiles(0).count() // materialize the immediately-needed batch first
+      val prefetch = Seq(1, 2).map(b => pool.submit(new Runnable {
+        def run(): Unit = { tiles(b).count(); () }
+      }))
       step(1) { ST.commit(s, tilesRoot, tiles(0)) }
+      prefetch.head.get() // b1 cached before its commit
       step(2) { ST.commit(s, tilesRoot, tiles(1)) }
       step(3) { ST.merge(s, tilesRoot, corrupt(tiles(0)),
         Seq("image_id", "tile_id")) }
       step(4) { ST.merge(s, tilesRoot, tiles(0), Seq("image_id", "tile_id")) }
       step(5) { ST.delete(s, tilesRoot, expr(s"$batchSql = 1")) }
       step(6) { ST.commit(s, tilesRoot, tiles(1)) }
+      prefetch(1).get()
       step(7) { ST.commit(s, tilesRoot, tiles(2)) }
-    } finally tileCache.values.foreach(_.unpersist(blocking = false))
+    } finally {
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      tileCache.values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** q111: q108's incrementally-maintained stack stats, driven through
