@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * fingerprint matches is read back instead of recomputed — any stage of the
   * tiling job is resumable mid-pipeline (north rule). */
 class Pipeline(spark: SparkSession, rootDir: String) {
+  // fingerprint map + computed list are guarded: INDEPENDENT stages may
+  // run from concurrent driver threads (guide §2.6 — e.g. the flagship's
+  // image leg overlapping its text chain); each stage still owns its own
+  // dir + lineage file, so only this bookkeeping needs the lock
   private val finger = scala.collection.mutable.Map.empty[String, String]
   /** Names of stages actually recomputed this run (for tests/ops). */
   val computed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -32,8 +36,9 @@ class Pipeline(spark: SparkSession, rootDir: String) {
 
   def stage(name: String, params: Map[String, String] = Map.empty,
             deps: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
-    val f = fp(name, params, deps)
-    finger(name) = f
+    val f = finger.synchronized {
+      val x = fp(name, params, deps); finger(name) = x; x
+    }
     val dir = s"$rootDir/$name"
     val lineagePath = Paths.get(s"$rootDir/${name}_lineage.json")
     val reusable = Files.exists(lineagePath) && {
@@ -79,7 +84,7 @@ class Pipeline(spark: SparkSession, rootDir: String) {
            | "rows": $rows, "partitions": $hist,
            | "wall_s": $secs, "written_at_ms": ${System.currentTimeMillis()}}""".stripMargin
       Files.writeString(lineagePath, json)
-      computed += name
+      finger.synchronized { computed += name }
       out
     }
   }

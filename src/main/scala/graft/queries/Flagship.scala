@@ -30,29 +30,48 @@ object Flagship {
     * stages actually recomputed) and the committed snapshot version. */
   def runStages(s: SparkSession, d: String, root: String): (Pipeline, Int) = {
     val p = new Pipeline(s, s"$root/stages")
-    // the source dir is part of BOTH ingest fingerprints: resuming the same
-    // root against different data must invalidate, not silently reuse
-    val filtered = p.stage("docs_filtered",
-        Map("src" -> d, "minQ" -> "0.5", "lang" -> "en")) {
-      filteredDocs(s, d)
-    }
-    val pairs = p.stage("text_pairs", deps = Seq("docs_filtered")) {
-      Text.minhashPairsOf(filtered)
-    }
-    val textKeepers = p.stage("text_keepers",
-        deps = Seq("text_pairs", "docs_filtered")) {
-      graft.operators.Similarity.connectedComponents(s,
-          filtered.select(col("doc_id").as("id")),
-          pairs.select(col("d1").as("a"), col("d2").as("b")))
-        .filter(col("id") === col("component"))
-        .select(col("id"))
-    }
-    val imgKeepers = p.stage("image_keepers", Map("src" -> d, "maxDist" -> "8")) {
-      // keeper image = the component label itself (min image id across the
-      // hash-level near-dup component — the q91 contracted-graph path)
-      EngineOracle.neardupClusters(s, d)
-        .filter(col("image_id") === col("comp_all"))
-        .select(col("image_id").as("id"))
+    // the image leg shares no dependency with the text chain — overlap
+    // them (guide §2.6): image_keepers runs on a driver thread while
+    // docs_filtered → text_pairs → text_keepers runs here; both join at
+    // `keepers`. Stage bookkeeping is lock-guarded in Pipeline; outputs
+    // and fingerprints are identical to the serial order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val (textKeepers, imgKeepers) = try {
+      val imgFut = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame =
+          p.stage("image_keepers", Map("src" -> d, "maxDist" -> "8")) {
+            // keeper image = the component label itself (min image id
+            // across the hash-level near-dup component — the q91
+            // contracted-graph path)
+            EngineOracle.neardupClusters(s, d)
+              .filter(col("image_id") === col("comp_all"))
+              .select(col("image_id").as("id"))
+          }
+      })
+      // the source dir is part of BOTH ingest fingerprints: resuming the
+      // same root against different data must invalidate, not silently
+      // reuse
+      val filtered = p.stage("docs_filtered",
+          Map("src" -> d, "minQ" -> "0.5", "lang" -> "en")) {
+        filteredDocs(s, d)
+      }
+      val pairs = p.stage("text_pairs", deps = Seq("docs_filtered")) {
+        Text.minhashPairsOf(filtered)
+      }
+      val tk = p.stage("text_keepers",
+          deps = Seq("text_pairs", "docs_filtered")) {
+        graft.operators.Similarity.connectedComponents(s,
+            filtered.select(col("doc_id").as("id")),
+            pairs.select(col("d1").as("a"), col("d2").as("b")))
+          .filter(col("id") === col("component"))
+          .select(col("id"))
+      }
+      (tk, imgFut.get())
+    } finally {
+      // non-daemon pool thread must never outlive the call (it would pin
+      // the JVM on the failure path)
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
     }
     val keepers = p.stage("keepers", deps = Seq("text_keepers", "image_keepers")) {
       // doc ids are BIGINT, image ids strings — the manifest is string-keyed
